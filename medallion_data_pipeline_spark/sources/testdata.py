@@ -1,0 +1,53 @@
+"""Readers for the driver-provided TPC-H-ish parquet testdata.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale notes: parquet scans get column pruning + predicate pushdown from
+Catalyst for free as long as callers express projections/filters
+declaratively (SURVEY.md §4). The small dimensions (region, nation,
+supplier, part, customer) are broadcast-join candidates at any scale
+factor — a 100 TB lineitem still joins the same 25-row nation table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimensions small enough to broadcast at any realistic scale
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so spark.sql() queries (the
+    Query-Runner surface, SURVEY.md §2.9 U4) can reference them by name."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
