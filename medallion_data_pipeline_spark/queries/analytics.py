@@ -1,1 +1,302 @@
-"""Placeholder — queries added incrementally."""
+"""EDA / statistics / window-function queries (SURVEY §2.4 A8-A13 and
+§2.5 W1-W3) — the reference's eda/supply_chain_eda.py surface plus the
+forecasting feature windows, re-expressed declaratively.
+
+Determinism: every statistic is computed from EXACT decimal moment sums
+(sum x, sum x², sum xy) cast to double only for the final arithmetic,
+so both engines produce bit-identical doubles regardless of row order —
+this sidesteps Welford-vs-two-pass implementation differences in the
+built-in stddev/corr of either engine. Exact percentiles use the same
+type-7 linear interpolation in Spark (percentile) and DuckDB
+(quantile_cont); results are rounded to 4 dp to absorb the one ulp of
+formula-order difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import dmoney, dsum, fdiv, sql_dsum, sql_fdiv, t
+
+# ---------------------------------------------------------------------------
+# q10 — lag + rolling window features (SURVEY W1/W2: the forecasting
+# lag_1/lag_7/roll_mean_7 features, forecasting.py:244-272). Scale: one
+# shuffle on the partition key (region); the window is then a local sort.
+# ---------------------------------------------------------------------------
+
+_LAG_ROLLING_SQL = """
+WITH daily AS (
+    SELECT r.r_name AS region,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+           {rev} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, ds, revenue,
+       lag(revenue, 1) OVER w AS lag_1,
+       lag(revenue, 7) OVER w AS lag_7,
+       ROUND(
+         CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_mean_7
+FROM daily
+WINDOW w AS (PARTITION BY region ORDER BY ds)
+""".format(rev=sql_dsum("o.o_totalprice"))
+
+
+@register("lag_rolling_features", oracle=_LAG_ROLLING_SQL)
+def lag_rolling_features(spark, sf_dir):
+    """Per-entity lag_1 / lag_7 / 7-row rolling mean over a daily revenue
+    series (SURVEY W1/W2). Rolling mean via exact decimal window-sum /
+    window-count — order-independent, unlike a double running sum."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("region").orderBy("ds")
+    wf = w.rowsBetween(-6, 0)
+    return daily.select(
+        "region",
+        "ds",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("lag_1"),
+        F.lag("revenue", 7).over(w).alias("lag_7"),
+        F.round(
+            F.sum(dmoney("revenue")).over(wf).cast("double") / F.count(F.lit(1)).over(wf), 6
+        ).alias("roll_mean_7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — null / duplicate profiling (SURVEY A9).
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT (SELECT COUNT(*) FROM lineitem)                                   AS n_rows,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem))          AS n_distinct_rows,
+       (SELECT COUNT(*) FROM lineitem) -
+       (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem))          AS n_duplicate_rows,
+       (SELECT COUNT(*) - COUNT(l_shipdate) FROM lineitem)               AS nulls_l_shipdate,
+       (SELECT COUNT(*) - COUNT(l_quantity) FROM lineitem)               AS nulls_l_quantity,
+       (SELECT COUNT(*) - COUNT(l_returnflag) FROM lineitem)             AS nulls_l_returnflag
+"""
+
+
+@register("null_dup_profile", oracle=_PROFILE_SQL)
+def null_dup_profile(spark, sf_dir):
+    """Table profile: row count, full-row duplicate count, per-column
+    null counts (reference eda/supply_chain_eda.py:141-184)."""
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).cast("long").alias("nulls_l_shipdate"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("long").alias("nulls_l_quantity"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("long").alias("nulls_l_returnflag"),
+    )
+    distinct_rows = li.distinct().agg(F.count(F.lit(1)).alias("n_distinct_rows"))
+    return (
+        stats.crossJoin(distinct_rows)
+        .withColumn("n_duplicate_rows", F.col("n_rows") - F.col("n_distinct_rows"))
+        .select("n_rows", "n_distinct_rows", "n_duplicate_rows",
+                "nulls_l_shipdate", "nulls_l_quantity", "nulls_l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — descriptive statistics from exact moments (SURVEY A8).
+# ---------------------------------------------------------------------------
+
+_DESCRIBE_SQL = """
+WITH m AS (
+    SELECT COUNT(*)                                            AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))         AS s1,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2)))       AS s2,
+           CAST(MIN(l_extendedprice) AS DOUBLE)                AS min_v,
+           CAST(MAX(l_extendedprice) AS DOUBLE)                AS max_v,
+           COUNT(DISTINCT l_extendedprice)                     AS n_distinct,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4)      AS q25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4)      AS median,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4)      AS q75
+    FROM lineitem
+)
+SELECT n, n_distinct, min_v, max_v, q25, median, q75,
+       ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+       ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS stddev
+FROM m
+"""
+
+
+@register("describe_extendedprice", oracle=_DESCRIBE_SQL)
+def describe_extendedprice(spark, sf_dir):
+    """describe+ statistics (count/mean/std/min/max/quartiles/distinct,
+    reference eda/supply_chain_eda.py:689-710) from exact decimal
+    moments; quartiles are exact type-7 percentiles."""
+    li = t(spark, sf_dir, "lineitem")
+    x = dmoney("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.min("l_extendedprice").cast("double").alias("min_v"),
+        F.max("l_extendedprice").cast("double").alias("max_v"),
+        F.countDistinct("l_extendedprice").alias("n_distinct"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("q75"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    n = F.col("n")
+    return m.select(
+        "n", "n_distinct", "min_v", "max_v", "q25", "median", "q75",
+        F.round(s1d / n, 4).alias("mean"),
+        F.round(F.sqrt((s2d - s1d * s1d / n) / (n - F.lit(1))), 4).alias("stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — correlation matrix from exact moments (SURVEY A10).
+# ---------------------------------------------------------------------------
+
+def _corr_sql_pair(x: str, y: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS pair,
+       ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST({y} AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST({x} AS DECIMAL(18,2)) * CAST({x} AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST({y} AS DECIMAL(18,2)) * CAST({y} AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST({x} AS DECIMAL(18,2)) * CAST({y} AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem
+)
+"""
+
+
+_CORR_SQL = (_corr_sql_pair("l_quantity", "l_extendedprice", "qty_vs_price")
+             + " UNION ALL "
+             + _corr_sql_pair("l_extendedprice", "l_discount", "price_vs_discount"))
+
+
+def _corr_spark(li, x: str, y: str, label: str):
+    xd, yd = dmoney(x), dmoney(y)
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        F.lit(label).alias("pair"),
+        F.round((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
+        .alias("pearson_r"),
+    )
+
+
+@register("correlation_pairs", oracle=_CORR_SQL)
+def correlation_pairs(spark, sf_dir):
+    """Pairwise Pearson correlation from exact decimal moments
+    (reference eda/supply_chain_eda.py:604-635)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = _corr_spark(li, "l_quantity", "l_extendedprice", "qty_vs_price")
+    b = _corr_spark(li, "l_extendedprice", "l_discount", "price_vs_discount")
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# q14 — quantile binning via ntile over a total order (SURVEY A13).
+# ---------------------------------------------------------------------------
+
+_QUARTILE_BINS_SQL = """
+WITH tiled AS (
+    SELECT o_totalprice,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+    FROM orders
+)
+SELECT tile,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       {tot} AS total_price
+FROM tiled GROUP BY tile
+""".format(tot=sql_dsum("o_totalprice"))
+
+
+@register("quartile_bins", oracle=_QUARTILE_BINS_SQL)
+def quartile_bins(spark, sf_dir):
+    """Quantile binning (reference pd.cut Low/Medium/High,
+    eda/supply_chain_eda.py:554-558) via ntile over a TOTAL order
+    (unique tiebreak) so bucket assignment is engine-independent."""
+    o = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — scalar KPI card (SURVEY A6): single-row global KPIs.
+# ---------------------------------------------------------------------------
+
+_KPI_SQL = """
+SELECT COUNT(*)                                             AS n_orders,
+       COUNT(DISTINCT o_custkey)                            AS n_customers,
+       {rev}                                                AS total_revenue,
+       {aov}                                                AS avg_order_value,
+       {urgent}                                             AS pct_urgent,
+       CAST(MIN(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS VARCHAR) AS first_order,
+       CAST(MAX(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS VARCHAR) AS last_order
+FROM orders
+""".format(
+    rev=sql_dsum("o_totalprice"),
+    aov=sql_fdiv("SUM(CAST(o_totalprice AS DECIMAL(18,2)))", "COUNT(*)"),
+    urgent=sql_fdiv(
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)", "COUNT(*)"
+    ),
+)
+
+
+@register("kpi_card", oracle=_KPI_SQL)
+def kpi_card(spark, sf_dir):
+    """Global KPI aggregates: counts, guarded ratios, conditional
+    percentages, min/max dates (reference app.py:801-880)."""
+    o = t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        n.alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice").alias("total_revenue"),
+        fdiv(F.sum(dmoney("o_totalprice")), n).alias("avg_order_value"),
+        fdiv(
+            F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)), n
+        ).alias("pct_urgent"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_order"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
+    )

@@ -1,1 +1,169 @@
-"""Placeholder — queries added incrementally."""
+"""Event-stream queries over the ``events`` table — the batch duals of
+the Structured Streaming operators in streaming/events.py (SURVEY §2.8:
+the reference is batch-only; streaming is the engine's green-field
+extension, so these queries define the semantics the streaming variant
+must match on the same data).
+
+Determinism: timestamps are compared/bucketed via epoch milliseconds
+(exact integers in both engines); money-ish ``value`` sums go through
+DECIMAL(12,2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import fdiv, sql_fdiv, t
+
+# ---------------------------------------------------------------------------
+# q16 — frequency distribution (SURVEY A11: value_counts).
+# ---------------------------------------------------------------------------
+
+_EVENT_COUNTS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 10
+"""
+
+
+@register("event_type_counts", oracle=_EVENT_COUNTS_SQL)
+def event_type_counts(spark, sf_dir):
+    """Top-10 value_counts over event_type (reference
+    eda/supply_chain_eda.py:378-399)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — JSON extraction (SURVEY F20-adjacent; props is a JSON string).
+# ---------------------------------------------------------------------------
+
+_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       {avg_k} AS avg_k
+FROM events
+GROUP BY event_type
+""".format(avg_k=sql_fdiv("SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))", "COUNT(*)"))
+
+
+@register("json_props_agg", oracle=_JSON_SQL)
+def json_props_agg(spark, sf_dir):
+    """get_json_object extraction + aggregation over a JSON-string
+    column (the reference serializes rejected rows as JSON,
+    silver_builder.py:464-469; here we also query it back)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            fdiv(F.sum(k), F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — tumbling-window aggregation (streaming dual: the readStream
+# version uses window(ts, '1 hour') + watermark; identical buckets).
+# ---------------------------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_hour", oracle=_TUMBLING_SQL)
+def events_tumbling_hour(spark, sf_dir):
+    """1-hour tumbling-window counts/sums per event type — the batch
+    dual of streaming/events.py::hourly_rollup."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — sessionization (SURVEY §2.8 extension; guide 'Common OLAP
+# patterns'): lag + cumulative-sum session ids, 30-minute gap.
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+           CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts_ms) AS start_ms,
+       MAX(ts_ms) AS end_ms,
+       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_events", oracle=_SESSION_SQL)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: lag(ts) gap > 30 min starts a new session;
+    per-session event counts and duration. Batch dual of the
+    session_window streaming operator."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis("ts")
+    marked = e.select(
+        "user_id", "event_id", ts_ms.alias("ts_ms"), F.col("ts"),
+        F.when(
+            (ts_ms - F.lag(ts_ms).over(w) > 1800000) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+        )
+    )

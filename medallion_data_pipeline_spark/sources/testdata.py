@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -36,8 +37,24 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: columns written as parquet TIMESTAMP(NANOS) — Spark's reader rejects
+#: nanosecond timestamps unless they come in as raw longs; we read them
+#: via the legacy conf and convert to microsecond timestamps (exactly the
+#: truncation DuckDB applies to the same files).
+NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = NANO_TS_COLUMNS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer div: double division loses precision on epoch-nanos (> 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
