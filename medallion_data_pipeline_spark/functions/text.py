@@ -141,7 +141,11 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """
     toks = words(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs shorter than k shingles must produce an empty array explicitly
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
@@ -177,24 +181,27 @@ def lsh_bands(col: Column, k: int = 3, num_hashes: int = 16, bands: int = 4) -> 
     return F.array(*keys)
 
 
-def simhash64(col: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint over word tokens, ``bits`` wide (default 16
-    for oracle-friendliness; 64 at scale).
+def simhash(col: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over word tokens, ``bits`` wide (<=32; 16 by
+    default for oracle-friendliness; widen at scale).
 
-    Per token: h = first 8 hex chars of md5(token) as an int. For each
-    bit b, sum +1/-1 over tokens by whether bit b of h is set; the
-    fingerprint sets bit b iff the sum is positive. Pure integer
-    arithmetic -> portable to the SQL oracle.
+    Portable bit source: bit ``b`` of a token's hash is the parity of
+    the ASCII code of hex char ``b+1`` of md5(token) — reproducible in
+    any engine with md5+ascii+substr (DuckDB 1.0 lacks hex->int conv).
+    For each bit, sum +1/-1 votes over tokens; the fingerprint sets the
+    bit iff the sum is positive. Near-duplicate docs land at small
+    Hamming distance; equal fingerprints bucket near-dups directly.
     """
     toks = words(col)
-    hashed = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    def vote_fn(bit: int):
+        # closure factory: a default-arg lambda would change the lambda arity
+        return lambda acc, tok: acc + F.when(
+            F.ascii(F.substring(F.md5(tok), bit + 1, 1)) % 2 == 1, 1
+        ).otherwise(-1)
+
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        mask = 1 << b
-        votes = F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.lit(mask).bitwiseAND(h) != 0, 1).otherwise(-1),
-        )
-        fp = fp + F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0))
+        votes = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(b))
+        fp = fp + F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return fp

@@ -1,0 +1,110 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four tiers, each a pure DataFrame composition (no Python in the hot
+path), designed around the shuffle pattern that survives 100 TB:
+
+- exact:      md5-fingerprint groupBy (one shuffle on the 32-hex key)
+- minhash+LSH: shingle -> md5 minhash signature -> band keys -> explode
+               -> self-join on band key -> exact Jaccard on candidates.
+               The band join replaces the O(n²) cross join: cost is
+               sum over buckets of |bucket|², which LSH keeps tiny.
+- simhash:    single fingerprint groupBy; Hamming-adjacent buckets
+              optional via bit-flip expansion
+- ngram Jaccard: exact verification on candidate pairs only
+
+All hashing is md5-based (portable to any SQL oracle, reproducible
+across engines) — deliberately NOT xxhash64, which is faster but
+engine-specific; swap in xxhash64 for production-only runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: one row per normalized-text fingerprint with
+    group size and the keeper (min id). Scale: single shuffle on md5."""
+    return (
+        docs.select(F.col(id_col), X.md5_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3, num_hashes: int = 16, bands: int = 4,
+                       min_tokens: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Explode band keys and self-join on the key: at 100 TB this is the
+    only viable plan — work is proportional to colliding pairs, not n².
+    Skewed buckets (boilerplate docs) are handled by AQE skew-join.
+    """
+    with_bands = (
+        docs.filter(F.size(X.words(F.col(text_col))) >= min_tokens)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(X.lsh_bands(F.col(text_col), k, num_hashes, bands)).alias("band_key"),
+        )
+    )
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, threshold: float = 0.4) -> DataFrame:
+    """Exact k-shingle Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    Set semantics (distinct shingles). Joining shingle arrays onto the
+    (small) candidate set twice; the arrays travel with the join — at
+    scale, pre-project only (id, shingles) so the shuffle is narrow.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(X.word_shingles(F.col(text_col), k)).alias("shingles"),
+    )
+    out = (
+        candidates
+        .join(shingled.withColumnRenamed("sid", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed("sid", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(F.when(union > 0, inter.cast("double") / union.cast("double")), 6)
+    return (
+        out.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            k: int = 3, num_hashes: int = 16, bands: int = 4,
+                            threshold: float = 0.4) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard."""
+    cands = minhash_candidates(docs, text_col, id_col, k, num_hashes, bands)
+    return jaccard_pairs(docs, cands, text_col, id_col, k, threshold)
+
+
+def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   bits: int = 16) -> DataFrame:
+    """SimHash-equal buckets: doc count per fingerprint. Equal
+    fingerprints are near-dup clusters; Hamming<=d retrieval would
+    expand each fingerprint by its d-bit flips before the groupBy."""
+    return (
+        docs.select(F.col(id_col), X.simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )

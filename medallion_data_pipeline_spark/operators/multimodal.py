@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for 100 TB image/audio/video pipelines: the media itself is an
+opaque ``binary`` column (or an object-store path column); decode /
+resize / frame-sample / feature-extract run as Arrow-batched
+``mapInPandas`` stages so each Python worker touches a columnar batch,
+never a row at a time. Partitioning stays on the metadata keys, so
+re-shuffles never move payload bytes more than once.
+
+The decode step itself needs media libraries (PIL/av/librosa) that are
+NOT in this container — it is stubbed behind ``decode_stub`` (a
+deterministic byte-level "decoder") with the real-library call site
+marked; the Spark-side plumbing (schema, batch iteration, UDF
+signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of featurize_binary — fixed, so downstream plans compile
+#: without running the Python stage.
+FEATURE_SCHEMA = (
+    "doc_id bigint, byte_len int, sha_hex string, feat array<double>"
+)
+
+
+def with_binary_payload(df: DataFrame, source_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Wrap a source column as an opaque binary payload + metadata —
+    the ingest shape for media tables: (id, payload, media_type,
+    byte_len)."""
+    payload = F.encode(F.col(source_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(payload).alias("byte_len"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decode of one payload.
+
+    REAL IMPLEMENTATION would be e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img.resize((224, 224))) / 255.0
+
+    — not available in this container; this stub derives a stable
+    4-dim feature from the payload's sha256 so the full pipeline
+    (schema, batching, joins downstream) is exercised end to end.
+    """
+    import hashlib
+
+    h = hashlib.sha256(payload).hexdigest()
+    feat = [ord(h[i]) / 255.0 for i in range(4)]
+    return {"sha_hex": h, "feat": feat}
+
+
+def featurize_binary(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode/featurize over the binary payload column via
+    mapInPandas (SURVEY §2.9 U2-analogue for media; the slow path done
+    right: per-batch Python, never per-row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "byte_len": pdf["byte_len"].astype("int32").values,
+                    "sha_hex": [d["sha_hex"] for d in decoded],
+                    "feat": [d["feat"] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,1 +1,311 @@
-"""Placeholder — queries added incrementally."""
+r"""Cleaning-operator queries (SURVEY §2.7 F1-F19 / §2.9 U1).
+
+The driver testdata is clean, so each query first MANUFACTURES dirty
+values deterministically from real columns (mod-keyed variants: wrapped
+currency, mixed date formats, shouting text, status codes), then cleans
+them with the engine's column-expression cleaner library. The oracle
+re-implements the reference cleaning semantics in ANSI SQL, so a
+hash-match proves behavioral parity of the cleaners themselves — the
+hardest-to-verify semantics in the reference (SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import cleaning as C
+from . import register
+from ._util import t
+
+_SENTINELS_SQL = "('NULL','N/A','NOT AVAILABLE','TBD','UNKNOWN','','NONE','NIL')"
+
+
+def _sql_sentinel_null(expr: str) -> str:
+    return (f"CASE WHEN {expr} IS NULL OR upper(trim({expr})) IN {_SENTINELS_SQL} "
+            f"THEN NULL ELSE trim({expr}) END")
+
+
+# ---------------------------------------------------------------------------
+# q20 — clean_numeric_field parity (F4): currency strip, extraction,
+# negative clamp, 4-dp rounding.
+# ---------------------------------------------------------------------------
+
+_CLEAN_NUMERIC_SQL = """
+WITH dirty AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 5
+             WHEN 0 THEN 'N/A'
+             WHEN 1 THEN '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || ' USD'
+             WHEN 2 THEN '-' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             WHEN 3 THEN 'approx ' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+           END AS raw
+    FROM orders
+), base AS (
+    SELECT o_orderkey, {snull} AS s FROM dirty
+), ext AS (
+    SELECT o_orderkey, regexp_extract(replace(s, ',', ''), '[-+]?\\d*\\.?\\d+', 0) AS m
+    FROM base
+)
+SELECT o_orderkey,
+       CASE WHEN m IS NULL OR m = '' THEN NULL
+            ELSE round(greatest(CAST(m AS DOUBLE), 0.0), 4) END AS cleaned_price
+FROM ext
+""".format(snull=_sql_sentinel_null("raw"))
+
+
+@register("clean_numeric_parity", oracle=_CLEAN_NUMERIC_SQL)
+def clean_numeric_parity(spark, sf_dir):
+    """clean_numeric_field over manufactured dirty currency strings
+    (reference silver_builder.py:94-132): sentinel->NULL, '$'/commas
+    stripped, negatives clamped to 0, rounded to 4 dp."""
+    o = t(spark, sf_dir, "orders")
+    price_str = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("N/A"))
+        .when(F.col("o_orderkey") % 5 == 1, F.concat(F.lit("$"), price_str, F.lit(" USD")))
+        .when(F.col("o_orderkey") % 5 == 2, F.concat(F.lit("-"), price_str))
+        .when(F.col("o_orderkey") % 5 == 3, F.concat(F.lit("approx "), price_str))
+        .otherwise(price_str)
+    )
+    return o.select("o_orderkey", C.clean_numeric_field(raw).alias("cleaned_price"))
+
+
+# ---------------------------------------------------------------------------
+# q21 — clean_date_field parity (F6): seven-format ordered precedence.
+# ---------------------------------------------------------------------------
+
+_CLEAN_DATE_SQL = """
+WITH dirty AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 5
+             WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             WHEN 1 THEN strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y')
+             WHEN 2 THEN strftime(CAST(o_orderdate AS DATE), '%d-%m-%Y')
+             WHEN 3 THEN strftime(CAST(o_orderdate AS DATE), '%Y/%m/%d')
+             ELSE 'TBD'
+           END AS raw
+    FROM orders
+), base AS (
+    SELECT o_orderkey, {snull} AS s FROM dirty
+)
+SELECT o_orderkey,
+       strftime(CAST(coalesce(
+           try_strptime(s, '%Y-%m-%d'),
+           try_strptime(s, '%m/%d/%Y'),
+           try_strptime(s, '%d/%m/%Y'),
+           try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+           try_strptime(s, '%m/%d/%Y %H:%M:%S'),
+           try_strptime(s, '%d-%m-%Y'),
+           try_strptime(s, '%Y/%m/%d')
+       ) AS DATE), '%Y-%m-%d') AS cleaned_date
+FROM base
+""".format(snull=_sql_sentinel_null("raw"))
+
+
+@register("clean_date_parity", oracle=_CLEAN_DATE_SQL)
+def clean_date_parity(spark, sf_dir):
+    """clean_date_field over four mixed date formats + sentinels
+    (reference silver_builder.py:153-185) — ordered precedence means
+    ambiguous mm/dd strings resolve US-style, and the round-trip is
+    still the identity on the originals."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 5
+    raw = (
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(k == 2, F.date_format("o_orderdate", "dd-MM-yyyy"))
+        .when(k == 3, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .otherwise(F.lit("TBD"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(C.clean_date_field(raw), "yyyy-MM-dd").alias("cleaned_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — clean_text_field parity (F1): whitespace collapse, mono-case
+# title-casing, edge-punctuation strip.
+# ---------------------------------------------------------------------------
+
+_INITCAP = ("array_to_string(list_transform(string_split({0}, ' '), "
+            "w -> upper(w[1:1]) || lower(w[2:])), ' ')")
+
+_CLEAN_TEXT_SQL = """
+WITH dirty AS (
+    SELECT c_custkey,
+           CASE c_custkey % 4
+             WHEN 0 THEN '  ' || upper(c_mktsegment) || '!! '
+             WHEN 1 THEN lower(c_name) || '   ' || lower(c_mktsegment)
+             WHEN 2 THEN '***' || c_name || '***'
+             ELSE 'NONE'
+           END AS raw
+    FROM customer
+), base AS (
+    SELECT c_custkey, {snull} AS s FROM dirty
+), collapsed AS (
+    SELECT c_custkey, regexp_replace(s, '\\s+', ' ', 'g') AS c FROM base
+), cased AS (
+    SELECT c_custkey,
+           CASE WHEN (c = upper(c) AND c <> lower(c)) OR (c = lower(c) AND c <> upper(c))
+                THEN {initcap}
+                ELSE c END AS x
+    FROM collapsed
+), stripped AS (
+    SELECT c_custkey,
+           trim(regexp_replace(x, '^[^\\w\\s]+|[^\\w\\s]+$', '', 'g')) AS y
+    FROM cased
+)
+SELECT c_custkey, CASE WHEN y = '' THEN NULL ELSE y END AS cleaned_text
+FROM stripped
+""".format(snull=_sql_sentinel_null("raw"), initcap=_INITCAP.format("c"))
+
+
+@register("clean_text_parity", oracle=_CLEAN_TEXT_SQL)
+def clean_text_parity(spark, sf_dir):
+    """clean_text_field over shouting/whispering/punct-wrapped strings
+    (reference silver_builder.py:36-57)."""
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 4
+    raw = (
+        F.when(k == 0, F.concat(F.lit("  "), F.upper("c_mktsegment"), F.lit("!! ")))
+        .when(k == 1, F.concat(F.lower("c_name"), F.lit("   "), F.lower("c_mktsegment")))
+        .when(k == 2, F.concat(F.lit("***"), F.col("c_name"), F.lit("***")))
+        .otherwise(F.lit("NONE"))
+    )
+    return c.select("c_custkey", C.clean_text_field(raw).alias("cleaned_text"))
+
+
+# ---------------------------------------------------------------------------
+# q23 — clean_status_field parity (F7): variant canonicalization.
+# ---------------------------------------------------------------------------
+
+_ORDERSTATUS_MAP = {
+    "open": ["o", "open", "in progress"],
+    "fulfilled": ["f", "fulfilled", "complete"],
+    "pending": ["p", "pending", "awaiting"],
+}
+
+_CLEAN_STATUS_SQL = """
+WITH dirty AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 3
+             WHEN 0 THEN upper(o_orderstatus)
+             WHEN 1 THEN ' ' || lower(o_orderstatus) || ' '
+             ELSE 'N/A'
+           END AS raw
+    FROM orders
+), canon AS (
+    SELECT o_orderkey,
+           CASE WHEN raw IS NULL OR upper(trim(raw)) IN {sent} THEN 'unknown'
+                WHEN lower(trim(raw)) IN ('o','open','in progress') THEN 'open'
+                WHEN lower(trim(raw)) IN ('f','fulfilled','complete') THEN 'fulfilled'
+                WHEN lower(trim(raw)) IN ('p','pending','awaiting') THEN 'pending'
+                ELSE lower(trim(raw)) END AS status
+    FROM dirty
+)
+SELECT status, COUNT(*) AS n FROM canon GROUP BY status
+""".format(sent=_SENTINELS_SQL)
+
+
+@register("clean_status_parity", oracle=_CLEAN_STATUS_SQL)
+def clean_status_parity(spark, sf_dir):
+    """clean_status_field variant mapping + sentinel->'unknown'
+    (reference silver_builder.py:187-202)."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 3
+    raw = (
+        F.when(k == 0, F.upper("o_orderstatus"))
+        .when(k == 1, F.concat(F.lit(" "), F.lower("o_orderstatus"), F.lit(" ")))
+        .otherwise(F.lit("N/A"))
+    )
+    return (
+        o.select(C.clean_status_field(raw, _ORDERSTATUS_MAP).alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — rejection split (P7): validate-or-reject with first-failing
+# reason, both branches produced from one pass.
+# ---------------------------------------------------------------------------
+
+_REJECTION_SQL = """
+WITH flagged AS (
+    SELECT *,
+           CASE WHEN l_quantity <= 2 THEN 'low_quantity'
+                WHEN l_discount > 0.09 THEN 'excessive_discount'
+                WHEN l_tax > 0.07 THEN 'excessive_tax'
+           END AS reject_reason
+    FROM lineitem
+)
+SELECT COALESCE(reject_reason, 'VALID') AS disposition,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM flagged
+GROUP BY 1
+"""
+
+
+@register("rejection_split", oracle=_REJECTION_SQL)
+def rejection_split(spark, sf_dir):
+    """Validate-or-reject split with ordered reject reasons (reference
+    silver rejection P7, silver_builder.py:566-576). One scan produces
+    both branches; at scale this is a single pass + two filtered
+    writes, not two scans."""
+    li = t(spark, sf_dir, "lineitem")
+    reason = (
+        F.when(F.col("l_quantity") <= 2, "low_quantity")
+        .when(F.col("l_discount") > 0.09, "excessive_discount")
+        .when(F.col("l_tax") > 0.07, "excessive_tax")
+    )
+    return (
+        li.withColumn("disposition", F.coalesce(reason, F.lit("VALID")))
+        .groupBy("disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — per-row quality_score then grouped average (F19).
+# ---------------------------------------------------------------------------
+
+_QUALITY_SCORE_SQL = """
+WITH scored AS (
+    SELECT l_returnflag,
+           round((3 - (CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END
+                     + CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END
+                     + CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END)) / 3.0 * 100.0, 2) AS q
+    FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(7,2))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
+FROM scored GROUP BY l_returnflag
+"""
+
+
+@register("quality_scores", oracle=_QUALITY_SCORE_SQL)
+def quality_scores(spark, sf_dir):
+    """Row quality_score = (fields - issues)/fields*100 (reference
+    silver_builder.py:518-523), averaged per group via exact decimal
+    sums."""
+    li = t(spark, sf_dir, "lineitem")
+    score = C.quality_score(
+        [F.col("l_quantity") <= 2, F.col("l_discount") > 0.09, F.col("l_tax") > 0.07],
+        total_fields=3,
+    )
+    return (
+        li.withColumn("q", score)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("q").cast("decimal(7,2)")).cast("double") / F.count(F.lit(1)), 4)
+            .alias("avg_quality"),
+        )
+    )

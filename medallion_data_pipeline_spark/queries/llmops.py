@@ -1,1 +1,333 @@
-"""Placeholder — queries added incrementally."""
+"""LLM-training-data pipeline queries over ``documents`` and
+``embeddings`` (BASELINE.json north star: dedup, similarity search,
+text analysis, multimodal plumbing as first-class engine operators).
+
+Oracle strategy: every hash is md5 (portable hex), shingles/minhash/
+LSH-band arithmetic is re-generated as DuckDB list expressions by the
+same Python constants, and embedding math casts float->double before
+any product. So even the fuzzy-dedup pipelines hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from . import register
+from ._util import t
+
+# SQL fragments mirroring functions/text.py (same constants!)
+_SQL_NORM = "trim(regexp_replace(lower({0}), '\\s+', ' ', 'g'))"
+_SQL_WORDS = "list_filter(string_split(" + _SQL_NORM + ", ' '), w -> w <> '')"
+
+
+def _sql_shingles(col: str, k: int = 3) -> str:
+    """k-word shingles as a DuckDB list expression (dual of
+    text.word_shingles)."""
+    toks = _SQL_WORDS.format(col)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
+    )
+
+
+def _sql_minhash_sig(shingles_expr: str, num_hashes: int) -> list[str]:
+    return [
+        f"list_min(list_transform({shingles_expr}, s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    ]
+
+
+def _sql_band_keys(sig_cols: list[str], bands: int) -> list[str]:
+    rows = len(sig_cols) // bands
+    keys = []
+    for b in range(bands):
+        band = sig_cols[b * rows:(b + 1) * rows]
+        joined = " || ',' || ".join(band)
+        keys.append(f"md5('{b}' || '|' || {joined})")
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# q30 — exact dedup (hash-groupBy).
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT md5({norm}) AS fingerprint,
+       COUNT(*)    AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+""".format(norm=_SQL_NORM.format("text"))
+
+
+@register("dedup_exact", oracle=_EXACT_DEDUP_SQL)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups by md5 of normalized text — one shuffle on the
+    fingerprint (operators/dedup.py)."""
+    return D.exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q31 — MinHash + LSH near-dup pairs with exact Jaccard verification.
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle(k: int = 3, num_hashes: int = 16, bands: int = 4,
+                    min_tokens: int = 3, threshold: float = 0.4) -> str:
+    sig = _sql_minhash_sig("shingles", num_hashes)
+    band_keys = _sql_band_keys(sig, bands)
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {_sql_shingles("text", k)} AS shingles
+    FROM documents
+    WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
+), banded AS (
+    SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key
+    FROM sh
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), dsets AS (
+    SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+), scored AS (
+    SELECT id_a, id_b,
+           len(list_filter(da.ds, x -> list_contains(db.ds, x))) AS inter,
+           len(da.ds) + len(db.ds)
+             - len(list_filter(da.ds, x -> list_contains(db.ds, x))) AS uni
+    FROM cand
+    JOIN dsets da ON cand.id_a = da.doc_id
+    JOIN dsets db ON cand.id_b = db.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni END, 6) AS jaccard
+FROM scored
+WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni END >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands) candidate pairs verified with exact
+    3-shingle Jaccard >= 0.4 (operators/dedup.py). The band-key
+    self-join replaces the O(n²) cross join — the 100 TB fuzzy-dedup
+    plan."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(docs, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# q32 — SimHash fingerprint buckets.
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 16) -> str:
+    toks = _SQL_WORDS.format("text")
+    bit_terms = []
+    for b in range(bits):
+        votes = (
+            f"list_sum(list_transform({toks}, "
+            f"tok -> CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {votes} > 0 THEN {1 << b} ELSE 0 END")
+    fp = " + ".join(bit_terms)
+    return f"""
+WITH fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM documents)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM fps GROUP BY simhash
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash buckets (ascii-parity bit source, portable md5)
+    — equal fingerprints cluster near-dups (operators/dedup.py)."""
+    return D.simhash_groups(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q33 — brute-force cosine top-k (exact ANN baseline).
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+    SELECT vec_id AS neighbor_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+), scored AS (
+    SELECT query_id, neighbor_id,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos_raw
+    FROM q, c
+    WHERE query_id <> neighbor_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_cosine_bruteforce", oracle=_KNN_SQL)
+def knn_cosine_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for the query subset (vec_id%50=0)
+    via broadcast cross join + codegen'd array math
+    (operators/similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_bruteforce(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q34 — LSH-bucketed ANN (the scale path; rows-only check: bucket
+# membership is engine-reproducible but the oracle SQL for 8
+# md5-derived hyperplanes × 64 dims is disproportionate).
+# ---------------------------------------------------------------------------
+
+@register("knn_cosine_lsh", oracle=None)
+def knn_cosine_lsh(spark, sf_dir):
+    """Approximate top-5 cosine neighbors within sign-LSH buckets
+    (operators/similarity.py::knn_lsh) — candidate pruning via
+    deterministic random-hyperplane buckets; the equi-join plan that
+    replaces the cross join at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_lsh(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q35 — embedding stats per label (array aggregation).
+# ---------------------------------------------------------------------------
+
+_EMB_STATS_SQL = """
+WITH norms AS (
+    SELECT label,
+           ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm,
+           CAST(embedding[1] AS DOUBLE) AS first_dim
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+       ROUND(CAST(SUM(CAST(first_dim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_first_dim
+FROM norms GROUP BY label
+"""
+
+
+@register("embedding_stats", oracle=_EMB_STATS_SQL)
+def embedding_stats(spark, sf_dir):
+    """Per-label vector statistics: norms via higher-order array math,
+    averaged through exact decimal sums (round-then-sum so the
+    irrational norms stay order-independent)."""
+    emb = t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.round(F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)), 6)
+    first_dim = F.element_at("embedding", 1).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        emb.select("label", nrm.alias("nrm"), first_dim.alias("first_dim"))
+        .groupBy("label")
+        .agg(
+            n.alias("n_vectors"),
+            F.round(F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / n, 6).alias("avg_norm"),
+            F.round(F.sum(F.col("first_dim").cast("decimal(18,6)")).cast("double") / n, 6).alias("avg_first_dim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — text analysis: token counts / quality / language-ID.
+# ---------------------------------------------------------------------------
+
+def _sql_lang_case(toks: str = "toks") -> str:
+    hits = {
+        lang: f"len(list_filter({toks}, t -> list_contains({markers!r}, t)))"
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    conds = []
+    langs = list(X.LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        others = [hits[o] for o in langs if o != lang]
+        geq = " AND ".join(f"{hits[lang]} >= {o}" for o in others)
+        conds.append(f"WHEN {hits[lang]} > 0 AND {geq} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+_TEXT_ANALYSIS_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           {_SQL_WORDS.format("text")} AS toks,
+           {_SQL_NORM.format("text")} AS s
+    FROM documents
+), feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(regexp_replace(regexp_replace(s, '\\w+|[^\\w\\s]', '#', 'g'), '[^#]', '', 'g')) AS n_tokens_bpe,
+           CASE WHEN length(regexp_replace(s, '\\s', '', 'g')) > 0
+                THEN CAST(length(regexp_replace(s, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                     / length(regexp_replace(s, '\\s', '', 'g')) END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> list_contains({X.EN_STOPWORDS!r}, t))) AS DOUBLE)
+                     / len(toks) END AS stop_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                END AS mwl,
+           {_sql_lang_case()} AS lang
+    FROM base
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, lang,
+       ROUND(greatest(1.0
+         - CASE WHEN n_tokens < 20 THEN 0.3 ELSE 0.0 END
+         - CASE WHEN coalesce(punct_ratio, 1.0) > 0.2 THEN 0.3 ELSE 0.0 END
+         - CASE WHEN coalesce(stop_ratio, 0.0) < 0.05 THEN 0.2 ELSE 0.0 END
+         - CASE WHEN coalesce(mwl, 0.0) < 2.0 OR coalesce(mwl, 0.0) > 12.0 THEN 0.2 ELSE 0.0 END,
+         0.0), 2) AS quality
+FROM feats
+"""
+
+
+@register("text_analysis", oracle=_TEXT_ANALYSIS_SQL)
+def text_analysis(spark, sf_dir):
+    """Per-document token counts (whitespace + BPE-ish), C4/Gopher-style
+    quality score, and function-word language-ID — all codegen'd column
+    expressions (functions/text.py), no Python in the scan."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_ws(F.col("text")).alias("n_tokens"),
+        X.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        X.detect_lang(F.col("text")).alias("lang"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — multimodal plumbing: binary payload -> mapInPandas featurize.
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS sha_hex,
+       list_transform(range(1, 5), i -> CAST(ascii(substr(sha256(text), i, 1)) AS DOUBLE) / 255.0) AS feat
+FROM documents
+"""
+
+
+@register("multimodal_features", oracle=_MULTIMODAL_SQL)
+def multimodal_features(spark, sf_dir):
+    """Binary media plumbing: text -> binary payload -> Arrow-batched
+    mapInPandas decode/featurize (operators/multimodal.py). The decode
+    is a deterministic stub (media libs absent here); the schema,
+    batching, and UDF signature are the real 100 TB pattern."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.with_binary_payload(docs, "text")
+    return M.featurize_binary(media)

@@ -1,0 +1,81 @@
+"""Operator-level tests on constructed micro-data with KNOWN duplicates
+and neighbors — the sf testdata may contain no true near-dups, so these
+pin the semantics directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.operators import dedup as D
+from medallion_data_pipeline_spark.operators import multimodal as M
+from medallion_data_pipeline_spark.operators import similarity as S
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  Quick Brown Fox jumps over the lazy dog"),   # exact dup after normalize
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup (1 word)
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "tiny"),                                           # below min_tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = D.exact_duplicates(_docs(spark)).collect()
+    groups = {r.fingerprint: (r.n_docs, r.keep_id) for r in out}
+    assert len(groups) == 4  # docs 1+2 collapse
+    assert (2, 1) in groups.values()
+
+
+def test_minhash_near_duplicates(spark):
+    pairs = D.minhash_near_duplicates(_docs(spark), threshold=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got          # identical after normalization: jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # one-word-off near dup
+    assert all(p[0] != 4 and p[1] != 4 for p in got)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_simhash_groups_near_dups_collide_or_close(spark):
+    out = {r.keep_id: r for r in D.simhash_groups(_docs(spark)).collect()}
+    # exact dups 1,2 share a fingerprint group
+    groups = D.simhash_groups(_docs(spark)).filter(F.col("n_docs") >= 2).collect()
+    assert any(g.n_docs == 2 for g in groups)
+    assert out  # non-empty
+
+
+def test_knn_bruteforce_identical_vector_is_top1(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),    # identical to 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal
+        (3, [0.9, 0.1, 0.0]),    # close
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.knn_bruteforce(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 3]
+    assert out[0].cosine == 1.0
+
+
+def test_knn_lsh_finds_identical(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.knn_lsh(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert any(r.neighbor_id == 100 and r.cosine == 1.0 for r in out)
+
+
+def test_multimodal_featurize_schema_and_determinism(spark):
+    media = M.with_binary_payload(_docs(spark), "text")
+    assert media.columns == ["doc_id", "payload", "media_type", "byte_len"]
+    out = M.featurize_binary(media).collect()
+    assert len(out) == 5
+    r = {x.doc_id: x for x in out}
+    assert r[1].byte_len == len("the quick brown fox jumps over the lazy dog")
+    assert len(r[1].sha_hex) == 64 and len(r[1].feat) == 4
+    # deterministic: same payload -> same features
+    again = {x.doc_id: x for x in M.featurize_binary(media).collect()}
+    assert again[4].sha_hex == r[4].sha_hex
