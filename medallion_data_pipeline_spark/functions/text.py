@@ -104,6 +104,60 @@ def quality_score(col: Column) -> Column:
     return F.round(F.greatest(score, F.lit(0.0)), 2)
 
 
+def with_text_features(df, text_col: str = "text"):
+    """Staged text-feature pipeline: adds n_tokens, n_tokens_bpe, lang,
+    quality columns with normalization/tokenization computed ONCE per
+    row (named-column staging; see word_shingles PERF note)."""
+    s = F.col("_txt_norm")
+    toks = F.col("_txt_toks")
+    df = df.withColumn("_txt_norm", normalize_text(F.col(text_col)))
+    df = df.withColumn("_txt_toks", F.filter(F.split(s, " "), lambda x: x != ""))
+
+    only_tokens = F.regexp_replace(s, r"\w+|[^\w\s]", "#")
+    non_space = F.length(F.regexp_replace(s, r"\s", ""))
+    punct = F.length(F.regexp_replace(s, r"[\w\s]", ""))
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    total_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+
+    df = df.withColumn("n_tokens", F.size(toks))
+    df = df.withColumn("n_tokens_bpe", F.length(F.regexp_replace(only_tokens, r"[^#]", "")))
+    df = df.withColumn("_punct_ratio", F.when(non_space > 0, punct.cast("double") / non_space))
+    df = df.withColumn("_stop_ratio", F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)))
+    df = df.withColumn("_mwl", F.when(F.size(toks) > 0, total_len.cast("double") / F.size(toks)))
+    df = df.withColumn("lang", detect_lang_from_tokens(toks))
+
+    pr = F.coalesce(F.col("_punct_ratio"), F.lit(1.0))
+    sr = F.coalesce(F.col("_stop_ratio"), F.lit(0.0))
+    mwl = F.coalesce(F.col("_mwl"), F.lit(0.0))
+    score = (
+        F.lit(1.0)
+        - F.when(F.col("n_tokens") < 20, 0.3).otherwise(0.0)
+        - F.when(pr > 0.2, 0.3).otherwise(0.0)
+        - F.when(sr < 0.05, 0.2).otherwise(0.0)
+        - F.when((mwl < 2.0) | (mwl > 12.0), 0.2).otherwise(0.0)
+    )
+    df = df.withColumn("quality", F.round(F.greatest(score, F.lit(0.0)), 2))
+    return df.drop("_txt_norm", "_txt_toks", "_punct_ratio", "_stop_ratio", "_mwl")
+
+
+def detect_lang_from_tokens(toks: Column) -> Column:
+    """Language heuristic over a MATERIALIZED token-array column."""
+    def marker_filter(markers: list[str]):
+        # closure factory — a default-arg lambda changes the HOF arity and
+        # pyspark would bind the second param to the element index
+        return lambda t: t.isin(markers)
+
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse so earlier languages win ties via strict '>'
+    for lang in reversed(list(LANG_MARKERS)):
+        hits = F.size(F.filter(toks, marker_filter(LANG_MARKERS[lang])))
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
 def detect_lang(col: Column) -> Column:
     """Function-word language heuristic: the language whose marker set
     has the most token hits wins (ties broken by fixed language order);
@@ -132,14 +186,13 @@ def md5_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles of the normalized text -> array<string>.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token array column.
 
-    Built with sequence+transform over the token array — pure Spark SQL
-    expressions, executes in codegen (no UDF), and is expressible
-    verbatim in the DuckDB oracle via list comprehensions.
+    Callers should stage ``words(text)`` as a named column first (see
+    perf note below) — passing a raw expression here duplicates the
+    tokenization subtree three times.
     """
-    toks = words(col)
     n = F.size(toks)
     # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # docs shorter than k shingles must produce an empty array explicitly
@@ -149,8 +202,24 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
 
 
-def minhash_signature(col: Column, k: int = 3, num_hashes: int = 16) -> Column:
-    """MinHash signature as array<string> of length ``num_hashes``.
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text -> array<string>.
+
+    Pure Spark SQL expressions (no UDF), expressible verbatim in the
+    DuckDB oracle via list comprehensions.
+
+    PERF: evaluating deep higher-order-function chains costs ~ms/row
+    when the shared subtrees are duplicated inline. For bulk paths use
+    the staged pipeline (operators/dedup.py): materialize ``words`` ->
+    ``shingles`` -> signature as separate named columns, which keeps
+    each subtree evaluated once per row.
+    """
+    return shingles_from_tokens(words(col), k)
+
+
+def minhash_sig_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<string>, length ``num_hashes``) from a
+    MATERIALIZED shingle-array column.
 
     Each hash family h_i(s) = md5(i || ':' || s); the signature element
     is the lexicographic MIN of the hex digests over all shingles.
@@ -158,27 +227,39 @@ def minhash_signature(col: Column, k: int = 3, num_hashes: int = 16) -> Column:
     order == byte order) and is reproducible in any engine with md5.
     Empty docs -> array of NULLs.
     """
-    sh = word_shingles(col, k)
+    def hash_family(prefix: str):
+        # closure factory — a default-arg lambda would be treated as the
+        # two-arg (element, index) HOF form and bind prefix to the index
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     sig = []
     for i in range(num_hashes):
-        hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        sig.append(F.array_min(hashed))
+        sig.append(F.array_min(F.transform(shingles, hash_family(f"{i}:"))))
     return F.array(*sig)
 
 
-def lsh_bands(col: Column, k: int = 3, num_hashes: int = 16, bands: int = 4) -> Column:
-    """LSH band keys: split the minhash signature into ``bands`` rows of
-    ``num_hashes/bands`` values; each band key is md5 of the joined
-    band. Documents sharing ANY band key are near-dup candidates.
-    Returns array<string> of length ``bands``.
-    """
+def band_keys_from_sig(sig: Column, num_hashes: int = 16, bands: int = 4) -> Column:
+    """LSH band keys from a MATERIALIZED signature column: split into
+    ``bands`` rows of ``num_hashes/bands`` values; each key is md5 of
+    the joined band. Documents sharing ANY band key are near-dup
+    candidates. Returns array<string> of length ``bands``."""
     rows = num_hashes // bands
-    sig = minhash_signature(col, k, num_hashes)
     keys = []
     for b in range(bands):
         band = F.slice(sig, b * rows + 1, rows)
         keys.append(F.md5(F.concat_ws("|", F.lit(str(b)), F.concat_ws(",", band))))
     return F.array(*keys)
+
+
+def minhash_signature(col: Column, k: int = 3, num_hashes: int = 16) -> Column:
+    """Convenience single-expression form; for bulk paths stage
+    words/shingles as columns first (see word_shingles PERF note)."""
+    return minhash_sig_from_shingles(word_shingles(col, k), num_hashes)
+
+
+def lsh_bands(col: Column, k: int = 3, num_hashes: int = 16, bands: int = 4) -> Column:
+    """Convenience single-expression form of the band keys."""
+    return band_keys_from_sig(minhash_signature(col, k, num_hashes), num_hashes, bands)
 
 
 def simhash(col: Column, bits: int = 16) -> Column:
@@ -192,16 +273,22 @@ def simhash(col: Column, bits: int = 16) -> Column:
     bit iff the sum is positive. Near-duplicate docs land at small
     Hamming distance; equal fingerprints bucket near-dups directly.
     """
-    toks = words(col)
+    return simhash_from_hashes(F.transform(words(col), F.md5), bits)
+
+
+def simhash_from_hashes(hashed_toks: Column, bits: int = 16) -> Column:
+    """SimHash from a MATERIALIZED array of md5(token) hex strings —
+    stage ``transform(words(text), md5)`` as a column first so each
+    token is hashed once, not once per bit."""
 
     def vote_fn(bit: int):
         # closure factory: a default-arg lambda would change the lambda arity
-        return lambda acc, tok: acc + F.when(
-            F.ascii(F.substring(F.md5(tok), bit + 1, 1)) % 2 == 1, 1
+        return lambda acc, h: acc + F.when(
+            F.ascii(F.substring(h, bit + 1, 1)) % 2 == 1, 1
         ).otherwise(-1)
 
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        votes = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(b))
+        votes = F.aggregate(hashed_toks, F.lit(0).cast("long"), vote_fn(b))
         fp = fp + F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return fp

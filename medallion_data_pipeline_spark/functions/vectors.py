@@ -40,26 +40,31 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
-def sign_lsh_key(a: Column, n_planes: int = 8, seed: int = 7) -> Column:
+def _plane_component(seed: int, p: int, j: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): derived
+    from md5(seed:p:j) so the planes are reproducible across runs,
+    engines, and languages (same derivation usable in a SQL oracle)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()
+    return int(h[:8], 16) / float(2**31) - 1.0
+
+
+def sign_lsh_key(a: Column, n_planes: int = 8, seed: int = 7, dim: int = 64) -> Column:
     """Random-hyperplane (sign) LSH bucket key for cosine similarity.
 
-    Deterministic pseudo-planes: plane p's component j is derived from
-    md5(seed:p:j) -> uniform in [-1, 1). The key is the n_planes-bit
-    sign pattern of the projections. Same-bucket vectors are cosine
-    neighbors with high probability; used to prune the ANN cross-join.
+    The key is the n_planes-bit sign pattern of projections onto
+    deterministic md5-derived hyperplanes. Same-bucket vectors are
+    cosine neighbors with high probability; used to prune the ANN
+    cross-join. Planes are materialized driver-side as array literals
+    (they are per-(plane, dim) CONSTANTS — deriving them inside the row
+    expression would recompute n_planes x dim md5s per row).
     """
     key = F.lit(0).cast("long")
     for p in range(n_planes):
-        # deterministic plane: component j = (md5(seed:p:j)[:8] as int) scaled
+        plane = F.array(*[F.lit(_plane_component(seed, p, j)) for j in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                a,
-                F.sequence(F.lit(0), F.size(a) - 1),
-                lambda x, j: x * (
-                    F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.lit(p), j)), 1, 8), 16, 10)
-                    .cast("double") / F.lit(float(2 ** 31)) - F.lit(1.0)
-                ),
-            ),
+            F.zip_with(a, plane, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

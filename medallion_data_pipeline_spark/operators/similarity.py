@@ -58,7 +58,7 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            n_planes: int = 8, seed: int = 7) -> DataFrame:
+            n_planes: int = 8, seed: int = 7, dim: int = 64) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH
     bucket, then exact cosine within it. At scale the bucket join is an
     equi-join (shuffle on bucket key) instead of a cross join; recall
@@ -67,12 +67,12 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-        V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed).alias("bucket"),
+        V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-        V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed).alias("bucket"),
+        V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed, dim).alias("bucket"),
     )
     scored = (
         q.join(c, "bucket")

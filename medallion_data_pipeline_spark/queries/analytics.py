@@ -48,7 +48,7 @@ WINDOW w AS (PARTITION BY region ORDER BY ds)
 """.format(rev=sql_dsum("o.o_totalprice"))
 
 
-@register("lag_rolling_features", oracle=_LAG_ROLLING_SQL)
+@register("lag_rolling_features", oracle=_LAG_ROLLING_SQL, bench=True)
 def lag_rolling_features(spark, sf_dir):
     """Per-entity lag_1 / lag_7 / 7-row rolling mean over a daily revenue
     series (SURVEY W1/W2). Rolling mean via exact decimal window-sum /

@@ -140,7 +140,7 @@ GROUP BY user_id, session_seq
 """
 
 
-@register("sessionize_events", oracle=_SESSION_SQL)
+@register("sessionize_events", oracle=_SESSION_SQL, bench=True)
 def sessionize_events(spark, sf_dir):
     """Sessionization: lag(ts) gap > 30 min starts a new session;
     per-session event counts and duration. Batch dual of the

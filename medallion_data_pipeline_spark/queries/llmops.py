@@ -109,7 +109,7 @@ WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni END >= {threshold}
 """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), bench=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16)+LSH(4 bands) candidate pairs verified with exact
     3-shingle Jaccard >= 0.4 (operators/dedup.py). The band-key
@@ -176,7 +176,7 @@ FROM ranked WHERE rank <= 5
 """
 
 
-@register("knn_cosine_bruteforce", oracle=_KNN_SQL)
+@register("knn_cosine_bruteforce", oracle=_KNN_SQL, bench=True)
 def knn_cosine_bruteforce(spark, sf_dir):
     """Exact top-5 cosine neighbors for the query subset (vec_id%50=0)
     via broadcast cross join + codegen'd array math
@@ -294,18 +294,14 @@ FROM feats
 """
 
 
-@register("text_analysis", oracle=_TEXT_ANALYSIS_SQL)
+@register("text_analysis", oracle=_TEXT_ANALYSIS_SQL, bench=True)
 def text_analysis(spark, sf_dir):
     """Per-document token counts (whitespace + BPE-ish), C4/Gopher-style
     quality score, and function-word language-ID — all codegen'd column
     expressions (functions/text.py), no Python in the scan."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.token_count_ws(F.col("text")).alias("n_tokens"),
-        X.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
-        X.detect_lang(F.col("text")).alias("lang"),
-        X.quality_score(F.col("text")).alias("quality"),
+    return X.with_text_features(docs, "text").select(
+        "doc_id", "n_tokens", "n_tokens_bpe", "lang", "quality"
     )
 
 

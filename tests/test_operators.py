@@ -64,7 +64,7 @@ def test_knn_lsh_finds_identical(spark):
     rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
     rows.append((100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # dup of vec 0
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = S.knn_lsh(emb, emb.filter("vec_id = 0"), k=3).collect()
+    out = S.knn_lsh(emb, emb.filter("vec_id = 0"), k=3, dim=8).collect()
     assert any(r.neighbor_id == 100 and r.cosine == 1.0 for r in out)
 
 
