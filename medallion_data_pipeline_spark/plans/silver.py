@@ -1,0 +1,228 @@
+"""Silver layer: clean, validate, reject, audit.
+
+The reference's SilverBuilder (silver/silver_builder.py:286-1166)
+iterates every row in Python, round-tripping the Postgres socket per
+row. Here each table is ONE declarative DataFrame plan: cleaning
+expressions (functions/cleaning.py) -> validity predicate -> two
+branches (valid -> silver table, invalid -> audit.rejected_rows with
+first-failing reason + JSON payload) -> per-table audit rows. Catalyst
+executes a single scan per table; the rejection split is a shared scan
+with two filtered sinks, not two passes.
+
+Run-id threading follows the reference (`silver_{ts}`,
+silver_builder.py:293); audit tables mirror
+audit.rejected_rows/dq_results/etl_log (silver_builder.py:456-516).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cleaning as C
+from .bronze import read_bronze
+
+SILVER_TABLES = ("suppliers", "products", "warehouses", "retail_stores",
+                 "inventory", "supply_orders")
+
+
+@dataclass
+class TableResult:
+    name: str
+    rows_in: int
+    rows_out: int
+    rows_rejected: int
+
+
+def _split_and_write(raw: DataFrame, cleaned: DataFrame, reject_reason, name: str,
+                     warehouse: str, run_id: str) -> TableResult:
+    """Write valid rows to silver/<name> and rejected raws (JSON payload
+    + reason, reference silver_builder.py:464-469) to audit."""
+    flagged = cleaned.withColumn("_reject_reason", reject_reason)
+    valid = flagged.filter(F.col("_reject_reason").isNull()).drop("_reject_reason")
+    valid.write.mode("overwrite").parquet(os.path.join(warehouse, "silver", name))
+
+    rejected = (
+        flagged.filter(F.col("_reject_reason").isNotNull())
+        .select(
+            F.lit(name).alias("table_name"),
+            F.col("_reject_reason").alias("reason"),
+            F.to_json(F.struct(*raw.columns)).alias("payload"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    rejected.write.mode("append").parquet(os.path.join(warehouse, "audit", "rejected_rows"))
+
+    rows_in = raw.count()
+    rows_out = valid.count()
+    return TableResult(name, rows_in, rows_out, rows_in - rows_out)
+
+
+def clean_suppliers(df: DataFrame) -> tuple[DataFrame, object]:
+    name = C.clean_text_field("supplier_name")
+    cleaned = df.select(
+        "*",
+        name.alias("supplier_name_clean"),
+        C.clean_email("contact_email").alias("contact_email_clean"),
+        C.clean_phone("phone_number").alias("phone_number_clean"),
+        C.quality_score(
+            [name.isNull() | (name != F.col("supplier_name")),
+             C.clean_email("contact_email").isNull(),
+             C.clean_phone("phone_number").isNull()], 3).alias("quality_score"),
+    )
+    # reject: missing essentials (reference silver_builder.py:566-576)
+    reason = F.when(F.col("supplier_name_clean").isNull(), "missing_supplier_name")
+    return cleaned, reason
+
+
+def clean_products(df: DataFrame) -> tuple[DataFrame, object]:
+    staged = C.with_parsed_category(df, "product_category", "main_category", "sub_category")
+    name = C.clean_text_field("product_name")
+    cost = C.clean_numeric_field("unit_cost")
+    price = C.clean_numeric_field("selling_price")
+    cleaned = staged.select(
+        "*",
+        name.alias("product_name_clean"),
+        cost.alias("unit_cost_clean"),
+        price.alias("selling_price_clean"),
+        C.clean_status_field("status", C.PRODUCT_STATUS_MAP).alias("status_clean"),
+        # price_margin: 0 when cost <= 0 (reference silver_builder.py:688)
+        F.when(cost > 0, F.round(price - cost, 4)).otherwise(F.lit(0.0)).alias("price_margin"),
+        C.quality_score([name != F.col("product_name"), cost.isNull(), price.isNull()], 3)
+        .alias("quality_score"),
+    )
+    reason = (
+        F.when(F.col("product_name_clean").isNull(), "missing_product_name")
+        .when(F.col("unit_cost_clean").isNull(), "invalid_unit_cost")
+        .when(F.col("selling_price_clean").isNull(), "invalid_selling_price")
+    )
+    return cleaned, reason
+
+
+def clean_warehouses(df: DataFrame) -> tuple[DataFrame, object]:
+    cleaned = df.select(
+        "*",
+        C.clean_text_field("warehouse_name").alias("warehouse_name_clean"),
+        C.clean_text_field("city").alias("city_clean"),
+        C.clean_text_field("region").alias("region_clean"),
+        C.clean_integer_field("storage_capacity").alias("storage_capacity_clean"),
+    )
+    reason = F.when(F.col("warehouse_name_clean").isNull(), "missing_warehouse_name")
+    return cleaned, reason
+
+
+def clean_retail_stores(df: DataFrame) -> tuple[DataFrame, object]:
+    cleaned = df.select(
+        "*",
+        C.clean_text_field("store_name").alias("store_name_clean"),
+        C.clean_text_field("city").alias("city_clean"),
+        C.clean_text_field("region").alias("region_clean"),
+        C.clean_text_field("store_type").alias("store_type_clean"),
+        C.clean_status_field("store_status", C.STORE_STATUS_MAP).alias("store_status_clean"),
+    )
+    reason = F.when(F.col("store_name_clean").isNull(), "missing_store_name")
+    return cleaned, reason
+
+
+def clean_inventory(df: DataFrame) -> tuple[DataFrame, object]:
+    cleaned = df.select(
+        "*",
+        C.clean_date_field("last_stocked_date").alias("last_stocked_date_clean"),
+    )
+    # negative quantity -> reject (reference silver_builder.py:1052-1063;
+    # bronze kept the sign, FIXTURES.md §4)
+    reason = F.when(F.col("quantity_on_hand") < 0, "negative_quantity")
+    return cleaned, reason
+
+
+def clean_supply_orders(df: DataFrame) -> tuple[DataFrame, object]:
+    qty = C.clean_integer_field("quantity")
+    price = C.clean_numeric_field("price")
+    invoice = C.clean_numeric_field("total_invoice")
+    od = C.clean_date_field("order_date")
+    sd = C.clean_date_field("shipped_date")
+    dd = C.clean_date_field("delivered_date")
+    cleaned = df.select(
+        "supply_order_id",
+        C.clean_integer_field("product_id").alias("product_id"),
+        C.clean_integer_field("warehouse_id").alias("warehouse_id"),
+        C.clean_integer_field("retail_store_id").alias("retail_store_id"),
+        qty.alias("quantity"),
+        price.alias("price"),
+        invoice.alias("total_invoice"),
+        od.alias("order_date"),
+        sd.alias("shipped_date"),
+        dd.alias("delivered_date"),
+        C.clean_status_field("status", C.ORDER_STATUS_MAP).alias("status"),
+        # validation flags (reference silver_builder.py:969-981, 402-403)
+        (F.abs(invoice - qty * price) <= 0.01).alias("is_calculation_correct"),
+        (sd.isNull() | od.isNull() | (sd >= od)).alias("date_logic_valid"),
+        C.quality_score(
+            [qty.isNull(), price.isNull(), od.isNull(),
+             ~(F.abs(invoice - qty * price) <= 0.01)], 4).alias("quality_score"),
+    )
+    reason = (
+        F.when(F.col("quantity").isNull(), "invalid_quantity")
+        .when(F.col("price").isNull(), "invalid_price")
+        .when(F.col("order_date").isNull(), "invalid_order_date")
+    )
+    return cleaned, reason
+
+
+_CLEANERS = {
+    "suppliers": clean_suppliers,
+    "products": clean_products,
+    "warehouses": clean_warehouses,
+    "retail_stores": clean_retail_stores,
+    "inventory": clean_inventory,
+    "supply_orders": clean_supply_orders,
+}
+
+
+def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -> list[TableResult]:
+    """Clean all six tables in the reference's dependency order
+    (silver_builder.py:1117-1124), emitting audit rows per table."""
+    run_id = run_id or f"silver_{int(time.time())}"
+    results = []
+    order = ["suppliers", "warehouses", "retail_stores", "products", "inventory", "supply_orders"]
+    for name in order:
+        raw = read_bronze(spark, warehouse, name)
+        cleaned, reason = _CLEANERS[name](raw)
+        res = _split_and_write(raw, cleaned, reason, name, warehouse, run_id)
+        results.append(res)
+        _log_etl_step(spark, warehouse, res, run_id)
+        _log_dq_checks(spark, warehouse, name, cleaned, run_id)
+    return results
+
+
+def _log_etl_step(spark: SparkSession, warehouse: str, res: TableResult, run_id: str) -> None:
+    """audit.etl_log (reference silver_builder.py:497-516)."""
+    row = [(res.name, res.rows_in, res.rows_out, res.rows_rejected, run_id)]
+    df = spark.createDataFrame(
+        row, "table_name string, rows_in long, rows_out long, rows_rejected long, run_id string"
+    ).withColumn("logged_at", F.current_timestamp())
+    df.write.mode("append").parquet(os.path.join(warehouse, "audit", "etl_log"))
+
+
+def _log_dq_checks(spark: SparkSession, warehouse: str, name: str,
+                   cleaned: DataFrame, run_id: str) -> None:
+    """audit.dq_results: completeness-style checks per table (reference
+    silver_builder.py:477-495)."""
+    checks = []
+    for col in cleaned.columns:
+        if col.endswith("_clean") or col == "quality_score":
+            bad = cleaned.filter(F.col(col).isNull()).count()
+            checks.append((name, f"{col}_not_null", bad == 0, bad, run_id))
+    if checks:
+        df = spark.createDataFrame(
+            checks, "table_name string, check_name string, passed boolean, bad_rows long, run_id string"
+        ).withColumn("checked_at", F.current_timestamp())
+        df.write.mode("append").parquet(os.path.join(warehouse, "audit", "dq_results"))
+
+
+def read_silver(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(warehouse, "silver", name))

@@ -1,0 +1,83 @@
+"""End-to-end medallion pipeline test on the dirty fixture data:
+bronze -> silver (clean/reject/audit) -> gold marts -> the reference's
+12 DQ checks (SURVEY §5) + cross-layer reconciliation."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.plans import bronze, fixtures, gold, quality, silver
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    bronze.write_bronze(fixtures.generate_bronze(spark, n_orders=2000), wh)
+    silver.run_silver(spark, wh, run_id="silver_test")
+    gold.run_gold(spark, wh)
+    yield wh
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_silver_rejects_are_audited(spark, warehouse):
+    rejected = spark.read.parquet(f"{warehouse}/audit/rejected_rows")
+    assert rejected.count() > 0
+    reasons = {r.reason for r in rejected.select("reason").distinct().collect()}
+    assert "invalid_quantity" in reasons or "invalid_order_date" in reasons
+    # payload is valid JSON of the raw row
+    sample = rejected.select(F.get_json_object("payload", "$.supply_order_id").alias("k")) \
+        .filter(F.col("k").isNotNull())
+    assert sample.count() > 0
+    # run_id threaded through (reference silver_builder.py:293)
+    assert {r.run_id for r in rejected.select("run_id").distinct().collect()} == {"silver_test"}
+
+
+def test_etl_log_counts_reconcile(spark, warehouse):
+    log = spark.read.parquet(f"{warehouse}/audit/etl_log")
+    for row in log.collect():
+        assert row.rows_in == row.rows_out + row.rows_rejected
+        assert row.rows_out > 0
+
+
+def test_silver_cleaning_applied(spark, warehouse):
+    orders = silver.read_silver(spark, warehouse, "supply_orders")
+    dtypes = dict(orders.dtypes)
+    assert dtypes["quantity"] == "bigint"
+    assert dtypes["order_date"] == "date"
+    assert dtypes["is_calculation_correct"] == "boolean"
+    # statuses fully canonicalized
+    statuses = {r.status for r in orders.select("status").distinct().collect()}
+    assert statuses <= {"pending", "shipped", "delivered", "cancelled", "unknown"}
+    # no rejected rows leaked
+    assert orders.filter(F.col("quantity").isNull() | F.col("order_date").isNull()).count() == 0
+    products = silver.read_silver(spark, warehouse, "products")
+    cats = {r.main_category for r in products.select("main_category").distinct().collect()}
+    assert "Automotive Parts" in cats        # typo map canonicalized
+    assert not any("autmootive" in c.lower() for c in cats)
+
+
+def test_gold_marts_nonempty_and_typed(spark, warehouse):
+    ms = gold.read_gold(spark, warehouse, "monthly_sales_performance")
+    assert ms.count() > 0
+    dash = gold.read_gold(spark, warehouse, "supply_chain_dashboard")
+    assert dash.count() > 0
+    # partitioned output: order_year_month is a partition column
+    assert "order_year_month" in dash.columns
+    meta = gold.read_gold(spark, warehouse, "table_metadata")
+    assert meta.count() == 4
+
+
+def test_all_twelve_gold_dq_checks_pass(spark, warehouse):
+    checks = quality.run_quality_checks(spark, warehouse)
+    rows = checks.collect()
+    assert len(rows) == 12
+    failed = [(r.check_name, r.violations) for r in rows if not r.passed]
+    assert failed == []
+
+
+def test_silver_gold_reconciliation_within_tolerance(spark, warehouse):
+    recon = quality.reconcile_silver_gold(spark, warehouse)
+    assert all(r.passed for r in recon.collect())
