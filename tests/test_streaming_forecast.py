@@ -1,0 +1,66 @@
+"""Streaming batch/stream parity + forecasting fan-out tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.sources import load_table
+from medallion_data_pipeline_spark.streaming import events as SE
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    # re-land events as micro-batch-friendly parquet (micros timestamps)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_stream")
+    batch.repartition(4).write.parquet(src)
+
+    stream = SE.read_event_stream(spark, src)
+    assert stream.isStreaming
+    SE.run_to_memory(SE.hourly_rollup(stream), "stream_rollup")
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_rollup").collect()
+    }
+
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            batch.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"))
+            .collect()
+        )
+    }
+    assert streamed == expected
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_sessions")
+    batch.write.parquet(src)
+    SE.run_to_memory(SE.session_windows(SE.read_event_stream(spark, src)), "stream_sessions")
+    out = spark.sql("SELECT * FROM stream_sessions")
+    assert out.count() > 0
+    assert out.filter(F.col("end_ms") < F.col("start_ms")).count() == 0
+
+
+def test_forecast_fanout(spark, tmp_path):
+    from medallion_data_pipeline_spark.plans import bronze, fixtures, forecasting, silver
+
+    wh = str(tmp_path / "wh")
+    bronze.write_bronze(fixtures.generate_bronze(spark, n_orders=3000), wh)
+    silver.run_silver(spark, wh, run_id="t")
+    fc = forecasting.run_forecasts(spark, wh, levels=("warehouse",), horizon=7, run_id="r1")
+    rows = fc.collect()
+    assert len(rows) > 0
+    assert all(r.yhat >= 0 and r.yhat_lower <= r.yhat <= r.yhat_upper for r in rows)
+    per_entity = fc.groupBy("entity_id").count().collect()
+    assert all(r["count"] == 7 for r in per_entity)        # horizon rows per entity
+    # run_id overwrite: second run replaces, first run stays
+    fc2 = forecasting.run_forecasts(spark, wh, levels=("warehouse",), horizon=7, run_id="r2")
+    assert fc2.count() > 0
+    both = spark.read.parquet(f"{wh}/gold/forecasts")
+    assert {r.run_id for r in both.select("run_id").distinct().collect()} == {"r1", "r2"}
