@@ -1,0 +1,71 @@
+"""Engine facade: the ad-hoc SQL + catalog surface (SURVEY §2.9 U4,
+§3.2 — the reference's Streamlit Query Runner and Database Explorer).
+
+The reference executes arbitrary user SQL through psycopg2 and browses
+the catalog via pg_tables/information_schema (app.py:655-682,
+1235-1311). Here `sql()` IS Catalyst (spark.sql over registered layer
+views) and the catalog calls are spark.catalog.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MedallionEngine:
+    """Query/catalog facade over a parquet warehouse laid out as
+    ``<warehouse>/{bronze,silver,gold,audit}/<table>``."""
+
+    LAYERS = ("bronze", "silver", "gold", "audit")
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+
+    # -- catalog ---------------------------------------------------------
+    def list_tables(self) -> list[tuple[str, str]]:
+        out = []
+        for layer in self.LAYERS:
+            root = os.path.join(self.warehouse, layer)
+            if os.path.isdir(root):
+                for name in sorted(os.listdir(root)):
+                    if os.path.isdir(os.path.join(root, name)):
+                        out.append((layer, name))
+        return out
+
+    def table(self, layer: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.warehouse, layer, name))
+
+    def table_schema(self, layer: str, name: str) -> list[tuple[str, str]]:
+        """information_schema.columns equivalent (app.py:1305-1311)."""
+        return self.table(layer, name).dtypes
+
+    def row_count(self, layer: str, name: str) -> int:
+        return self.table(layer, name).count()
+
+    def register_views(self) -> None:
+        """Expose every table as `<layer>_<name>` temp views so user SQL
+        can reference them (the Query Runner's schema-qualified names)."""
+        for layer, name in self.list_tables():
+            self.table(layer, name).createOrReplaceTempView(f"{layer}_{name}")
+
+    # -- query runner ------------------------------------------------------
+    def sql(self, query: str) -> tuple[DataFrame, float]:
+        """Ad-hoc SQL passthrough with the reference's timing metric
+        (app.py:1377-1394). Catalyst parses/optimizes/executes."""
+        t0 = time.time()
+        df = self.spark.sql(query)
+        df.collect()  # materialize for timing parity with the reference
+        return df, time.time() - t0
+
+    def page(self, layer: str, name: str, limit: int = 50, offset: int = 0,
+             order_by: str | None = None) -> DataFrame:
+        """LIMIT/OFFSET pagination (app.py:1279-1282). A total order is
+        required for stable pages — defaults to the first column."""
+        df = self.table(layer, name)
+        key = order_by or df.columns[0]
+        return df.orderBy(F.asc(key)).offset(offset).limit(limit)

@@ -1,0 +1,84 @@
+"""Output sinks (SURVEY §2.1 S6-S10, §2.6 O4).
+
+The reference pushes gold marts to a remote PostgreSQL with hand-rolled
+batching (fetchmany 10k / execute_values 5k / commit every 3 batches /
+3 threads, gold/push.py:127-163,194-207). In Spark every one of those
+knobs is a JDBC writer option, and "3 threads" becomes submitting the
+table writes as concurrent jobs — the driver schedules them onto the
+same executors.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def push_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
+              batchsize: int = 5000, properties: dict | None = None) -> None:
+    """Batched JDBC sink (S6): the reference's execute_values paging is
+    the `batchsize` option; DDL replication is `createTableColumnTypes`
+    if needed."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def push_tables_parallel(tables: dict[str, DataFrame], url: str,
+                         max_workers: int = 3, **kw) -> dict[str, bool]:
+    """Parallel multi-table push (S7): ThreadPoolExecutor submits the
+    JDBC writes concurrently (reference gold/push.py:194-207); Spark's
+    scheduler interleaves the jobs. Returns per-table success."""
+    results: dict[str, bool] = {}
+
+    def _push(item):
+        name, df = item
+        try:
+            push_jdbc(df, url, name, **kw)
+            return name, True
+        except Exception:
+            return name, False
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        for name, ok in ex.map(_push, tables.items()):
+            results[name] = ok
+    return results
+
+
+def verify_push(local: DataFrame, remote: DataFrame) -> tuple[bool, int, int]:
+    """Count verification after push (reference gold/push.py:165-181):
+    both sides must match and be > 0."""
+    a, b = local.count(), remote.count()
+    return (a == b and a > 0), a, b
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """CSV export sink (S8, the UI download path). single_file coalesces
+    to one part — driver-bottleneck by design, only for result-set
+    sized frames (the reference exports query results, not facts)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def reset_warehouse(warehouse: str, layers: tuple[str, ...] = ("bronze", "silver", "gold", "audit")) -> None:
+    """Bulk delete/reset (S10, reference delete_all_data.py): drop layer
+    directories; no sequences to reset in Spark."""
+    import shutil
+
+    for layer in layers:
+        shutil.rmtree(os.path.join(warehouse, layer), ignore_errors=True)
+
+
+def truncate_log(df: DataFrame, ts_col: str, keep: int = 100) -> DataFrame:
+    """Keep-last-N log truncation (O4, reference scheduler_manager.py:285)."""
+    return df.orderBy(F.desc(ts_col)).limit(keep)

@@ -1,0 +1,63 @@
+"""Engine facade (query runner/catalog) + sink tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.api import MedallionEngine
+from medallion_data_pipeline_spark.plans import bronze, fixtures
+from medallion_data_pipeline_spark.sources import sinks
+
+
+def _mk_warehouse(spark, tmp_path) -> str:
+    wh = str(tmp_path / "wh")
+    bronze.write_bronze(fixtures.generate_bronze(spark, n_orders=500), wh)
+    return wh
+
+
+def test_engine_catalog_and_sql(spark, tmp_path):
+    eng = MedallionEngine(spark, _mk_warehouse(spark, tmp_path))
+    tables = eng.list_tables()
+    assert ("bronze", "supply_orders") in tables
+    assert ("supplier_id", "bigint") in eng.table_schema("bronze", "suppliers")
+    assert eng.row_count("bronze", "suppliers") == 100
+
+    eng.register_views()
+    df, secs = eng.sql(
+        "SELECT status, COUNT(*) AS n FROM bronze_supply_orders GROUP BY status"
+    )
+    assert df.count() > 0 and secs >= 0
+
+    page1 = eng.page("bronze", "suppliers", limit=10, offset=0).collect()
+    page2 = eng.page("bronze", "suppliers", limit=10, offset=10).collect()
+    assert len(page1) == len(page2) == 10
+    assert {r.supplier_id for r in page1}.isdisjoint({r.supplier_id for r in page2})
+
+
+def test_csv_export_and_log_truncate(spark, tmp_path):
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "export")
+    sinks.export_csv(df, out)
+    parts = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(parts) == 1
+    assert sum(1 for _ in open(parts[0])) == 11  # header + 10 rows
+
+    log = spark.range(250).select(F.col("id").alias("ts"))
+    assert sinks.truncate_log(log, "ts", keep=100).count() == 100
+
+
+def test_verify_push_counts(spark):
+    a = spark.range(5)
+    assert sinks.verify_push(a, spark.range(5)) == (True, 5, 5)
+    assert sinks.verify_push(a, spark.range(4))[0] is False
+    assert sinks.verify_push(spark.range(0), spark.range(0))[0] is False
+
+
+def test_reset_warehouse(spark, tmp_path):
+    wh = _mk_warehouse(spark, tmp_path)
+    assert os.path.isdir(os.path.join(wh, "bronze"))
+    sinks.reset_warehouse(wh)
+    assert not os.path.isdir(os.path.join(wh, "bronze"))
