@@ -472,3 +472,109 @@ def orders_page(spark, sf_dir):
         .offset(10)
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q — cast-key join (SURVEY J5: the reference joins int store ids to a
+# TEXT fact key, bronze/database_setup.py:251).
+# ---------------------------------------------------------------------------
+
+_CAST_KEY_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN customer c ON CAST(e.user_id AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+GROUP BY 1
+"""
+
+
+@register("cast_key_join", oracle=_CAST_KEY_JOIN_SQL)
+def cast_key_join(spark, sf_dir):
+    """Equi-join on type-cast keys (SURVEY J5: int dim key = TEXT fact
+    key). Catalyst still plans a hash join on the casted expression."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c),
+               e.user_id.cast("string") == c.c_custkey.cast("string"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — pivot (SURVEY §2.6 extension; guide 'pivot/unpivot').
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = """
+SELECT r.r_name AS region,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
+@register("pivot_status_by_region", oracle=_PIVOT_SQL)
+def pivot_status_by_region(spark, sf_dir):
+    """Pivot: order-status columns per region (pivot with an explicit
+    value list compiles to conditional aggregation — no extra pass)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("r_name").alias("region"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "region",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — cube (SURVEY A15 extension).
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL')  AS status,
+       COUNT(*) AS n_orders,
+       {rev} AS total_revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""".format(rev=sql_dsum("o_totalprice"))
+
+
+@register("cube_priority_status", oracle=_CUBE_SQL)
+def cube_priority_status(spark, sf_dir):
+    """CUBE grouping sets over priority x status (SURVEY A15: absent in
+    the reference, free in Spark)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_revenue"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_revenue",
+        )
+    )
