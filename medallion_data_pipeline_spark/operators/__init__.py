@@ -1,3 +1,3 @@
-from . import dedup, multimodal, profiling, similarity
+from . import dedup, multimodal, profiling, similarity, skew, temporal
 
-__all__ = ["dedup", "multimodal", "profiling", "similarity"]
+__all__ = ["dedup", "multimodal", "profiling", "similarity", "skew", "temporal"]

@@ -167,3 +167,106 @@ def sessionize_events(spark, sf_dir):
             (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q — as-of join (engine extension; DuckDB's native ASOF JOIN is the
+# oracle, Spark side is the union+window carry-forward plan).
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH purchases AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, ts, epoch_ms(ts) AS click_ms FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id,
+       c.click_ms AS asof_click_ms
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_last_click", oracle=_ASOF_SQL)
+def asof_last_click(spark, sf_dir):
+    """As-of join: for every purchase, the same user's most recent click
+    at-or-before it (operators/temporal.py::asof_join — union + one
+    window per key; the distributed as-of plan)."""
+    from ..operators.temporal import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.unix_millis("ts").alias("click_ms"))
+    )
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="ts", right_ts="ts", value_cols=["click_ms"])
+    return out.select("user_id", "event_id", "asof_click_ms")
+
+
+# ---------------------------------------------------------------------------
+# q — bounded range join (bucketed equi-join plan vs the oracle's
+# inequality join).
+# ---------------------------------------------------------------------------
+
+_RANGE_SQL = """
+WITH errors AS (
+    SELECT user_id, event_id, ts, epoch_ms(ts) AS ms
+    FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id, e.event_id,
+       CAST((SELECT COUNT(*) FROM events f
+             WHERE f.user_id = e.user_id
+               AND epoch_ms(f.ts) > e.ms
+               AND epoch_ms(f.ts) <= e.ms + 300000) AS BIGINT) AS n_following
+FROM errors e
+"""
+
+
+@register("range_join_followups", oracle=_RANGE_SQL)
+def range_join_followups(spark, sf_dir):
+    """Range join: events within 5 minutes AFTER each error, per user
+    (operators/temporal.py::range_join_count — time-bucketed equi-join,
+    never an inequality cross join)."""
+    from ..operators.temporal import range_join_count
+
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts")
+    return range_join_count(errors, e, key="user_id", left_ts="ts", right_ts="ts",
+                            window_ms=300000).select("user_id", "event_id", "n_following")
+
+
+# ---------------------------------------------------------------------------
+# q — salted skew join (identical results to the plain join; the salt
+# only routes rows).
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("skew_salted_join", oracle=_SALTED_SQL)
+def skew_salted_join(spark, sf_dir):
+    """Explicit skew salting (operators/skew.py): big side salted, small
+    side exploded across salts; result provably identical to the
+    unsalted join (the oracle runs the plain join)."""
+    from ..operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = salted_join(e, c, key="user_id", n_salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
