@@ -300,3 +300,74 @@ def kpi_card(spark, sf_dir):
         F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_order"),
         F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — ranking-function family (rank / dense_rank / lead / percent_rank)
+# over a total order per group.
+# ---------------------------------------------------------------------------
+
+_RANKING_SQL = """
+WITH rev AS (
+    SELECT n.n_name AS nation, c.c_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT nation, c_custkey, revenue,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           LEAD(c_custkey) OVER w AS next_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM rev
+    WINDOW w AS (PARTITION BY nation ORDER BY revenue DESC, c_custkey)
+)
+SELECT * FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("ranking_functions", oracle=_RANKING_SQL)
+def ranking_functions(spark, sf_dir):
+    """rank/dense_rank/lead/percent_rank over a per-nation revenue
+    ranking (SURVEY §2.5 'available if needed' row, made concrete)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("nation").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.select(
+            "nation", "c_custkey", "revenue",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lead("c_custkey").over(w).alias("next_custkey"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — approximate sketches (rows-only: approx results are
+# engine-specific by design; the driver records the weaker check).
+# ---------------------------------------------------------------------------
+
+@register("approx_sketches", oracle=None)
+def approx_sketches(spark, sf_dir):
+    """approx_count_distinct (HLL++) and percentile_approx sketches
+    (SURVEY A15 'free in Spark'): the scalable duals of the exact
+    countDistinct/percentile used elsewhere — at 100 TB these are the
+    defaults and the exact forms are the special case."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_extendedprice", rsd=0.01).alias("approx_distinct_prices"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_distinct_orders"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_quartiles"),
+    )

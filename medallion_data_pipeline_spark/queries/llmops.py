@@ -327,3 +327,46 @@ def multimodal_features(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = M.with_binary_payload(docs, "text")
     return M.featurize_binary(media)
+
+
+# ---------------------------------------------------------------------------
+# q — embedding-cosine near-duplicate pairs (completes the dedup tier
+# list: exact / minhash / simhash / jaccard / embedding-cosine).
+# ---------------------------------------------------------------------------
+
+_EMB_DEDUP_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
+           / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.dv, x -> x * x)))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
+        / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) >= 0.42
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_DEDUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.42 — threshold sized to the synthetic corpus, max pairwise cosine ~0.51). Exact
+    all-pairs here (verifiable vs the oracle); the 100 TB path is the
+    same predicate after an LSH-bucket equi-join prune
+    (operators/similarity.py::knn_lsh)."""
+    from ..functions import vectors as V
+
+    emb = t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("id_a"), dv.alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), dv.alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.42)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
