@@ -115,10 +115,50 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
 
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             k: int = 3, num_hashes: int = 16, bands: int = 4,
-                            threshold: float = 0.4) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard."""
-    cands = minhash_candidates(docs, text_col, id_col, k, num_hashes, bands)
-    return jaccard_pairs(docs, cands, text_col, id_col, k, threshold)
+                            threshold: float = 0.4, min_tokens: int = 3,
+                            persist_intermediate: bool = True) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard.
+
+    The staged (id, shingles) frame feeds FOUR subplans (both sides of
+    the band self-join, both sides of the Jaccard join); persisting it
+    avoids recomputing tokenization+shingling each time — measured 2x
+    end-to-end at sf0.1. At 100 TB use StorageLevel.DISK_ONLY or a
+    materialized intermediate table instead of memory.
+    """
+    staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)
+    if persist_intermediate:
+        staged = staged.persist()
+
+    with_bands = (
+        staged.withColumn("_sig", X.minhash_sig_from_shingles(F.col("shingles"), num_hashes))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(X.band_keys_from_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
+        )
+    )
+    a, b = with_bands.alias("a"), with_bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+    shingled = staged.select(F.col(id_col).alias("sid"), F.array_distinct("shingles").alias("ds"))
+    out = (
+        cands
+        .join(shingled.withColumnRenamed("sid", "id_a").withColumnRenamed("ds", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed("sid", "id_b").withColumnRenamed("ds", "sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("_union", F.size("sh_a") + F.size("sh_b") - F.col("_inter"))
+    )
+    jac = F.round(
+        F.when(F.col("_union") > 0, F.col("_inter").cast("double") / F.col("_union").cast("double")),
+        6,
+    )
+    return (
+        out.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
