@@ -61,6 +61,66 @@ def decode_stub(payload: bytes) -> dict:
     return {"sha_hex": h, "feat": feat}
 
 
+def resize_stub(payload: bytes, target: tuple[int, int] = (224, 224)) -> bytes:
+    """Deterministic fake of an image resize.
+
+    REAL IMPLEMENTATION: ``PIL.Image.open(...).resize(target)`` — lib
+    absent here; the stub emits a stable payload of target-proportional
+    size so downstream size accounting and repartitioning are real.
+    """
+    w, h = target
+    out_len = max(1, min(len(payload), (w * h) // 64))
+    reps = (out_len // max(len(payload), 1)) + 1
+    return (payload * reps)[:out_len]
+
+
+def frame_sample_stub(payload: bytes, every_n: int = 10, frame_size: int = 32) -> list[bytes]:
+    """Deterministic fake of video frame sampling: treat the payload as
+    fixed-size frames, keep every Nth (REAL IMPLEMENTATION: ``av``/
+    ffmpeg keyframe iteration)."""
+    frames = [payload[i:i + frame_size] for i in range(0, len(payload), frame_size)]
+    return frames[::every_n]
+
+
+RESIZED_SCHEMA = "doc_id bigint, resized binary, resized_len int"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def resize_batch(media: DataFrame, id_col: str = "doc_id",
+                 target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Arrow-batched resize over the payload column (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(bytes(p), target) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "resized": resized,
+                "resized_len": [len(r) for r in resized],
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, id_col: str = "doc_id",
+                 every_n: int = 10) -> DataFrame:
+    """Arrow-batched frame sampling: one payload row fans out to N frame
+    rows (the explode-shaped media op; at scale repartition on doc_id
+    AFTER sampling so frame rows spread evenly)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i, fr in enumerate(frame_sample_stub(bytes(payload), every_n)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def featurize_binary(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode/featurize over the binary payload column via
     mapInPandas (SURVEY §2.9 U2-analogue for media; the slow path done

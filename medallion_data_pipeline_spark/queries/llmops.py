@@ -370,3 +370,55 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("_cos") >= 0.42)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q — winnowing fingerprints (rolling-hash document fingerprinting):
+# min md5 in each sliding window of w consecutive shingle hashes; the
+# distinct mins are the document's fingerprint set (the standard
+# plagiarism/near-dup winnowing scheme, expressible in both engines).
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4
+
+_WINNOW_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_sql_shingles("text", 3)} AS shingles FROM documents
+), hashed AS (
+    SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh
+    WHERE len(shingles) >= {_WINNOW_W}
+), winnowed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 1} + 1),
+                                        i -> list_min(hs[i:i+{_WINNOW_W - 1}]))) AS fps
+    FROM hashed
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       list_min(fps) AS min_fingerprint
+FROM winnowed
+"""
+
+
+@register("doc_winnowing_fingerprints", oracle=_WINNOW_SQL)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (rolling min-hash window) fingerprints per document —
+    staged tokens -> shingles -> md5 -> sliding-window minima."""
+    docs = t(spark, sf_dir, "documents")
+    w = _WINNOW_W
+    staged = (
+        docs.withColumn("_toks", X.words(F.col("text")))
+        .withColumn("_sh", X.shingles_from_tokens(F.col("_toks"), 3))
+        .filter(F.size("_sh") >= w)
+        .withColumn("_hs", F.transform("_sh", F.md5))
+    )
+    n = F.size("_hs")
+    idx = F.sequence(F.lit(1), n - (w - 1))
+    fps = F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(F.col("_hs"), i, w)))
+    )
+    return staged.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fingerprint"),
+    )

@@ -79,3 +79,20 @@ def test_multimodal_featurize_schema_and_determinism(spark):
     # deterministic: same payload -> same features
     again = {x.doc_id: x for x in M.featurize_binary(media).collect()}
     assert again[4].sha_hex == r[4].sha_hex
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    media = M.with_binary_payload(_docs(spark), "text")
+    resized = {r.doc_id: r for r in M.resize_batch(media).collect()}
+    assert all(r.resized_len == len(bytes(r.resized)) for r in resized.values())
+    # deterministic across runs
+    again = {r.doc_id: bytes(r.resized) for r in M.resize_batch(media).collect()}
+    assert again[1] == bytes(resized[1].resized)
+
+    frames = M.frame_sample(media, every_n=2).collect()
+    assert len(frames) > 0
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f.frame_idx)
+    for idxs in by_doc.values():
+        assert idxs == sorted(idxs) and idxs[0] == 0
