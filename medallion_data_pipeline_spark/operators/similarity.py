@@ -56,6 +56,67 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell).
+
+    Centroids arrive as driver-side literals (in production: a k-means
+    fit on a sample, broadcast). Assignment is a codegen'd argmin over
+    k distance expressions — no shuffle; the later search shuffles on
+    the small cell id instead of cross-joining the corpus.
+    """
+    dv = _as_double(F.col(vec_col))
+    best_cell = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.aggregate(
+            F.zip_with(dv, cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        if best_dist is None:
+            best_dist = dist
+        else:
+            closer = dist < best_dist
+            best_cell = F.when(closer, F.lit(i)).otherwise(best_cell)
+            best_dist = F.when(closer, dist).otherwise(best_dist)
+    return df.select(F.col(id_col), dv.alias("dv"), best_cell.alias("cell"))
+
+
+def deterministic_centroids(corpus: DataFrame, n_cells: int = 8,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Pick n_cells seed vectors deterministically (lowest ids) — the
+    reproducible stand-in for a k-means fit; adequate for cell routing."""
+    rows = (
+        corpus.orderBy(id_col).limit(n_cells)
+        .select(_as_double(F.col(vec_col)).alias("v")).collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: route query + corpus vectors to centroid cells,
+    search exactly within the query's cell. The 100 TB shape: one
+    equi-join on cell id; recall tuned by probing >1 cell (nprobe)."""
+    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    c = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"), "cell")
+    q = ivf_assign(queries, cents, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("dv").alias("qv"), "cell")
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_planes: int = 8, seed: int = 7, dim: int = 64) -> DataFrame:

@@ -422,3 +422,19 @@ def doc_winnowing_fingerprints(spark, sf_dir):
         F.size(fps).alias("n_fingerprints"),
         F.array_min(fps).alias("min_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — IVF-cell ANN (rows-only like the LSH variant: approximate by
+# construction; the exact brute-force query is the oracle-gated baseline).
+# ---------------------------------------------------------------------------
+
+@register("knn_cosine_ivf", oracle=None)
+def knn_cosine_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 cosine neighbors
+    (operators/similarity.py::knn_ivf): deterministic centroid routing,
+    exact search within the query's cell — the inverted-file scale path
+    next to the LSH variant."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_ivf(emb, queries, k=5)

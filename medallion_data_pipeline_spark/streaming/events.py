@@ -76,6 +76,49 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+USER_TOTALS_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+_USER_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total carried across micro-batches
+    (the arbitrary-state API the built-in aggregations can't express
+    when the update logic is imperative).
+
+    State is a (n, total) tuple per user; each batch folds its rows in
+    and emits the updated totals. At scale state lives in the state
+    store (RocksDB provider), partitioned by the groupBy key.
+    """
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming plan over all currently-available input and
     stop — the synchronous smoke harness (complete mode -> memory sink).

@@ -96,3 +96,11 @@ def test_multimodal_resize_and_frame_sample(spark):
         by_doc.setdefault(f.doc_id, []).append(f.frame_idx)
     for idxs in by_doc.values():
         assert idxs == sorted(idxs) and idxs[0] == 0
+
+
+def test_knn_ivf_finds_identical_in_cell(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.knn_ivf(emb, emb.filter("vec_id = 0"), k=3, n_cells=4).collect()
+    assert any(r.neighbor_id == 100 and r.cosine == 1.0 for r in out)

@@ -64,3 +64,40 @@ def test_forecast_fanout(spark, tmp_path):
     assert fc2.count() > 0
     both = spark.read.parquet(f"{wh}/gold/forecasts")
     assert {r.run_id for r in both.select("run_id").distinct().collect()} == {"r1", "r2"}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_stateful")
+    # two files -> two micro-batches (maxFilesPerTrigger=1): state must carry over
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = SE.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (SE.running_user_totals(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("user_totals").start())
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress["batchId"] >= 1   # really ran >1 micro-batch
+    finally:
+        q.stop()
+
+    # in update mode the memory sink appends each batch's emissions;
+    # the LAST emission per user must equal the full-batch totals
+    out = spark.sql("""
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM user_totals) WHERE rn = 1
+    """)
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    expected = {
+        r.user_id: (r.n, r.tv)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("tv")).collect()
+    }
+    assert set(got) == set(expected)
+    mismatch = {u: (got[u], expected[u]) for u in expected
+                if got[u][0] != expected[u][0]}
+    assert mismatch == {}
