@@ -69,3 +69,34 @@ class MedallionEngine:
         df = self.table(layer, name)
         key = order_by or df.columns[0]
         return df.orderBy(F.asc(key)).offset(offset).limit(limit)
+
+
+#: Query-Runner sample queries (reference app.py:1344-1356) re-keyed to
+#: the warehouse views registered by MedallionEngine.register_views().
+SAMPLE_QUERIES = {
+    "orders_by_status": """
+        SELECT status, COUNT(*) AS order_count,
+               ROUND(SUM(total_invoice), 2) AS total_revenue
+        FROM silver_supply_orders GROUP BY status ORDER BY order_count DESC
+    """,
+    "top_products_by_revenue": """
+        SELECT p.product_name_clean AS product_name,
+               ROUND(SUM(o.total_invoice), 2) AS revenue
+        FROM silver_supply_orders o
+        JOIN silver_products p ON o.product_id = p.product_id
+        GROUP BY 1 ORDER BY revenue DESC LIMIT 10
+    """,
+    "monthly_order_volume": """
+        SELECT date_format(date_trunc('month', order_date), 'yyyy-MM') AS month,
+               COUNT(*) AS orders, SUM(quantity) AS units
+        FROM silver_supply_orders GROUP BY 1 ORDER BY 1
+    """,
+    "warehouse_utilization": """
+        SELECT w.warehouse_name_clean AS warehouse, w.region_clean AS region,
+               SUM(i.quantity_on_hand) AS stock,
+               w.storage_capacity_clean AS capacity
+        FROM silver_inventory i
+        JOIN silver_warehouses w ON i.warehouse_id = w.warehouse_id
+        GROUP BY 1, 2, 4 ORDER BY stock DESC
+    """,
+}

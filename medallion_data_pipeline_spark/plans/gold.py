@@ -240,3 +240,65 @@ def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
 
 def read_gold(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(warehouse, "gold", name))
+
+
+# ---------------------------------------------------------------------------
+# Legacy gold views (reference bronze/database_setup.py:206-257, A7):
+# the pre-mart aggregate views kept for surface parity.
+# ---------------------------------------------------------------------------
+
+def build_inventory_summary(inventory: DataFrame, warehouses: DataFrame,
+                            products: DataFrame) -> DataFrame:
+    """inventory_summary view: per-warehouse totals with value-at-cost
+    (`SUM(qty * COALESCE(cost, 0))`, database_setup.py:206-221)."""
+    j = (
+        inventory
+        .join(F.broadcast(warehouses.select("warehouse_id", "warehouse_name_clean")),
+              "warehouse_id", "inner")
+        .join(F.broadcast(products.select("product_id", "unit_cost_clean")),
+              "product_id", "left")
+    )
+    return (
+        j.groupBy("warehouse_id", F.col("warehouse_name_clean").alias("warehouse_name"))
+        .agg(
+            F.countDistinct("product_id").alias("product_count"),
+            F.sum("quantity_on_hand").alias("total_quantity"),
+            F.round(F.sum(F.col("quantity_on_hand")
+                          * F.coalesce("unit_cost_clean", F.lit(0.0))), 2)
+            .alias("inventory_value_at_cost"),
+        )
+    )
+
+
+def build_supply_order_metrics(orders: DataFrame) -> DataFrame:
+    """supply_order_metrics view: per-status order/unit/revenue rollup
+    (database_setup.py:225-240)."""
+    return (
+        orders.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum("quantity").alias("total_units"),
+            F.round(F.sum("total_invoice"), 2).alias("total_invoice_amount"),
+            F.round(F.avg("total_invoice"), 2).alias("avg_invoice_amount"),
+        )
+    )
+
+
+def build_retail_store_performance(orders: DataFrame, stores: DataFrame) -> DataFrame:
+    """retail_store_performance view: active stores only, left-joined to
+    their orders, NULLS LAST ordering applied at read (database_setup.py:
+    244-257 incl. the CAST join J5 and `store_status = 'active'` filter)."""
+    active = stores.filter(F.col("store_status_clean") == "active").select(
+        "retail_store_id", "store_name_clean", F.col("region_clean").alias("store_region"))
+    j = active.join(
+        orders.select("retail_store_id", "supply_order_id", "total_invoice"),
+        "retail_store_id", "left")
+    return (
+        j.groupBy("retail_store_id", F.col("store_name_clean").alias("store_name"),
+                  "store_region")
+        .agg(
+            F.countDistinct("supply_order_id").alias("order_count"),
+            F.round(F.sum("total_invoice"), 2).alias("total_revenue"),
+        )
+        .orderBy(F.col("total_revenue").desc_nulls_last())
+    )

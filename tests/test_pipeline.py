@@ -81,3 +81,43 @@ def test_all_twelve_gold_dq_checks_pass(spark, warehouse):
 def test_silver_gold_reconciliation_within_tolerance(spark, warehouse):
     recon = quality.reconcile_silver_gold(spark, warehouse)
     assert all(r.passed for r in recon.collect())
+
+
+def test_legacy_gold_views(spark, warehouse):
+    inv = silver.read_silver(spark, warehouse, "inventory")
+    wh = silver.read_silver(spark, warehouse, "warehouses")
+    prod = silver.read_silver(spark, warehouse, "products")
+    orders = silver.read_silver(spark, warehouse, "supply_orders")
+    stores = silver.read_silver(spark, warehouse, "retail_stores")
+
+    summary = gold.build_inventory_summary(inv, wh, prod)
+    assert summary.count() > 0
+    assert summary.filter(F.col("inventory_value_at_cost") < 0).count() == 0
+
+    metrics = gold.build_supply_order_metrics(orders).collect()
+    assert sum(r.order_count for r in metrics) == orders.count()
+
+    perf = gold.build_retail_store_performance(orders, stores)
+    rows = perf.collect()
+    assert len(rows) > 0
+    # only active stores appear; stores without orders survive (left join)
+    assert all(r.order_count >= 0 for r in rows)
+
+
+def test_query_runner_sample_queries(spark, warehouse):
+    from medallion_data_pipeline_spark.api import SAMPLE_QUERIES, MedallionEngine
+
+    eng = MedallionEngine(spark, warehouse)
+    eng.register_views()
+    for name, sql in SAMPLE_QUERIES.items():
+        df, secs = eng.sql(sql)
+        assert df.count() > 0, name
+
+
+def test_silver_rerun_is_idempotent(spark, warehouse):
+    before = {t: silver.read_silver(spark, warehouse, t).count()
+              for t in silver.SILVER_TABLES}
+    silver.run_silver(spark, warehouse, run_id="silver_test_2")
+    after = {t: silver.read_silver(spark, warehouse, t).count()
+             for t in silver.SILVER_TABLES}
+    assert before == after   # overwrite semantics: same input -> same output
