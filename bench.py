@@ -43,6 +43,32 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Medallion pipeline stages at the reference's own data scale
+    # (50K orders / ~300K total rows, BASELINE.md) — directly comparable
+    # to its bronze 120s / silver 60s / gold 30s measured run.
+    import shutil
+    import tempfile
+
+    from medallion_data_pipeline_spark.plans import bronze, fixtures, gold, quality, silver
+
+    wh = tempfile.mkdtemp(prefix="mdp_bench_wh_")
+    try:
+        t0 = time.time()
+        dfs = fixtures.generate_bronze(spark, n_orders=50000)
+        bronze.write_bronze(dfs, wh)
+        timings["pipeline_bronze_50k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        silver.run_silver(spark, wh, run_id="bench")
+        timings["pipeline_silver_50k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        gold.run_gold(spark, wh)
+        timings["pipeline_gold_50k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        quality.run_quality_checks(spark, wh).collect()
+        timings["pipeline_quality_50k"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

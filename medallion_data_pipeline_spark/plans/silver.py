@@ -58,7 +58,10 @@ def _split_and_write(raw: DataFrame, cleaned: DataFrame, reject_reason, name: st
     rejected.write.mode("append").parquet(os.path.join(warehouse, "audit", "rejected_rows"))
 
     rows_in = raw.count()
-    rows_out = valid.count()
+    # count the WRITTEN parquet, not the plan — re-counting `valid` would
+    # re-execute the whole cleaning DAG a third time
+    spark = raw.sparkSession
+    rows_out = spark.read.parquet(os.path.join(warehouse, "silver", name)).count()
     return TableResult(name, rows_in, rows_out, rows_in - rows_out)
 
 
@@ -211,12 +214,19 @@ def _log_etl_step(spark: SparkSession, warehouse: str, res: TableResult, run_id:
 def _log_dq_checks(spark: SparkSession, warehouse: str, name: str,
                    cleaned: DataFrame, run_id: str) -> None:
     """audit.dq_results: completeness-style checks per table (reference
-    silver_builder.py:477-495)."""
+    silver_builder.py:477-495). ONE aggregation pass computes every
+    column's null count — a filter().count() per column would re-run
+    the full cleaning DAG per check."""
+    check_cols = [c for c in cleaned.columns if c.endswith("_clean") or c == "quality_score"]
     checks = []
-    for col in cleaned.columns:
-        if col.endswith("_clean") or col == "quality_score":
-            bad = cleaned.filter(F.col(col).isNull()).count()
-            checks.append((name, f"{col}_not_null", bad == 0, bad, run_id))
+    if check_cols:
+        row = cleaned.agg(*[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
+            for c in check_cols
+        ]).collect()[0]
+        for c in check_cols:
+            bad = row[c]
+            checks.append((name, f"{c}_not_null", bad == 0, bad, run_id))
     if checks:
         df = spark.createDataFrame(
             checks, "table_name string, check_name string, passed boolean, bad_rows long, run_id string"

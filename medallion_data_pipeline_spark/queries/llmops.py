@@ -187,12 +187,45 @@ def knn_cosine_bruteforce(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q34 — LSH-bucketed ANN (the scale path; rows-only check: bucket
-# membership is engine-reproducible but the oracle SQL for 8
-# md5-derived hyperplanes × 64 dims is disproportionate).
+# q34 — LSH-bucketed ANN (the scale path). The oracle inlines the SAME
+# md5-derived hyperplane constants (functions/vectors.py), so even the
+# approximate path hash-matches: bucket assignment, candidate pruning,
+# and in-bucket exact cosine are all reproduced in SQL.
 # ---------------------------------------------------------------------------
 
-@register("knn_cosine_lsh", oracle=None)
+def _lsh_oracle(n_planes: int = 8, seed: int = 7, dim: int = 64, k: int = 5) -> str:
+    from ..functions.vectors import _plane_component
+
+    bucket_terms = []
+    for pl in range(n_planes):
+        comps = ", ".join(repr(_plane_component(seed, pl, j)) for j in range(dim))
+        proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> dv[i] * ([{comps}])[i]))")
+        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), bkt AS (
+    SELECT vec_id, dv, CAST({bucket} AS BIGINT) AS bucket FROM v
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, {dim + 1}), i -> q.dv[i] * c.dv[i]))
+             / (sqrt(list_sum(list_transform(q.dv, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.dv, x -> x * x)))) AS cos_raw
+    FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id % 50 = 0
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("knn_cosine_lsh", oracle=_lsh_oracle())
 def knn_cosine_lsh(spark, sf_dir):
     """Approximate top-5 cosine neighbors within sign-LSH buckets
     (operators/similarity.py::knn_lsh) — candidate pruning via
