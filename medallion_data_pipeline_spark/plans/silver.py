@@ -195,10 +195,16 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
     for name in order:
         raw = read_bronze(spark, warehouse, name)
         cleaned, reason = _CLEANERS[name](raw)
-        res = _split_and_write(raw, cleaned, reason, name, warehouse, run_id)
-        results.append(res)
-        _log_etl_step(spark, warehouse, res, run_id)
-        _log_dq_checks(spark, warehouse, name, cleaned, run_id)
+        # the cleaned plan feeds three sinks (valid write, rejected write,
+        # dq aggregation) — cache it so the cleaning executes once
+        cleaned = cleaned.persist()
+        try:
+            res = _split_and_write(raw, cleaned, reason, name, warehouse, run_id)
+            results.append(res)
+            _log_etl_step(spark, warehouse, res, run_id)
+            _log_dq_checks(spark, warehouse, name, cleaned, run_id)
+        finally:
+            cleaned.unpersist()
     return results
 
 
