@@ -1,0 +1,56 @@
+"""Physical data layout helpers — the knobs that matter at 100 TB.
+
+The reference's b-tree indexes (bronze/database_setup.py:146-153)
+have three Spark equivalents, each here:
+
+- partitioned writes  -> partition pruning on predicate columns;
+- bucketed tables     -> co-located joins/aggregations with NO shuffle
+  on the bucket key (`bucketBy` + `saveAsTable`);
+- sized output files  -> repartition-on-write so downstream scans see
+  neither a million tiny files nor unsplittable monsters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet: predicates on partition_cols
+    prune directories before any I/O."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
+                         n_buckets: int = 16, sort_col: str | None = None,
+                         mode: str = "overwrite", path: str | None = None) -> None:
+    """Bucketed table: joins/aggregations on ``bucket_col`` between
+    tables bucketed the same way skip the shuffle entirely (both sides
+    are already hash-distributed identically on disk). Pass ``path``
+    for an external table (warehouse.dir is static config)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def write_sized(df: DataFrame, path: str, target_file_mb: int = 128,
+                approx_row_bytes: int = 100, mode: str = "overwrite") -> None:
+    """Repartition-on-write to a target file size. Uses a cheap row
+    estimate; at scale prefer AQE's coalescePartitions + a final
+    rebalance hint instead of an exact count."""
+    n_rows = df.count()
+    total_mb = max(n_rows * approx_row_bytes / (1024 * 1024), 1)
+    n_files = max(int(total_mb / target_file_mb), 1)
+    df.repartition(n_files).write.mode(mode).parquet(path)
+
+
+def shuffle_free_join_plan(spark: SparkSession, left_table: str, right_table: str,
+                           key: str) -> str:
+    """Explain string for a join of two bucketed tables — used by tests
+    to ASSERT the shuffle elimination (no Exchange above the scans)."""
+    df = spark.table(left_table).join(spark.table(right_table), key)
+    return df._jdf.queryExecution().executedPlan().toString()
