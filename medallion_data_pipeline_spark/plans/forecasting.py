@@ -106,6 +106,100 @@ def make_forecast_worker(level: str, horizon: int, run_id: str, model: str = "au
     return worker
 
 
+def _panel_features(series: DataFrame) -> DataFrame:
+    """Global-model feature panel (reference forecasting.py:244-275):
+    lag_1/lag_7/roll_mean_7 via Window (SURVEY W1/W2) + calendar
+    features — computed distributed, NOT in driver pandas."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("entity_id").orderBy("ds")
+    wf = w.rowsBetween(-6, 0)
+    return (
+        series.select(
+            "entity_id", "ds", "y",
+            F.lag("y", 1).over(w).alias("lag_1"),
+            F.lag("y", 7).over(w).alias("lag_7"),
+            F.avg("y").over(wf).alias("roll_mean_7"),
+            (F.weekday("ds") + 1).cast("double").alias("isodow"),
+            F.month("ds").cast("double").alias("month"),
+        )
+        .filter(F.col("lag_7").isNotNull())
+    )
+
+
+def fit_global_linear_model(panel) -> list[float]:
+    """Train ONE global model over the panel (the reference trains one
+    LightGBM booster for all entities, forecasting.py:288-295). Here:
+    ordinary least squares via numpy (no heavy dep) on
+    [1, lag_1, lag_7, roll_mean_7, isodow, month] -> y."""
+    import numpy as np
+
+    X = np.column_stack([
+        np.ones(len(panel)),
+        panel["lag_1"].to_numpy(float),
+        panel["lag_7"].to_numpy(float),
+        panel["roll_mean_7"].to_numpy(float),
+        panel["isodow"].to_numpy(float),
+        panel["month"].to_numpy(float),
+    ])
+    y = panel["y"].to_numpy(float)
+    theta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    return [float(t) for t in theta]
+
+
+def make_autoregressive_worker(theta: list[float], horizon: int, run_id: str, level: str):
+    """Per-entity AUTOREGRESSIVE horizon loop (reference forecasting.py:
+    297-335): predict one step, append it to the history, repeat —
+    inherently sequential per entity, so it lives inside applyInPandas
+    where each executor walks its own entities."""
+
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("ds")
+        if len(pdf) < MIN_SERIES_LEN:
+            return pd.DataFrame(columns=[
+                "level", "entity_id", "ds", "yhat", "yhat_lower", "yhat_upper",
+                "model", "granularity", "run_id"])
+        hist = list(pdf["y"].to_numpy(float))
+        last = pd.Timestamp(pdf["ds"].iloc[-1])
+        out_ds, out_y = [], []
+        for step in range(1, horizon + 1):
+            d = last + pd.Timedelta(days=step)
+            roll7 = float(np.mean(hist[-7:]))
+            x = [1.0, hist[-1], hist[-7] if len(hist) >= 7 else hist[0],
+                 roll7, float(d.weekday() + 1), float(d.month)]
+            pred = max(float(np.dot(theta, x)), 0.0)
+            hist.append(pred)                      # autoregressive append
+            out_ds.append(d.date())
+            out_y.append(round(pred, 4))
+        yhat = np.array(out_y)
+        return pd.DataFrame({
+            "level": level, "entity_id": pdf["entity_id"].iloc[0], "ds": out_ds,
+            "yhat": yhat, "yhat_lower": yhat * 0.8, "yhat_upper": yhat * 1.2,
+            "model": "global_linear", "granularity": "daily", "run_id": run_id,
+        })
+
+    return worker
+
+
+def run_global_forecast(spark: SparkSession, warehouse: str, level: str = "warehouse",
+                        horizon: int = 14, run_id: str = "fc_global") -> DataFrame:
+    """The U3 path end-to-end: distributed feature panel -> ONE global
+    model fit (panel collected — it is aggregate-sized, entities x
+    days, not fact-sized) -> per-entity autoregressive fan-out."""
+    orders = read_silver(spark, warehouse, "supply_orders")
+    series = build_series(orders, level)
+    panel = _panel_features(series).toPandas()
+    theta = fit_global_linear_model(panel)
+    fc = series.groupBy("entity_id").applyInPandas(
+        make_autoregressive_worker(theta, horizon, run_id, level), FORECAST_SCHEMA)
+    path = os.path.join(warehouse, "gold", "forecasts")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fc.write.mode("overwrite").partitionBy("run_id").parquet(path)
+    return spark.read.parquet(path).filter(F.col("run_id") == run_id)
+
+
 def run_forecasts(spark: SparkSession, warehouse: str,
                   levels: tuple[str, ...] = ("product", "warehouse", "store"),
                   horizon: int = 14, run_id: str = "fc_default") -> DataFrame:

@@ -101,3 +101,22 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     mismatch = {u: (got[u], expected[u]) for u in expected
                 if got[u][0] != expected[u][0]}
     assert mismatch == {}
+
+
+def test_global_model_autoregressive_forecast(spark, tmp_path):
+    from medallion_data_pipeline_spark.plans import bronze, fixtures, forecasting, silver
+
+    wh = str(tmp_path / "whg")
+    bronze.write_bronze(fixtures.generate_bronze(spark, n_orders=3000), wh)
+    silver.run_silver(spark, wh, run_id="t")
+    fc = forecasting.run_global_forecast(spark, wh, level="warehouse", horizon=10, run_id="g1")
+    rows = fc.collect()
+    assert len(rows) > 0
+    assert all(r.model == "global_linear" and r.yhat >= 0 for r in rows)
+    per_entity = fc.groupBy("entity_id").count().collect()
+    assert all(r["count"] == 10 for r in per_entity)
+    # deterministic: same inputs -> same forecasts
+    fc2 = forecasting.run_global_forecast(spark, wh, level="warehouse", horizon=10, run_id="g1")
+    a = sorted((r.entity_id, str(r.ds), r.yhat) for r in rows)
+    b = sorted((r.entity_id, str(r.ds), r.yhat) for r in fc2.collect())
+    assert a == b
