@@ -578,3 +578,69 @@ def cube_priority_status(spark, sf_dir):
             "total_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q — INTERSECT / EXCEPT set operations (SURVEY §2.6: absent in the
+# reference; completes the set-op family beside UNION ALL).
+# ---------------------------------------------------------------------------
+
+_SET_OPS_SQL = """
+WITH both_years AS (
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+), churned AS (
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT 'retained' AS cohort, COUNT(*) AS n_customers FROM both_years
+UNION ALL
+SELECT 'churned' AS cohort, COUNT(*) AS n_customers FROM churned
+"""
+
+
+@register("customer_cohort_set_ops", oracle=_SET_OPS_SQL)
+def customer_cohort_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT cohort analysis: customers active in both 1996
+    and 1997 vs churned after 1996."""
+    o = t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    retained = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n_customers")) \
+        .select(F.lit("retained").alias("cohort"), "n_customers")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would be the bag
+    # difference and keep customers who merely ordered MORE in 1996
+    churned = y96.subtract(y97).agg(F.count(F.lit(1)).alias("n_customers")) \
+        .select(F.lit("churned").alias("cohort"), "n_customers")
+    return retained.unionByName(churned)
+
+
+# ---------------------------------------------------------------------------
+# q — mode (most frequent value) via deterministic top-1 (SURVEY A8's
+# pandas mode, made order-stable with a value tiebreak).
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+WITH counts AS (
+    SELECT o_orderpriority AS value, COUNT(*) AS n
+    FROM orders GROUP BY 1
+)
+SELECT value AS mode_priority, n AS n_occurrences
+FROM counts ORDER BY n DESC, value LIMIT 1
+"""
+
+
+@register("mode_order_priority", oracle=_MODE_SQL)
+def mode_order_priority(spark, sf_dir):
+    """Mode statistic: groupBy-count + total-order top-1 (ties broken by
+    value, so both engines agree)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(1)
+        .select(F.col("value").alias("mode_priority"), F.col("n").alias("n_occurrences"))
+    )
