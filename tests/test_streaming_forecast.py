@@ -120,3 +120,43 @@ def test_global_model_autoregressive_forecast(spark, tmp_path):
     a = sorted((r.entity_id, str(r.ds), r.yhat) for r in rows)
     b = sorted((r.entity_id, str(r.ds), r.yhat) for r in fc2.collect())
     assert a == b
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    import datetime as dt
+    import time as _time
+
+    src = str(tmp_path / "events_late")
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, et, 1.0, "{}") for i, (ts, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+
+    # phase 1: events up to t0+2h; processed FIRST so the watermark
+    # advances to t0+1h before the late file even exists
+    mk([(t0, "click"), (t0 + dt.timedelta(hours=2), "click")]).coalesce(1).write.parquet(src)
+
+    stream = SE.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (SE.hourly_rollup(stream, watermark="1 hour")
+         .writeStream.outputMode("update").format("memory")
+         .queryName("late_test").start())
+    try:
+        q.processAllAvailable()   # watermark now t0+2h - 1h = t0+1h
+        # phase 2: one LATE event far behind the watermark + one on-time
+        mk([(t0 - dt.timedelta(hours=5), "late"),
+            (t0 + dt.timedelta(hours=2, minutes=30), "ontime")]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    _time.sleep(0)  # keep the import used
+
+    out = spark.sql("SELECT * FROM late_test").collect()
+    types = {r.event_type for r in out}
+    assert n_batches >= 2
+    assert "click" in types and "ontime" in types
+    # the late event's window predates the watermark -> dropped, never emitted
+    assert "late" not in types
