@@ -246,7 +246,13 @@ FROM tiled GROUP BY tile
 def quartile_bins(spark, sf_dir):
     """Quantile binning (reference pd.cut Low/Medium/High,
     eda/supply_chain_eda.py:554-558) via ntile over a TOTAL order
-    (unique tiebreak) so bucket assignment is engine-independent."""
+    (unique tiebreak) so bucket assignment is engine-independent.
+
+    SCALE NOTE: a global-window ntile forces a single-partition sort —
+    fine here (chosen for bit-exact oracle parity), but at 100 TB use
+    the threshold-broadcast form instead: approxQuantile/percentile the
+    cut points in one agg, broadcast them, bin with when() chains
+    (fully parallel, one pass)."""
     o = t(spark, sf_dir, "orders")
     w = W.orderBy("o_totalprice", "o_orderkey")
     return (
