@@ -192,6 +192,7 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
     run_id = run_id or f"silver_{int(time.time())}"
     results = []
     order = ["suppliers", "warehouses", "retail_stores", "products", "inventory", "supply_orders"]
+    all_checks: list[tuple] = []
     for name in order:
         raw = read_bronze(spark, warehouse, name)
         cleaned, reason = _CLEANERS[name](raw)
@@ -201,43 +202,49 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
         try:
             res = _split_and_write(raw, cleaned, reason, name, warehouse, run_id)
             results.append(res)
-            _log_etl_step(spark, warehouse, res, run_id)
-            _log_dq_checks(spark, warehouse, name, cleaned, run_id)
+            all_checks.extend(_collect_dq_checks(name, cleaned, run_id))
         finally:
             cleaned.unpersist()
+    # batch the audit metadata: ONE write each for etl_log/dq_results
+    # instead of one tiny file per table — at scale, audit-table small-file
+    # churn is a real metadata cost (and 10 fewer local jobs here)
+    _write_etl_log(spark, warehouse, results, run_id)
+    _write_dq_results(spark, warehouse, all_checks)
     return results
 
 
-def _log_etl_step(spark: SparkSession, warehouse: str, res: TableResult, run_id: str) -> None:
+def _write_etl_log(spark: SparkSession, warehouse: str,
+                   results: list[TableResult], run_id: str) -> None:
     """audit.etl_log (reference silver_builder.py:497-516)."""
-    row = [(res.name, res.rows_in, res.rows_out, res.rows_rejected, run_id)]
+    rows = [(r.name, r.rows_in, r.rows_out, r.rows_rejected, run_id) for r in results]
     df = spark.createDataFrame(
-        row, "table_name string, rows_in long, rows_out long, rows_rejected long, run_id string"
+        rows, "table_name string, rows_in long, rows_out long, rows_rejected long, run_id string"
     ).withColumn("logged_at", F.current_timestamp())
-    df.write.mode("append").parquet(os.path.join(warehouse, "audit", "etl_log"))
+    df.coalesce(1).write.mode("append").parquet(os.path.join(warehouse, "audit", "etl_log"))
 
 
-def _log_dq_checks(spark: SparkSession, warehouse: str, name: str,
-                   cleaned: DataFrame, run_id: str) -> None:
-    """audit.dq_results: completeness-style checks per table (reference
-    silver_builder.py:477-495). ONE aggregation pass computes every
-    column's null count — a filter().count() per column would re-run
-    the full cleaning DAG per check."""
+def _collect_dq_checks(name: str, cleaned: DataFrame, run_id: str) -> list[tuple]:
+    """audit.dq_results rows for one table (reference silver_builder.py:
+    477-495). ONE aggregation pass computes every column's null count —
+    a filter().count() per column would re-run the full cleaning DAG
+    per check."""
     check_cols = [c for c in cleaned.columns if c.endswith("_clean") or c == "quality_score"]
-    checks = []
-    if check_cols:
-        row = cleaned.agg(*[
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
-            for c in check_cols
-        ]).collect()[0]
-        for c in check_cols:
-            bad = row[c]
-            checks.append((name, f"{c}_not_null", bad == 0, bad, run_id))
-    if checks:
-        df = spark.createDataFrame(
-            checks, "table_name string, check_name string, passed boolean, bad_rows long, run_id string"
-        ).withColumn("checked_at", F.current_timestamp())
-        df.write.mode("append").parquet(os.path.join(warehouse, "audit", "dq_results"))
+    if not check_cols:
+        return []
+    row = cleaned.agg(*[
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
+        for c in check_cols
+    ]).collect()[0]
+    return [(name, f"{c}_not_null", row[c] == 0, row[c], run_id) for c in check_cols]
+
+
+def _write_dq_results(spark: SparkSession, warehouse: str, checks: list[tuple]) -> None:
+    if not checks:
+        return
+    df = spark.createDataFrame(
+        checks, "table_name string, check_name string, passed boolean, bad_rows long, run_id string"
+    ).withColumn("checked_at", F.current_timestamp())
+    df.coalesce(1).write.mode("append").parquet(os.path.join(warehouse, "audit", "dq_results"))
 
 
 def read_silver(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
