@@ -238,6 +238,67 @@ def minhash_sig_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*sig)
 
 
+# --- integer universal-hash MinHash family -------------------------------
+#
+# The md5-per-(shingle × hash) family above is simple and portable but
+# does num_hashes full digests per shingle — the measured hot loop of the
+# fuzzy-dedup pipeline. This family digests each shingle ONCE (md5 -> the
+# first 8 hex chars as a 32-bit integer x) and derives every hash by an
+# affine map h_i(x) = (a_i*x + b_i) mod p over that integer: ~16 integer
+# mults instead of 16 digests per shingle (measured ~2.5x end-to-end at
+# sf0.1). Constants are generated from a FIXED seed so the DuckDB oracle
+# regenerates the identical family. All intermediates fit signed 64-bit:
+# a < 2^31, x < 2^32 => a*x + b < 2^63 (both engines overflow-safe).
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+_MINHASH_SEED = 20260813
+
+
+def minhash_params(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """The (a_i, b_i) affine constants — deterministic; shared by the
+    Spark expressions and the SQL-oracle generator."""
+    import random
+
+    rng = random.Random(_MINHASH_SEED)
+    return [
+        (rng.randrange(1, 2 ** 31 - 1), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_ints(shingles: Column) -> Column:
+    """array<long>: each shingle's 32-bit integer image — the first 8 hex
+    chars of its md5. ONE digest per shingle; stage this as a named
+    column so every hash in the family reuses it."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_sig_from_ints(xs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<long>) from the materialized shingle-int
+    column: sig_i = min over shingles of (a_i*x + b_i) mod p."""
+    def fam(a: int, b: int):
+        # closure factory — see hash_family note above on HOF lambda arity
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(*[
+        F.array_min(F.transform(xs, fam(a, b))) for a, b in minhash_params(num_hashes)
+    ])
+
+
+def band_keys_from_int_sig(sig: Column, num_hashes: int = 16, bands: int = 4) -> Column:
+    """LSH band keys from an array<long> signature: md5 of the
+    comma-joined band values, prefixed with the band index."""
+    rows = num_hashes // bands
+    keys = []
+    for b in range(bands):
+        band = F.slice(sig, b * rows + 1, rows)
+        joined = F.concat_ws(",", F.transform(band, lambda v: v.cast("string")))
+        keys.append(F.md5(F.concat_ws("|", F.lit(str(b)), joined)))
+    return F.array(*keys)
+
+
 def band_keys_from_sig(sig: Column, num_hashes: int = 16, bands: int = 4) -> Column:
     """LSH band keys from a MATERIALIZED signature column: split into
     ``bands`` rows of ``num_hashes/bands`` values; each key is md5 of

@@ -69,10 +69,11 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     """
     with_bands = (
         _staged_shingles(docs, text_col, id_col, k, min_tokens)
-        .withColumn("_sig", X.minhash_sig_from_shingles(F.col("shingles"), num_hashes))
+        .withColumn("_xs", X.shingle_ints(F.col("shingles")))
+        .withColumn("_sig", X.minhash_sig_from_ints(F.col("_xs"), num_hashes))
         .select(
             F.col(id_col).alias("doc"),
-            F.explode(X.band_keys_from_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
+            F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
         )
     )
     a = with_bands.alias("a")
@@ -130,10 +131,11 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
         staged = staged.persist()
 
     with_bands = (
-        staged.withColumn("_sig", X.minhash_sig_from_shingles(F.col("shingles"), num_hashes))
+        staged.withColumn("_xs", X.shingle_ints(F.col("shingles")))
+        .withColumn("_sig", X.minhash_sig_from_ints(F.col("_xs"), num_hashes))
         .select(
             F.col(id_col).alias("doc"),
-            F.explode(X.band_keys_from_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
+            F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
         )
     )
     a, b = with_bands.alias("a"), with_bands.alias("b")

@@ -34,11 +34,18 @@ def _sql_shingles(col: str, k: int = 3) -> str:
     )
 
 
-def _sql_minhash_sig(shingles_expr: str, num_hashes: int) -> list[str]:
+def _sql_minhash_sig(xs_expr: str, num_hashes: int) -> list[str]:
+    """Integer universal-hash family over the shingle-int list — the
+    DuckDB dual of text.minhash_sig_from_ints (same seeded constants)."""
     return [
-        f"list_min(list_transform({shingles_expr}, s -> md5('{i}:' || s)))"
-        for i in range(num_hashes)
+        f"list_min(list_transform({xs_expr}, x -> ({a} * x + {b}) % {X.MINHASH_PRIME}))"
+        for a, b in X.minhash_params(num_hashes)
     ]
+
+
+_SQL_SHINGLE_INTS = (
+    "list_transform({0}, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))"
+)
 
 
 def _sql_band_keys(sig_cols: list[str], bands: int) -> list[str]:
@@ -46,7 +53,7 @@ def _sql_band_keys(sig_cols: list[str], bands: int) -> list[str]:
     keys = []
     for b in range(bands):
         band = sig_cols[b * rows:(b + 1) * rows]
-        joined = " || ',' || ".join(band)
+        joined = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in band)
         keys.append(f"md5('{b}' || '|' || {joined})")
     return keys
 
@@ -77,16 +84,19 @@ def dedup_exact(spark, sf_dir):
 
 def _minhash_oracle(k: int = 3, num_hashes: int = 16, bands: int = 4,
                     min_tokens: int = 3, threshold: float = 0.4) -> str:
-    sig = _sql_minhash_sig("shingles", num_hashes)
+    sig = _sql_minhash_sig("xs", num_hashes)
     band_keys = _sql_band_keys(sig, bands)
     return f"""
 WITH sh AS (
     SELECT doc_id, {_sql_shingles("text", k)} AS shingles
     FROM documents
     WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
+), ints AS (
+    SELECT doc_id, shingles, {_SQL_SHINGLE_INTS.format("shingles")} AS xs
+    FROM sh
 ), banded AS (
     SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key
-    FROM sh
+    FROM ints
 ), cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
