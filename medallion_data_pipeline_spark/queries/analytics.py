@@ -268,6 +268,70 @@ def quartile_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q14b — quantile binning, threshold-broadcast form (SURVEY A13 scale
+# path). The plan that survives 100 TB: one distributed percentile
+# aggregate produces the three cut points (a single small row), which
+# broadcast to a fully-parallel when()-chain binning pass — no global
+# sort, no single-partition window. Contrast quartile_bins above.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_BROADCAST_SQL = """
+WITH cuts AS (
+    SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [0.25, 0.5, 0.75]) AS c
+    FROM orders
+), binned AS (
+    SELECT CASE
+             WHEN CAST(o_totalprice AS DOUBLE) <= c[1] THEN 'Q1'
+             WHEN CAST(o_totalprice AS DOUBLE) <= c[2] THEN 'Q2'
+             WHEN CAST(o_totalprice AS DOUBLE) <= c[3] THEN 'Q3'
+             ELSE 'Q4'
+           END AS bin,
+           o_totalprice
+    FROM orders, cuts
+)
+SELECT bin,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+       {tot} AS total_price
+FROM binned GROUP BY bin
+""".format(tot=sql_dsum("o_totalprice"))
+
+
+@register("quantile_bins_broadcast", oracle=_QUANTILE_BROADCAST_SQL)
+def quantile_bins_broadcast(spark, sf_dir):
+    """Quantile binning without a global sort: exact percentile cut
+    points (type-7 interpolation — same definition as DuckDB
+    quantile_cont, so the thresholds are bit-identical) in ONE
+    distributed aggregate, broadcast to every task, bin with a when()
+    chain. Two narrow jobs, both fully parallel.
+
+    At 100 TB swap F.percentile for F.approx_percentile (fixed-size
+    KLL-style sketch per partition, mergeable) — the binning pass is
+    unchanged. Boundary safety: data is cent-grained while interior
+    thresholds are >=0.0025 away from any cent, so a last-ulp
+    difference between engines cannot flip a bin assignment."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice")
+    p = F.col("o_totalprice").cast("double")
+    cuts = o.agg(F.percentile(p, F.lit([0.25, 0.5, 0.75])).alias("c"))
+    c = F.col("c")
+    binned = o.crossJoin(F.broadcast(cuts)).select(
+        F.when(p <= c[0], "Q1")
+        .when(p <= c[1], "Q2")
+        .when(p <= c[2], "Q3")
+        .otherwise("Q4")
+        .alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q15 — scalar KPI card (SURVEY A6): single-row global KPIs.
 # ---------------------------------------------------------------------------
 
