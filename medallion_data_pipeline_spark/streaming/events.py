@@ -40,6 +40,62 @@ def read_event_stream(spark: SparkSession, path: str,
     )
 
 
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Decode Kafka-wire frames into typed event rows.
+
+    `raw` has the Kafka source schema (key/value binary, topic,
+    partition, offset, timestamp); the payload is a JSON event in
+    `value`. Event time comes from the PAYLOAD ts (broker ingest time
+    would misplace late events against the watermark). Rows whose
+    payload fails to parse keep a NULL struct -> surfaced as a
+    `_corrupt` flag so the caller can route them to a dead-letter sink
+    instead of silently dropping.
+
+    Broker-independent by design: works on any DataFrame with a binary
+    `value` column, so the decode logic is unit-tested on batch data
+    without a Kafka cluster.
+    """
+    parse_schema = T.StructType(
+        EVENT_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            parse_schema,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
+    )
+    return parsed.select(
+        *[f"e.{f.name}" for f in EVENT_SCHEMA.fields],
+        F.col("e._corrupt_record").isNotNull().alias("_corrupt"),
+    )
+
+
+def read_kafka_event_stream(spark: SparkSession, bootstrap_servers: str,
+                            topic: str, starting_offsets: str = "latest",
+                            max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """Kafka event source: same downstream plan as the file source —
+    the format swap is the ONLY difference (Structured Streaming's
+    unified model; reference roadmap README.md:502-506).
+
+    `maxOffsetsPerTrigger` is the backpressure bound (records per
+    micro-batch across all partitions); `failOnDataLoss=false` rides
+    through broker retention evictions on restart. Requires the
+    spark-sql-kafka package on the classpath (not bundled in this test
+    environment — construction is covered by the batch-decode test).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_kafka_events(reader.load())
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming dual of queries/events_q.py::events_tumbling_hour:
     1-hour tumbling windows per event_type with late-data tolerance."""
@@ -117,6 +173,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def merge_sink(path: str, pk: list[str]):
+    """foreachBatch body: idempotently MERGE each micro-batch into a
+    parquet target keyed on `pk`.
+
+    Update-mode aggregations re-emit a key whenever it changes; a
+    replayed batch after restart re-emits the same keys. Both collapse
+    to last-write-wins on pk, so results are exactly-once over
+    at-least-once delivery. The overwrite goes through a staging dir +
+    atomic rename because the merge plan READS the same target path
+    (self-overwrite guard, local-fs semantics). On a real cluster swap
+    the body for `MERGE INTO` on a Delta/Iceberg table — the stream
+    wiring is unchanged.
+    """
+    from ..operators.upsert import merge_upsert
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(pk)
+        if os.path.isdir(path):
+            merged = merge_upsert(spark.read.parquet(path), batch, pk)
+        else:
+            merged = batch
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(staging, path)
+
+    return _sink
+
+
+def run_merge_stream(stream_df: DataFrame, path: str, pk: list[str],
+                     checkpoint_dir: str) -> None:
+    """Drive an update-mode streaming aggregation into an idempotent
+    keyed parquet target via foreachBatch (the production sink shape
+    promised in the module docstring), synchronously to exhaustion."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_sink(path, pk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_to_memory(stream_df: DataFrame, name: str) -> None:

@@ -160,3 +160,66 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert "click" in types and "ontime" in types
     # the late event's window predates the watermark -> dropped, never emitted
     assert "late" not in types
+
+
+def test_kafka_decode_batch_parity(spark):
+    """parse_kafka_events decodes wire frames without a broker: payload
+    ts wins, corrupt payloads flagged (not dropped)."""
+    import json
+
+    frames = [
+        (json.dumps({"event_id": 1, "ts": "2024-06-01T12:00:00", "user_id": 7,
+                     "event_type": "click", "value": 2.5, "props": "{}"}),),
+        (json.dumps({"event_id": 2, "ts": "2024-06-01T12:30:00", "user_id": 8,
+                     "event_type": "view", "value": 1.0, "props": "{}"}),),
+        ("{not json",),
+    ]
+    raw = spark.createDataFrame(frames, "value string").select(
+        F.col("value").cast("binary").alias("value"))
+    out = SE.parse_kafka_events(raw)
+    assert [f.name for f in out.schema.fields][:6] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows[1].event_type == "click" and rows[1].value == 2.5
+    assert rows[1].ts.hour == 12 and rows[1].ts.minute == 0
+    corrupt = [r for r in rows.values() if r.event_id is None]
+    assert len(corrupt) == 1 and corrupt[0]._corrupt
+
+
+def test_foreach_batch_merge_sink_idempotent(spark, tmp_path):
+    """hourly_rollup -> foreachBatch merge: final table equals the batch
+    aggregation, and replaying the whole stream (fresh checkpoint, same
+    target) leaves the table unchanged."""
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_merge")
+    # two files -> multiple micro-batches, so keys get re-emitted/merged
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "rollup_target")
+    pk = ["window_start", "event_type"]
+
+    def run(checkpoint):
+        stream = SE.read_event_stream(spark, src, max_files_per_trigger=1)
+        SE.run_merge_stream(SE.hourly_rollup(stream), target, pk,
+                            str(tmp_path / checkpoint))
+
+    run("cp1")
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            batch.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("window_start"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"))
+            .collect())
+    }
+    got = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+           for r in spark.read.parquet(target).collect()}
+    assert got == expected
+
+    run("cp2")  # full replay into the same target: idempotent
+    got2 = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(target).collect()}
+    assert got2 == expected
