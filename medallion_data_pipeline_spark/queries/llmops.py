@@ -468,16 +468,61 @@ def doc_winnowing_fingerprints(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q — IVF-cell ANN (rows-only like the LSH variant: approximate by
-# construction; the exact brute-force query is the oracle-gated baseline).
+# q — IVF-cell ANN. Approximate w.r.t. exhaustive search but fully
+# DETERMINISTIC (seed centroids = lowest-id vectors, argmin ties to the
+# lowest cell index, sequential left-fold double sums in both engines),
+# so the whole routing + in-cell search is oracle-gated, not rows-only.
 # ---------------------------------------------------------------------------
 
-@register("knn_cosine_ivf", oracle=None)
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    "    * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+_IVF_SQL = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, dv AS cv
+    FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 8)
+), dists AS (
+    SELECT v.vec_id, c.cell_idx,
+           list_sum(list_transform(range(1, len(v.dv) + 1),
+                                   i -> (v.dv[i] - c.cv[i]) * (v.dv[i] - c.cv[i]))) AS d2
+    FROM v CROSS JOIN cents c
+), assign AS (
+    SELECT vec_id, cell_idx AS cell FROM (
+        SELECT vec_id, cell_idx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_idx) AS rn
+        FROM dists)
+    WHERE rn = 1
+), q AS (
+    SELECT a.vec_id, a.cell, v.dv FROM assign a JOIN v USING (vec_id)
+    WHERE vec_id % 50 = 0
+), c AS (
+    SELECT a.vec_id, a.cell, v.dv FROM assign a JOIN v USING (vec_id)
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.dv", b="c.dv")} AS cos_raw
+    FROM q JOIN c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("knn_cosine_ivf", oracle=_IVF_SQL)
 def knn_cosine_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-5 cosine neighbors
     (operators/similarity.py::knn_ivf): deterministic centroid routing,
     exact search within the query's cell — the inverted-file scale path
-    next to the LSH variant."""
+    next to the LSH variant. The oracle replays the same routing in
+    SQL: strict-less argmin == ORDER BY d2, cell_idx."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.knn_ivf(emb, queries, k=5)
