@@ -31,14 +31,21 @@ def main() -> None:
         sf = -1.0
 
     spark = get_spark("mdp-bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not first-touch JIT
+    # Warm-up: run every bench query once at the smallest SF before any
+    # timing. First execution of a plan pays whole-stage-codegen compile
+    # + JVM JIT for its expression trees (measured: the minhash pipeline
+    # is 13 s cold vs 2.5 s warm at sf0.1) — a long-running cluster
+    # amortizes that to zero, so the timed numbers below measure the
+    # plans, not first-touch compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    bench_queries = [(name, q) for name, q in REGISTRY.items() if q.bench]
+    for _, q in bench_queries:
+        q.fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir) \
+            .write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
-    for name, q in REGISTRY.items():
-        if not q.bench:
-            continue
+    for name, q in bench_queries:
         t0 = time.time()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
