@@ -222,13 +222,20 @@ def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
         "supplier_performance_monthly": build_supplier_performance(orders, products, suppliers),
         "supply_chain_dashboard": build_dashboard(orders, products, suppliers, warehouses_t, stores),
     }
-    counts = {}
-    for name, df in marts.items():
+    # four independent marts: submit concurrently (scheduler overlaps the
+    # stages; same pattern as bronze/silver), count written footers only
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> tuple[str, int]:
+        name, df = item
         writer = df.write.mode("overwrite")
         if name == "supply_chain_dashboard":
             writer = writer.partitionBy("order_year_month")
         writer.parquet(os.path.join(warehouse, "gold", name))
-        counts[name] = spark.read.parquet(os.path.join(warehouse, "gold", name)).count()
+        return name, spark.read.parquet(os.path.join(warehouse, "gold", name)).count()
+
+    with ThreadPoolExecutor(max_workers=len(marts)) as pool:
+        counts = dict(pool.map(_write, marts.items()))
 
     meta = spark.createDataFrame(
         [(k, v, "silver") for k, v in counts.items()],
