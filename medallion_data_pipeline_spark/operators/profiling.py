@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._util import tiny_df
+
 
 def null_profile(df: DataFrame) -> DataFrame:
     """Per-column null counts + percentages (reference
@@ -95,6 +97,7 @@ def reconcile(a: DataFrame, b: DataFrame, measures: dict[str, str],
         pct = 100.0 * diff / base
         rows.append((name, float(va or 0), float(vb or 0), round(pct, 6), pct <= tolerance_pct))
     spark = a.sparkSession
-    return spark.createDataFrame(
-        rows, "measure string, value_a double, value_b double, pct_diff double, passed boolean"
+    return tiny_df(
+        spark, rows,
+        "measure string, value_a double, value_b double, pct_diff double, passed boolean",
     )

@@ -33,6 +33,9 @@ PRIMARY_KEYS = {
     "supply_orders": "supply_order_id",
 }
 
+# files per landing table: facts spread for downstream scan parallelism
+_LANDING_FILES = {"supply_orders": 8, "inventory": 4}
+
 
 def write_bronze(dfs: dict[str, DataFrame], warehouse: str) -> dict[str, int]:
     """Land raw tables as bronze parquet (idempotent overwrite; last
@@ -46,9 +49,22 @@ def write_bronze(dfs: dict[str, DataFrame], warehouse: str) -> dict[str, int]:
     2x on the 50K bench)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.sql import functions as F
+
     def _land(item: tuple[str, DataFrame]) -> tuple[str, int]:
         name, df = item
-        deduped = df.dropDuplicates([PRIMARY_KEYS[name]])
+        pk = PRIMARY_KEYS[name]
+        # Landing-file sizing: fact tables write several files so the
+        # silver scan parallelizes (1 parquet row group = 1 scan task);
+        # dims stay single-file. Hash-repartitioning on pk BEFORE the
+        # dedup means the dedup aggregation reuses that partitioning —
+        # one shuffle total, and the explicit width is exempt from AQE
+        # coalescing. The 100 TB dual is the standard 128MB-1GB
+        # target-file-size policy on the landing writer.
+        deduped = (
+            df.repartition(_LANDING_FILES.get(name, 1), F.col(pk))
+            .dropDuplicates([pk])
+        )
         path = os.path.join(warehouse, "bronze", name)
         deduped.write.mode("overwrite").parquet(path)
         return name, df.sparkSession.read.parquet(path).count()

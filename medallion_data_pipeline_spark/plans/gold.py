@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import guarded_div
 from .silver import read_silver
+from .._util import tiny_df
 
 GOLD_TABLES = ("monthly_sales_performance", "inventory_health_metrics",
                "supplier_performance_monthly", "supply_chain_dashboard",
@@ -237,7 +238,8 @@ def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
     with ThreadPoolExecutor(max_workers=len(marts)) as pool:
         counts = dict(pool.map(_write, marts.items()))
 
-    meta = spark.createDataFrame(
+    meta = tiny_df(
+        spark,
         [(k, v, "silver") for k, v in counts.items()],
         "table_name string, row_count long, source_layer string",
     ).withColumn("built_at", F.current_timestamp())

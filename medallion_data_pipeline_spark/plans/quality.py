@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .gold import read_gold
+from .._util import tiny_df
 
 
 @dataclass
@@ -67,9 +68,9 @@ def run_quality_checks(spark: SparkSession, warehouse: str) -> DataFrame:
         df = cache.setdefault(chk.table, read_gold(spark, warehouse, chk.table))
         bad = df.filter(chk.predicate).count()
         rows.append((chk.name, chk.table, chk.description, bad, bad == 0))
-    return spark.createDataFrame(
-        rows, "check_name string, table_name string, description string, "
-              "violations long, passed boolean")
+    return tiny_df(
+        spark, rows, "check_name string, table_name string, description string, "
+                     "violations long, passed boolean")
 
 
 def reconcile_silver_gold(spark: SparkSession, warehouse: str,
@@ -96,6 +97,6 @@ def reconcile_silver_gold(spark: SparkSession, warehouse: str,
         sv, gv = float(s[measure] or 0), float(g[measure] or 0)
         pct = 100.0 * abs(sv - gv) / max(abs(sv), 1e-9)
         rows.append((measure, sv, gv, round(pct, 4), pct <= tolerance_pct))
-    return spark.createDataFrame(
-        rows, "measure string, silver_value double, gold_value double, "
-              "pct_diff double, passed boolean")
+    return tiny_df(
+        spark, rows, "measure string, silver_value double, gold_value double, "
+                     "pct_diff double, passed boolean")

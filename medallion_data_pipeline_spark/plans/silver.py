@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cleaning as C
 from .bronze import read_bronze
+from .._util import tiny_df
 
 SILVER_TABLES = ("suppliers", "products", "warehouses", "retail_stores",
                  "inventory", "supply_orders")
@@ -247,19 +248,21 @@ def _write_etl_log(spark: SparkSession, warehouse: str,
                    results: list[TableResult], run_id: str) -> None:
     """audit.etl_log (reference silver_builder.py:497-516)."""
     rows = [(r.name, r.rows_in, r.rows_out, r.rows_rejected, run_id) for r in results]
-    df = spark.createDataFrame(
-        rows, "table_name string, rows_in long, rows_out long, rows_rejected long, run_id string"
+    df = tiny_df(
+        spark, rows,
+        "table_name string, rows_in long, rows_out long, rows_rejected long, run_id string",
     ).withColumn("logged_at", F.current_timestamp())
-    df.coalesce(1).write.mode("append").parquet(os.path.join(warehouse, "audit", "etl_log"))
+    df.write.mode("append").parquet(os.path.join(warehouse, "audit", "etl_log"))
 
 
 def _write_dq_results(spark: SparkSession, warehouse: str, checks: list[tuple]) -> None:
     if not checks:
         return
-    df = spark.createDataFrame(
-        checks, "table_name string, check_name string, passed boolean, bad_rows long, run_id string"
+    df = tiny_df(
+        spark, checks,
+        "table_name string, check_name string, passed boolean, bad_rows long, run_id string",
     ).withColumn("checked_at", F.current_timestamp())
-    df.coalesce(1).write.mode("append").parquet(os.path.join(warehouse, "audit", "dq_results"))
+    df.write.mode("append").parquet(os.path.join(warehouse, "audit", "dq_results"))
 
 
 def read_silver(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
