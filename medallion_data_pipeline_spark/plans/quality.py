@@ -60,14 +60,33 @@ def gold_checks() -> list[Check]:
 def run_quality_checks(spark: SparkSession, warehouse: str) -> DataFrame:
     """Evaluate every check; returns (check, table, violations, passed).
 
-    One filter-count job per check on the (small) marts; at scale the
-    checks against the dashboard batch into a single agg pass."""
-    rows = []
-    cache: dict[str, DataFrame] = {}
+    All checks against one mart fold into a SINGLE aggregation pass
+    (conditional sums), so each mart is scanned exactly once — 4 jobs
+    for 12 checks instead of 12 filter-counts, and the only shape that
+    survives a 100 TB dashboard table. The per-table jobs submit
+    concurrently."""
+    from collections import defaultdict
+    from concurrent.futures import ThreadPoolExecutor
+
+    by_table: dict[str, list[Check]] = defaultdict(list)
     for chk in gold_checks():
-        df = cache.setdefault(chk.table, read_gold(spark, warehouse, chk.table))
-        bad = df.filter(chk.predicate).count()
-        rows.append((chk.name, chk.table, chk.description, bad, bad == 0))
+        by_table[chk.table].append(chk)
+
+    def _check_table(item: tuple[str, list[Check]]) -> list[tuple]:
+        table, checks = item
+        df = read_gold(spark, warehouse, table)
+        row = df.agg(*[
+            F.sum(F.when(chk.predicate, 1).otherwise(0)).cast("long").alias(f"c{i}")
+            for i, chk in enumerate(checks)
+        ]).collect()[0]
+        return [
+            (chk.name, table, chk.description, row[f"c{i}"] or 0, (row[f"c{i}"] or 0) == 0)
+            for i, chk in enumerate(checks)
+        ]
+
+    with ThreadPoolExecutor(max_workers=len(by_table)) as pool:
+        table_rows = list(pool.map(_check_table, by_table.items()))
+    rows = [r for rs in table_rows for r in rs]
     return tiny_df(
         spark, rows, "check_name string, table_name string, description string, "
                      "violations long, passed boolean")
