@@ -223,3 +223,36 @@ def test_foreach_batch_merge_sink_idempotent(spark, tmp_path):
     got2 = {(r.window_start, r.event_type): (r.n_events, r.total_value)
             for r in spark.read.parquet(target).collect()}
     assert got2 == expected
+
+
+def test_streaming_bronze_csv_ingest(spark, tmp_path):
+    """File-watch CSV -> keyed merge into bronze: later files upsert on
+    pk, incremental runs only process new files, silver can read the
+    result."""
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = ("supplier_id long, supplier_name string, "
+              "contact_email string, phone_number string")
+    (land / "batch1.csv").write_text(
+        "supplier_id,supplier_name,contact_email,phone_number\n"
+        "1,Acme Corp,a@x.com,555-0001\n"
+        "2,Beta LLC,b@x.com,555-0002\n")
+    wh = str(tmp_path / "wh")
+    cp = str(tmp_path / "cp")
+
+    SI.run_csv_ingest(spark, str(land), wh, "suppliers", schema, cp)
+    got = {r.supplier_id: r.supplier_name
+           for r in spark.read.parquet(f"{wh}/bronze/suppliers").collect()}
+    assert got == {1: "Acme Corp", 2: "Beta LLC"}
+
+    # second landing file: one pk update, one new row
+    (land / "batch2.csv").write_text(
+        "supplier_id,supplier_name,contact_email,phone_number\n"
+        "2,Beta Holdings,b2@x.com,555-0002\n"
+        "3,Gamma Inc,c@x.com,555-0003\n")
+    SI.run_csv_ingest(spark, str(land), wh, "suppliers", schema, cp)
+    got = {r.supplier_id: r.supplier_name
+           for r in spark.read.parquet(f"{wh}/bronze/suppliers").collect()}
+    assert got == {1: "Acme Corp", 2: "Beta Holdings", 3: "Gamma Inc"}
