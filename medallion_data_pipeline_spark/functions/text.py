@@ -353,3 +353,36 @@ def simhash_from_hashes(hashed_toks: Column, bits: int = 16) -> Column:
         votes = F.aggregate(hashed_toks, F.lit(0).cast("long"), vote_fn(b))
         fp = fp + F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return fp
+
+
+# --- PII redaction -------------------------------------------------------
+#
+# Training-data scrubbing: mask emails/phones/SSNs with typed tokens.
+# Plain codegen'd regexp_replace chains — no Python in the scan. The
+# patterns are deliberately RE2-safe (no backrefs/lookaround) so the
+# same strings run in Spark (Java regex) and any RE2 engine.
+
+PII_PATTERNS = {
+    # order matters: emails first (may contain digits), SSN (3-2-4)
+    # before phone (3-3-4) so neither masks inside the other's token
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "SSN": r"\d{3}-\d{2}-\d{4}",
+    "PHONE": r"\d{3}[-.]\d{3}[-.]\d{4}",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its [TYPE] token."""
+    out = col
+    for token, pattern in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"[{token}]")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """{type: match-count column} for audit/reporting alongside the
+    redacted text (count before redaction)."""
+    return {
+        token: F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+        for token, pattern in PII_PATTERNS.items()
+    }

@@ -1,0 +1,74 @@
+"""Distributed connected components over an edge list.
+
+The missing piece between near-duplicate PAIRS and a dedup decision:
+pairs form a graph; each connected component is one duplicate cluster,
+and the keeper is the minimum id in the component. The reference has no
+graph operator at all — this follows the standard large-graph
+min-label-propagation scheme (alternating small-star/large-star style
+iteration) expressed purely in DataFrame ops.
+
+Scale shape: each iteration is one groupBy shuffle on node id over the
+(bounded) edge set plus a broadcast-size convergence count. Iterations
+= graph diameter, which for near-dup clusters is tiny (clusters are
+cliques-ish, diameter 1-3). No collect of nodes or edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in `edges`; component = min node
+    id reachable through any path. Deterministic for any edge order.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the minimum label among itself and its
+    neighbors; stop when no label changed. Convergence in <= diameter
+    rounds; `max_iter` guards pathological chains (at 25 the partial
+    labels are still valid upper bounds, but components longer than 25
+    hops would stay split — raise for path-shaped graphs).
+    """
+    # undirected: both directions once, then per-node min over neighbors
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    # Each round's labels are localCheckpoint'ed (eager): iterative
+    # DataFrames MUST truncate lineage every round or the plan doubles
+    # per iteration and re-executes from scratch. On a cluster prefer
+    # reliable checkpointing (sc.setCheckpointDir + .checkpoint()) so
+    # labels survive executor loss.
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                both.join(labels, both.v == labels.node)
+                .groupBy("u").agg(F.min("comp").alias("n_comp"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+                .select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp")))
+                    .alias("comp"),
+                    (F.col("n_comp") < F.col("comp")).alias("_changed"),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+        return labels.select("node", "comp")
+    finally:
+        both.unpersist()

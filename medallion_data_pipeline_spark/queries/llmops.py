@@ -526,3 +526,128 @@ def knn_cosine_ivf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.knn_ivf(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q — near-duplicate CLUSTER assignment: minhash pairs form a graph;
+# each connected component is one duplicate cluster (keeper = min id).
+# Spark side is ITERATIVE min-label propagation (operators/graph.py);
+# the oracle replays it as a recursive CTE — an iterative distributed
+# algorithm that is still exactly oracle-gated.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+    {_minhash_oracle()}
+), edges2 AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(node, m) AS (
+    SELECT u, u FROM edges2
+    UNION
+    SELECT e.u, r.m FROM edges2 e JOIN reach r ON e.v = r.node
+)
+SELECT node AS doc_id, MIN(m) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster ids over the minhash near-dup pair graph:
+    (doc_id, cluster_id = min reachable doc id). Label propagation
+    converges in <= cluster diameter rounds; each round is one shuffle
+    over the (tiny relative to corpus) edge set."""
+    from ..operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.4)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — benchmark-contamination check: flag corpus documents sharing any
+# 4-shingle with a held-out eval set (here: doc_id % 100 == 0 stands in
+# for the benchmark). The decontamination pass every training-data
+# pipeline runs before training.
+# ---------------------------------------------------------------------------
+
+_CONTAMINATION_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_sql_shingles("text", 4)} AS shingles FROM documents
+), eval_grams AS (
+    SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 100 = 0
+), corpus AS (
+    SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh
+    WHERE doc_id % 100 <> 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams
+FROM corpus c JOIN eval_grams e ON c.g = e.g
+GROUP BY c.doc_id
+"""
+
+
+@register("contamination_check", oracle=_CONTAMINATION_SQL)
+def contamination_check(spark, sf_dir):
+    """Documents contaminated by eval-set 4-grams, with the shared-gram
+    count. Scale shape: explode both sides to (gram) and equi-join on
+    the gram — the eval side is small, so it broadcasts; never a cross
+    join. Count-distinct collapses to grain (doc, gram) first."""
+    docs = t(spark, sf_dir, "documents")
+    shingled = (
+        docs.withColumn("_toks", X.words(F.col("text")))
+        .withColumn("_sh", X.shingles_from_tokens(F.col("_toks"), 4))
+    )
+    eval_grams = (
+        shingled.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("_sh").alias("g")).distinct()
+    )
+    corpus = (
+        shingled.filter(F.col("doc_id") % 100 != 0)
+        .select("doc_id", F.explode(F.array_distinct("_sh")).alias("g"))
+    )
+    return (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — deterministic hash split: reproducible train/val/test assignment
+# from md5(doc_id), the standard leakage-free split for training data
+# (stable under re-runs, insert order, and engine).
+# ---------------------------------------------------------------------------
+
+_HASH_SPLIT_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("hash_split", oracle=_HASH_SPLIT_SQL)
+def hash_split(spark, sf_dir):
+    """80/10/10 split keyed on md5(doc_id): no shuffle, no RNG state,
+    same assignment on any engine or cluster size."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+    )

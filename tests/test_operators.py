@@ -104,3 +104,38 @@ def test_knn_ivf_finds_identical_in_cell(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = S.knn_ivf(emb, emb.filter("vec_id = 0"), k=3, n_cells=4).collect()
     assert any(r.neighbor_id == 100 and r.cosine == 1.0 for r in out)
+
+
+def test_pii_redaction(spark):
+    from medallion_data_pipeline_spark.functions import text as X
+
+    rows = [
+        (1, "contact john.doe+x@example.co.uk or 555-123-4567 today"),
+        (2, "ssn 123-45-6789 and email a@b.io; phone 555.987.6543"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    counts = X.pii_counts(F.col("text"))
+    out = df.select(
+        "id",
+        X.redact_pii(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in counts.items()],
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got[1].red == "contact [EMAIL] or [PHONE] today"
+    assert got[1].EMAIL == 1 and got[1].PHONE == 1 and got[1].SSN == 0
+    assert got[2].red == "ssn [SSN] and email [EMAIL]; phone [PHONE]"
+    assert got[2].EMAIL == 1 and got[2].PHONE == 1 and got[2].SSN == 1
+    assert got[3].red == "no pii here at all"
+    assert got[3].EMAIL == got[3].PHONE == got[3].SSN == 0
+
+
+def test_connected_components_known_graph(spark):
+    from medallion_data_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
