@@ -270,3 +270,98 @@ def skew_salted_join(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q — funnel analysis over sessions: strictly-ordered step containment
+# (view -> click -> purchase within one session, each step at or after
+# the previous one). Sequence analytics the flat aggregations above
+# can't express; the session definition is shared with
+# sessionize_events, so the two queries compose.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ts_ms,
+           CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+), s1 AS (
+    SELECT user_id, session_seq, MIN(ts_ms) AS t1 FROM sessions
+    WHERE event_type = 'view' GROUP BY 1, 2
+), s2 AS (
+    SELECT s.user_id, s.session_seq, MIN(s.ts_ms) AS t2
+    FROM sessions s JOIN s1 USING (user_id, session_seq)
+    WHERE s.event_type = 'click' AND s.ts_ms >= s1.t1 GROUP BY 1, 2
+), s3 AS (
+    SELECT s.user_id, s.session_seq, MIN(s.ts_ms) AS t3
+    FROM sessions s JOIN s2 USING (user_id, session_seq)
+    WHERE s.event_type = 'purchase' AND s.ts_ms >= s2.t2 GROUP BY 1, 2
+), totals AS (
+    SELECT COUNT(*) AS n_sessions
+    FROM (SELECT DISTINCT user_id, session_seq FROM sessions)
+)
+SELECT n_sessions,
+       (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_view_click,
+       (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1), 6) AS view_to_purchase_rate
+FROM totals
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_SQL)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Session funnel view -> click -> purchase with strict ordering
+    (each step's first occurrence at or after the previous step's).
+
+    Scale shape: one window pass assigns sessions, then three
+    conditional-min aggregations each shuffling on the SAME
+    (user_id, session_seq) key — co-partitioned, so AQE keeps the step
+    joins local; counts are driver-side scalars only at the end."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis("ts")
+    marked = e.select(
+        "user_id", "event_id", "event_type", ts_ms.alias("ts_ms"), "ts",
+        F.when(
+            (ts_ms - F.lag(ts_ms).over(w) > 1800000) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).select("user_id", "session_seq", "event_type", "ts_ms")
+
+    keys = ["user_id", "session_seq"]
+    s1 = (sessions.filter(F.col("event_type") == "view")
+          .groupBy(*keys).agg(F.min("ts_ms").alias("t1")))
+    s2 = (sessions.filter(F.col("event_type") == "click")
+          .join(s1, keys)
+          .filter(F.col("ts_ms") >= F.col("t1"))
+          .groupBy(*keys).agg(F.min("ts_ms").alias("t2")))
+    s3 = (sessions.filter(F.col("event_type") == "purchase")
+          .join(s2, keys)
+          .filter(F.col("ts_ms") >= F.col("t2"))
+          .groupBy(*keys).agg(F.min("ts_ms").alias("t3")))
+
+    per_session = (
+        sessions.select(*keys).distinct()
+        .join(s1, keys, "left").join(s2, keys, "left").join(s3, keys, "left")
+    )
+    n1, n3 = F.count("t1"), F.count("t3")
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        n1.alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        n3.alias("n_full_funnel"),
+        F.when(n1 > 0, F.round(n3.cast("double") / n1, 6))
+        .alias("view_to_purchase_rate"),
+    )
