@@ -87,3 +87,17 @@ def ingest_csv_dir(spark: SparkSession, csv_dir: str, warehouse: str) -> dict[st
         if os.path.exists(path):
             dfs[name] = spark.read.csv(path, header=True, mode="PERMISSIVE")
     return write_bronze(dfs, warehouse)
+
+
+def ingest_json_dir(spark: SparkSession, json_dir: str, warehouse: str) -> dict[str, int]:
+    """JSON-lines ingest path (API-export shape of S1): PERMISSIVE mode
+    keeps malformed lines in `_corrupt_record` instead of failing the
+    load — bronze's accept-anything contract for a second wire format.
+    Tables land through the same pk-dedup writer as CSV/fixtures."""
+    dfs = {}
+    for name in BRONZE_TABLES:
+        path = os.path.join(json_dir, f"{name}.jsonl")
+        if os.path.exists(path):
+            dfs[name] = spark.read.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    return write_bronze(dfs, warehouse)

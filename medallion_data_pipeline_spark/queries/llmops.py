@@ -553,7 +553,7 @@ FROM reach GROUP BY node
 """
 
 
-@register("dedup_clusters", oracle=_CLUSTERS_SQL)
+@register("dedup_clusters", oracle=_CLUSTERS_SQL, bench=True)
 def dedup_clusters(spark, sf_dir):
     """Duplicate-cluster ids over the minhash near-dup pair graph:
     (doc_id, cluster_id = min reachable doc id). Label propagation

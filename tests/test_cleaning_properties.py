@@ -88,3 +88,59 @@ def test_date_roundtrip_all_formats(spark, dates, fmt):
             assert parsed is not None
         else:
             assert parsed == d
+
+
+# --- PII redaction invariants -------------------------------------------
+
+pii_batch = st.lists(
+    st.one_of(
+        st.text(max_size=60),
+        st.sampled_from([
+            "mail me at jo.do+1@ex.org now", "555-123-4567", "123-45-6789",
+            "a@b.io and c@d.co", "phone 555.987.6543 ssn 987-65-4321",
+            "almost 12-34-5678 not-pii 1234-56-789",
+        ]),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@given(values=pii_batch)
+@settings(**_SETTINGS)
+def test_redact_pii_idempotent_and_clean(spark, values):
+    from medallion_data_pipeline_spark.functions import text as X
+
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    once = X.redact_pii(F.col("raw"))
+    out = df.select(
+        once.alias("once"),
+        X.redact_pii(once).alias("twice"),
+    ).collect()
+    for r in out:
+        # idempotent: a redacted text has no remaining PII to redact
+        assert r.once == r.twice
+        # no live emails survive ('@' may remain only in non-address text)
+        for token, pat in X.PII_PATTERNS.items():
+            import re
+            assert re.search(pat, r.once) is None
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=50, unique=True))
+@settings(**_SETTINGS)
+def test_hash_split_stable_and_total(spark, ids):
+    """Every id gets exactly one split; assignment is a pure function
+    of the id (stable under re-evaluation and row order)."""
+    from pyspark.sql import functions as F2
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    bucket = (
+        F2.conv(F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (F2.when(bucket < 80, "train").when(bucket < 90, "val")
+             .otherwise("test"))
+    a = {r.doc_id: r.s for r in df.select("doc_id", split.alias("s")).collect()}
+    b = {r.doc_id: r.s
+         for r in df.orderBy(F2.desc("doc_id")).select("doc_id", split.alias("s")).collect()}
+    assert a == b
+    assert all(s in ("train", "val", "test") for s in a.values())

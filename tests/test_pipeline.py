@@ -121,3 +121,32 @@ def test_silver_rerun_is_idempotent(spark, warehouse):
     after = {t: silver.read_silver(spark, warehouse, t).count()
              for t in silver.SILVER_TABLES}
     assert before == after   # overwrite semantics: same input -> same output
+
+
+def test_bronze_json_ingest(spark, tmp_path):
+    import json as _json
+
+    from medallion_data_pipeline_spark.plans import bronze as B
+
+    jd = tmp_path / "json_land"
+    jd.mkdir()
+    rows = [
+        {"supplier_id": 1, "supplier_name": "Acme", "contact_email": "a@x.com",
+         "phone_number": "555-0001"},
+        {"supplier_id": 1, "supplier_name": "Acme v2", "contact_email": "a2@x.com",
+         "phone_number": "555-0001"},  # pk dup: one survives
+        {"supplier_id": 2, "supplier_name": "Beta", "contact_email": "b@x.com",
+         "phone_number": "555-0002"},
+    ]
+    with open(jd / "suppliers.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write("{this is not json\n")  # must not fail the load
+
+    wh = str(tmp_path / "wh_json")
+    counts = B.ingest_json_dir(spark, str(jd), wh)
+    assert counts["suppliers"] == 3  # 2 valid pks + 1 corrupt-record row
+    landed = spark.read.parquet(f"{wh}/bronze/suppliers")
+    assert "_corrupt_record" in landed.columns
+    assert landed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert {r.supplier_id for r in landed.select("supplier_id").collect()} == {1, 2, None}
