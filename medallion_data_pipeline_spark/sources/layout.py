@@ -48,6 +48,21 @@ def write_sized(df: DataFrame, path: str, target_file_mb: int = 128,
     df.repartition(n_files).write.mode(mode).parquet(path)
 
 
+def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                    n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-cluster rows on write so parquet min/max statistics become
+    a skip index: ``repartitionByRange`` gives each output file a
+    disjoint value range on ``cluster_cols``, and the within-file sort
+    tightens row-group stats. A range predicate on the cluster column
+    then skips whole files/row groups at scan time — the single-column
+    equivalent of Z-ordering, with no table format required."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode).parquet(path)
+    )
+
+
 def shuffle_free_join_plan(spark: SparkSession, left_table: str, right_table: str,
                            key: str) -> str:
     """Explain string for a join of two bucketed tables — used by tests

@@ -54,3 +54,35 @@ def test_write_sized_bounds_file_count(spark, tmp_path):
     import glob
     files = glob.glob(f"{path}/part-*")
     assert 1 <= len(files) <= 4
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered must yield files whose [min,max] ranges on the
+    cluster column do not overlap — the property that makes parquet
+    footer stats an effective skip index for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from medallion_data_pipeline_spark.sources import layout as L
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_clustered")
+    L.write_clustered(events.select("event_id", "ts", "event_type"), out,
+                      ["event_id"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["event_id"]).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
