@@ -651,3 +651,56 @@ def hash_split(spark, sf_dir):
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — deterministic stratified sampling: per-language sampling rates
+# from the md5-bucket trick instead of RNG state. Unlike sampleBy, the
+# selection is a pure function of (doc_id), so the sample is identical
+# on any engine, cluster size, or re-run — the reproducibility property
+# a training-data pipeline needs for dataset versioning.
+# ---------------------------------------------------------------------------
+
+_STRATA = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 50}  # pct kept
+
+_STRATIFIED_SQL = """
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+    FROM documents
+), kept AS (
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+        WHEN 'fr' THEN 50 WHEN 'zh' THEN 50 ELSE 0 END
+)
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sample_digest
+FROM kept GROUP BY lang
+"""
+
+
+@register("stratified_sample", oracle=_STRATIFIED_SQL)
+def stratified_sample(spark, sf_dir):
+    """Per-language downsampling (en to 20%, rest to 50%) keyed on
+    md5('strat:'||doc_id). The digest column hashes the exact member
+    set per stratum, so the oracle certifies the SAMPLE ITSELF, not
+    just its size. No shuffle until the final small aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, pct in _STRATA.items():
+        expr = F.when(F.col("lang") == lang, pct) if expr is None else expr.when(F.col("lang") == lang, pct)
+    rate = expr.otherwise(0)
+    kept = docs.select("doc_id", "lang").filter(bucket < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_id"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string"))))
+        .alias("sample_digest"),
+    )
