@@ -704,3 +704,359 @@ def stratified_sample(spark, sf_dir):
             F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string"))))
         .alias("sample_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality batch: the filter/resample/pack stages a web-scale
+# training-data pipeline runs between dedup and tokenization. Every
+# per-doc double is rounded to 6dp and summed as DECIMAL(12,6) so the
+# cross-doc aggregates are order-independent (determinism contract).
+# ---------------------------------------------------------------------------
+
+_D6 = "decimal(12,6)"
+
+
+def _doc_word_stats(docs):
+    """Stage per-doc token stats as named columns (one tokenization per
+    row): ws, n_words, mean_word_len, stop_frac, distinct_frac."""
+    d = docs.withColumn("ws", X.words(F.col("text")))
+    d = d.withColumn("n_words", F.size("ws"))
+    d = d.withColumn(
+        "mwl",
+        F.aggregate("ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        .cast("double") / F.col("n_words"),
+    )
+    d = d.withColumn(
+        "stop_frac",
+        F.size(F.filter("ws", lambda w: w.isin("the", "a"))).cast("double")
+        / F.col("n_words"),
+    )
+    return d.withColumn(
+        "distinct_frac",
+        F.size(F.array_distinct("ws")).cast("double") / F.col("n_words"),
+    )
+
+
+_SQL_DOC_STATS = """
+WITH w AS (
+    SELECT doc_id, lang, n_chars, {words} AS ws
+    FROM documents
+), s AS (
+    SELECT doc_id, lang, n_chars, len(ws) AS n_words,
+           CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE) / len(ws) AS mwl,
+           CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stop_frac,
+           CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_frac
+    FROM w
+)
+""".format(words=_SQL_WORDS.format("text"))
+
+
+# --- gopher_quality_filters ------------------------------------------------
+
+_GOPHER_SQL = _SQL_DOC_STATS + """
+, f AS (
+    SELECT lang,
+           CASE WHEN n_words >= 30 AND stop_frac >= 0.02
+                 AND distinct_frac >= 0.5 AND mwl BETWEEN 3 AND 10
+                THEN 1 ELSE 0 END AS pass,
+           CASE WHEN n_words < 30 THEN 1 ELSE 0 END AS f_short,
+           CASE WHEN stop_frac < 0.02 THEN 1 ELSE 0 END AS f_stop,
+           CASE WHEN distinct_frac < 0.5 THEN 1 ELSE 0 END AS f_repeat,
+           CAST(ROUND(mwl, 6) AS DECIMAL(12,6)) AS mwl6,
+           CAST(ROUND(stop_frac, 6) AS DECIMAL(12,6)) AS stop6
+    FROM s
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS n_pass,
+       CAST(SUM(f_short) AS BIGINT) AS n_fail_short,
+       CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopword,
+       CAST(SUM(f_repeat) AS BIGINT) AS n_fail_repetitive,
+       ROUND(CAST(SUM(mwl6) AS DOUBLE) / COUNT(*), 6) AS avg_word_len,
+       ROUND(CAST(SUM(stop6) AS DOUBLE) / COUNT(*), 6) AS avg_stop_frac
+FROM f GROUP BY lang
+"""
+
+
+@register("gopher_quality_filters", oracle=_GOPHER_SQL)
+def gopher_quality_filters(spark, sf_dir):
+    """Gopher/C4-style document quality gates (word-count floor,
+    stopword floor, distinct-token floor, mean-word-length band),
+    reported as per-language pass/fail tallies. One tokenization pass,
+    no UDFs; the whole filter is Catalyst expressions over staged
+    columns, so at 100 TB it runs scan-local with no shuffle before
+    the tiny per-language rollup."""
+    d = _doc_word_stats(t(spark, sf_dir, "documents"))
+    passes = (
+        (F.col("n_words") >= 30) & (F.col("stop_frac") >= 0.02)
+        & (F.col("distinct_frac") >= 0.5) & F.col("mwl").between(3, 10)
+    )
+    d = d.select(
+        "lang",
+        passes.cast("int").alias("pass"),
+        (F.col("n_words") < 30).cast("int").alias("f_short"),
+        (F.col("stop_frac") < 0.02).cast("int").alias("f_stop"),
+        (F.col("distinct_frac") < 0.5).cast("int").alias("f_repeat"),
+        F.round("mwl", 6).cast(_D6).alias("mwl6"),
+        F.round("stop_frac", 6).cast(_D6).alias("stop6"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass").alias("n_pass"),
+        F.sum("f_short").alias("n_fail_short"),
+        F.sum("f_stop").alias("n_fail_stopword"),
+        F.sum("f_repeat").alias("n_fail_repetitive"),
+        F.round(F.sum("mwl6").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_word_len"),
+        F.round(F.sum("stop6").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_stop_frac"),
+    )
+
+
+# --- repetition_profile ----------------------------------------------------
+
+_REPETITION_SQL = """
+WITH w AS (
+    SELECT doc_id, lang, {grams} AS gs FROM documents
+), d AS (
+    SELECT lang,
+           CAST(ROUND(CASE WHEN len(gs) > 0
+                THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                ELSE 0.0 END, 6) AS DECIMAL(12,6)) AS dup6
+    FROM w
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(dup6) AS DOUBLE) / COUNT(*), 6) AS avg_dup_frac,
+       CAST(MAX(dup6) AS DOUBLE) AS max_dup_frac,
+       CAST(SUM(CASE WHEN dup6 > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM d GROUP BY lang
+""".format(grams=_sql_shingles("text", 2))
+
+
+@register("repetition_profile", oracle=_REPETITION_SQL)
+def repetition_profile(spark, sf_dir):
+    """Within-document repetition (duplicate word-bigram fraction, the
+    C4 'repeated n-gram' signal) aggregated per language. Bigrams are
+    staged once per row; dedup of the gram list is array_distinct —
+    all expression-level, scan-local until the 5-row rollup."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "gs", X.shingles_from_tokens(X.words(F.col("text")), 2))
+    dup = F.when(
+        F.size("gs") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("gs")).cast("double") / F.size("gs"),
+    ).otherwise(0.0)
+    d = d.select("lang", F.round(dup, 6).cast(_D6).alias("dup6"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("dup6").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_dup_frac"),
+        F.max("dup6").cast("double").alias("max_dup_frac"),
+        F.sum((F.col("dup6") > 0.05).cast("int")).alias("n_repetitive"),
+    )
+
+
+# --- temperature_resample --------------------------------------------------
+
+_TEMPERATURE_SQL = """
+WITH s AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len({words})) AS BIGINT) AS tokens
+    FROM documents GROUP BY lang
+), p AS (
+    SELECT lang, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS prob,
+           CAST(ROUND(sqrt(CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()), 6)
+                AS DECIMAL(12,6)) AS sp
+    FROM s
+)
+SELECT lang, n_docs, tokens, ROUND(prob, 6) AS token_share,
+       ROUND(CAST(sp AS DOUBLE) / CAST(SUM(sp) OVER () AS DOUBLE), 6) AS sample_weight
+FROM p
+""".format(words=_SQL_WORDS.format("text"))
+
+
+@register("temperature_resample", oracle=_TEMPERATURE_SQL)
+def temperature_resample(spark, sf_dir):
+    """Temperature-based language rebalancing (weight ∝ share^alpha,
+    alpha=0.5): the multilingual upsampling rule used when flattening a
+    skewed language mix. sqrt is used instead of pow because IEEE sqrt
+    is correctly rounded on every engine — the weights hash-match
+    exactly. Heavy work is one scan + 5-group agg; the normalization
+    window runs on 5 rows."""
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents").select(
+        "lang", F.size(X.words(F.col("text"))).alias("n_words"))
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("tokens"))
+    w = W.partitionBy()
+    prob = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    s = s.withColumn("prob", prob).withColumn(
+        "sp", F.round(F.sqrt(F.col("prob")), 6).cast(_D6))
+    return s.select(
+        "lang", "n_docs", "tokens",
+        F.round("prob", 6).alias("token_share"),
+        F.round(F.col("sp").cast("double")
+                / F.sum("sp").over(w).cast("double"), 6).alias("sample_weight"),
+    )
+
+
+# --- corpus_token_stats ----------------------------------------------------
+
+_TOKEN_STATS_SQL = """
+WITH s AS (
+    SELECT lang, n_chars, len({words}) AS n_words FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+       ROUND(quantile_cont(n_words, 0.5), 6) AS p50_words,
+       ROUND(quantile_cont(n_words, 0.9), 6) AS p90_words,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM s GROUP BY lang
+""".format(words=_SQL_WORDS.format("text"))
+
+
+@register("corpus_token_stats", oracle=_TOKEN_STATS_SQL)
+def corpus_token_stats(spark, sf_dir):
+    """Per-language token-count distribution with EXACT interpolated
+    percentiles (Spark `percentile` == SQL percentile_cont on the same
+    integer inputs — deterministic, unlike approx_percentile). At
+    scale the exact percentile is a sort-based agg per group; for the
+    100 TB path approx_sketches provides the t-digest variant."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.size(X.words(F.col("text"))).alias("n_words"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.percentile("n_words", F.lit(0.5)), 6).alias("p50_words"),
+        F.round(F.percentile("n_words", F.lit(0.9)), 6).alias("p90_words"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_chars"),
+    )
+
+
+# --- sequence_packing ------------------------------------------------------
+
+_PACKING_SQL = """
+WITH s AS (
+    SELECT doc_id, lang, len({words}) AS tok FROM documents
+), c AS (
+    SELECT doc_id, lang, tok,
+           COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM s
+), b AS (
+    SELECT doc_id, lang, tok,
+           CAST(FLOOR(cum_before / 512) AS BIGINT) AS bin
+    FROM c
+)
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT bin) AS n_bins,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(DISTINCT bin), 6) AS avg_bin_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(bin AS VARCHAR),
+                      ',' ORDER BY doc_id)) AS assignment_digest
+FROM b GROUP BY lang
+""".format(words=_SQL_WORDS.format("text"))
+
+
+@register("sequence_packing", oracle=_PACKING_SQL)
+def sequence_packing(spark, sf_dir):
+    """Deterministic sequence packing: stream documents per language in
+    doc_id order, cut a new 512-token context whenever the running sum
+    crosses the boundary (bin = floor(prefix_sum/512)). The digest
+    certifies the exact doc->bin assignment. The window is a single
+    shuffle on lang; at 100 TB you'd sub-partition by (lang, shard) to
+    bound partition size — semantics unchanged since bins never cross
+    shards if doc_ids are range-sharded."""
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(X.words(F.col("text"))).alias("tok"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    d = d.withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    d = d.withColumn(
+        "bin", F.floor(F.col("cum_before") / 512).cast("long"))
+    pair = F.concat_ws(":", F.col("doc_id").cast("string"),
+                       F.col("bin").cast("string"))
+    d = d.withColumn("pair", pair)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("tok").alias("total_tokens"),
+        F.round(F.sum("tok").cast("double") / F.countDistinct("bin"), 6)
+        .alias("avg_bin_tokens"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "pair"))),
+            lambda x: x["pair"]))).alias("assignment_digest"),
+    )
+
+
+# --- ngram_heavy_hitters ---------------------------------------------------
+
+_HEAVY_HITTERS_SQL = """
+WITH g AS (
+    SELECT unnest({grams}) AS gram FROM documents
+)
+SELECT gram, COUNT(*) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 20
+""".format(grams=_sql_shingles("text", 3))
+
+
+@register("ngram_heavy_hitters", oracle=_HEAVY_HITTERS_SQL)
+def ngram_heavy_hitters(spark, sf_dir):
+    """Corpus-wide top-20 word trigrams (the exact heavy-hitter
+    baseline; approx_sketches carries the sketch variant). explode ->
+    partial-agg count -> total-order top-k; map-side combine keeps the
+    shuffle proportional to distinct grams, not corpus size. Total
+    order (cnt DESC, gram ASC) makes the LIMIT deterministic."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "gs", X.shingles_from_tokens(X.words(F.col("text")), 3))
+    g = d.select(F.explode("gs").alias("gram"))
+    return (g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram")).limit(20))
+
+
+# --- tfidf_top_terms -------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH w AS (
+    SELECT doc_id, lang, unnest({words}) AS word FROM documents
+), df AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), tf AS (
+    SELECT lang, word, COUNT(*) AS tf FROM w GROUP BY lang, word
+), scored AS (
+    SELECT tf.lang, tf.word, tf.tf, df.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY tfidf DESC, word ASC) AS rk
+    FROM scored
+)
+SELECT lang, word, tf, df, tfidf, rk FROM ranked WHERE rk <= 5
+""".format(words=_SQL_WORDS.format("text"))
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_SQL)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-5 terms per language by tf-idf (term count in the language
+    vs corpus-wide document frequency). The df table and the scalar
+    doc count are tiny -> broadcast joins; the only real shuffle is
+    the (lang, word) count. Rank uses the ROUNDED score with the word
+    as tiebreak so ordering is engine-independent."""
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents").withColumn(
+        "ws", X.words(F.col("text")))
+    w_ = d.select("doc_id", "lang", F.explode("ws").alias("word"))
+    df_ = w_.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    tf_ = w_.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf_.join(F.broadcast(df_), "word").select(
+        "lang", "word", "tf", "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word")))
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
