@@ -441,3 +441,145 @@ def approx_sketches(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_distinct_orders"),
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_quartiles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface batch: GROUPING SETS, correlated EXISTS, exact money
+# percentiles, sorted listagg — ANSI surface the Query-Runner exposes
+# (SURVEY §3.2) pinned as first-class oracle-gated queries.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(o.o_orderpriority, 'ALL') AS priority,
+       GROUPING(r.r_name) AS g_region,
+       GROUPING(o.o_orderpriority) AS g_priority,
+       COUNT(*) AS n_orders,
+       {rev} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r.r_name), (o.o_orderpriority), ())
+""".format(rev=sql_dsum("o.o_totalprice"))
+
+
+@register("grouping_sets_revenue", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS ((region), (priority), ()) via the DataFrame
+    groupingSets API (Spark 4) with grouping() flags — one shuffle
+    produces all three rollup grains (Expand feeds a single hash agg),
+    cheaper at scale than unioning three separate groupBys."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name"), F.col("o_orderpriority"), F.col("o_totalprice"))
+    )
+    g = j.groupingSets(
+        [["r_name"], ["o_orderpriority"], []], "r_name", "o_orderpriority"
+    ).agg(
+        F.grouping("r_name").alias("g_region"),
+        F.grouping("o_orderpriority").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    return g.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.col("g_region").cast("int").alias("g_region"),
+        F.col("g_priority").cast("int").alias("g_priority"),
+        "n_orders", "revenue",
+    )
+
+
+_PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 4) AS p25,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 4) AS p50,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 4) AS p75,
+       ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.90), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("priority_price_percentiles", oracle=_PRICE_PERCENTILES_SQL)
+def priority_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of order value per priority —
+    Spark `percentile` and SQL quantile_cont share type-7 linear
+    interpolation; inputs cast to DOUBLE pre-agg on both engines and
+    rounded to 4 dp (module determinism note). The exact form is a
+    per-group sort; approx_sketches is the 100 TB default."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v"))
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("v", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("v", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("v", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("v", F.lit(0.90)), 4).alias("p90"),
+    )
+
+
+_OPEN_NO_FINAL_SQL = """
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY n.n_name
+"""
+
+
+@register("customers_open_no_final", oracle=_OPEN_NO_FINAL_SQL)
+def customers_open_no_final(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through Spark SQL (the
+    Query-Runner passthrough surface): customers with an open order and
+    no finalized one, counted per nation. Catalyst rewrites the
+    subqueries to left-semi + left-anti hash joins — same plan the
+    DataFrame semi/anti variant (customer_activity) produces."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM v_customer c
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        GROUP BY n.n_name
+    """)
+
+
+_NATIONS_LISTAGG_SQL = """
+SELECT r.r_name AS region, COUNT(*) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("nations_listagg", oracle=_NATIONS_LISTAGG_SQL)
+def nations_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg dual):
+    array_join(sort_array(collect_list(...))) gives a deterministic
+    csv independent of partition arrival order."""
+    n = t(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+            .alias("nations_csv"),
+        )
+    )
