@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from . import register
-from ._util import fdiv, sql_fdiv, t
+from ._util import dsum, fdiv, sql_fdiv, t
 
 # ---------------------------------------------------------------------------
 # q16 — frequency distribution (SURVEY A11: value_counts).
@@ -364,4 +364,111 @@ def funnel_view_click_purchase(spark, sf_dir):
         n3.alias("n_full_funnel"),
         F.when(n1 > 0, F.round(n3.cast("double") / n1, 6))
         .alias("view_to_purchase_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — gap fill + forward fill: the time-series resample primitive
+# (date spine -> left join -> zero-fill counts, LAST_VALUE IGNORE NULLS
+# carry-forward for sparse measures).
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_SQL = """
+WITH b AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span
+), grid AS (
+    SELECT h, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+), j AS (
+    SELECT g.h, g.event_type,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+           ROUND(b.sv / b.n, 6) AS avg_v
+    FROM grid g LEFT JOIN b ON g.h = b.h AND g.event_type = b.event_type
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, event_type, n_events,
+       last_value(avg_v IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h) AS ffill_avg_value
+FROM j
+"""
+
+
+@register("events_gap_fill", oracle=_GAP_FILL_SQL)
+def events_gap_fill(spark, sf_dir):
+    """Hourly resample of the event stream per type: a generated date
+    spine (sequence + explode) left-joined to the hourly rollup,
+    counts zero-filled, sparse avg value carried forward with
+    last(ignorenulls) — LAST_VALUE IGNORE NULLS parity. The spine is
+    rows(hours)×types — tiny relative to events at any scale — and the
+    only event-sized shuffle is the hourly pre-aggregation."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value")
+    hourly = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sv"))
+    span = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"))
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    j = grid.join(hourly, ["h", "event_type"], "left").select(
+        "h", "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("avg_v"),
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    return j.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type", "n_events",
+        F.last("avg_v", ignorenulls=True).over(w).alias("ffill_avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — debounce: drop events that follow the previous same-type event
+# within 5 minutes (lag-based, single window pass). The digest
+# certifies the exact kept set.
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_SQL = """
+WITH g AS (
+    SELECT event_id, event_type,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+    FROM events
+), k AS (
+    SELECT event_id, event_type,
+           CASE WHEN gap IS NULL OR gap >= 300000 THEN 1 ELSE 0 END AS kept
+    FROM g
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN kept = 1 THEN CAST(event_id AS VARCHAR) END,
+                      ',' ORDER BY event_id)) AS kept_digest
+FROM k GROUP BY event_type
+"""
+
+
+@register("events_debounce", oracle=_DEBOUNCE_SQL)
+def events_debounce(spark, sf_dir):
+    """Per-type debounce (keep an event only if ≥5 min since the
+    previous same-type event): one lag window, no self-join. The
+    md5 digest over the ordered kept event_ids certifies the exact
+    kept SET, not just its size."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    g = ev.withColumn("gap", ms - F.lag(ms).over(w))
+    kept = (F.col("gap").isNull() | (F.col("gap") >= 300000)).cast("int")
+    k = g.withColumn("kept", kept)
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("kept").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("kept") == 1, F.col("event_id")))),
+            lambda x: x.cast("string")))).alias("kept_digest"),
     )
