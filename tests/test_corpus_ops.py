@@ -1,0 +1,118 @@
+"""Property tests for the corpus-quality / time-series batches.
+
+The oracle gate certifies value equality vs DuckDB; these tests pin the
+SEMANTIC invariants that make the operators correct at any scale —
+properties a refactor could silently break while still hash-matching a
+co-broken oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from medallion_data_pipeline_spark.functions import text as X
+from medallion_data_pipeline_spark.queries import REGISTRY, _load
+from medallion_data_pipeline_spark.sources.testdata import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    _load()
+    return REGISTRY[name].fn
+
+
+def test_sequence_packing_bins_are_contiguous_and_closed(spark):
+    """Per language: bin ids are 0..n_bins-1 with no holes, and every
+    non-final bin is 'closed' — the running token sum at its last doc
+    has crossed the next 512 boundary (otherwise the next doc would
+    still belong to it)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.size(X.words(F.col("text"))).alias("tok"))
+    w = W.partitionBy("lang").orderBy("doc_id")
+    d = docs.withColumn("cum", F.sum("tok").over(w))
+    d = d.withColumn("bin", F.floor((F.col("cum") - F.col("tok")) / 512))
+    per_bin = d.groupBy("lang", "bin").agg(F.max("cum").alias("cum_end"))
+    wb = W.partitionBy("lang").orderBy("bin")
+    per_bin = per_bin.withColumn("rk", F.row_number().over(wb))
+    rows = per_bin.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [r.bin for r in bins] == list(range(len(bins))), lang
+        for r in bins[:-1]:  # every non-final bin crossed its boundary
+            assert r.cum_end >= 512 * (r.bin + 1), (lang, r.bin, r.cum_end)
+
+
+def test_debounce_is_idempotent(spark):
+    """Debouncing the kept set again drops nothing: consecutive kept
+    events are always >= the 5-min gap apart (the dropped events between
+    them only widen the spacing)."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "ts")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    g = ev.withColumn("gap", ms - F.lag(ms).over(w))
+    kept = g.filter(F.col("gap").isNull() | (F.col("gap") >= 300000)).select(
+        "event_id", "event_type", "ts")
+    g2 = kept.withColumn("gap", ms - F.lag(ms).over(w))
+    n_dropped_second_pass = g2.filter(
+        F.col("gap").isNotNull() & (F.col("gap") < 300000)).count()
+    assert n_dropped_second_pass == 0
+
+
+def test_gap_fill_spine_is_complete(spark):
+    """Every (event_type, hour) cell of the spine exists exactly once;
+    counts are zero-filled (never null); forward-filled value is only
+    null before a type's first observed hour."""
+    out = _q("events_gap_fill")(spark, SF_SMOKE).cache()
+    n_types = out.select("event_type").distinct().count()
+    n_hours = out.select("hour").distinct().count()
+    assert out.count() == n_types * n_hours
+    assert out.groupBy("event_type", "hour").count().agg(
+        F.max("count")).collect()[0][0] == 1
+    assert out.filter(F.col("n_events").isNull()).count() == 0
+    # once a type has a value, every later hour carries one
+    w = W.partitionBy("event_type").orderBy("hour")
+    flagged = out.withColumn(
+        "seen", F.max(F.col("ffill_avg_value").isNotNull().cast("int")).over(w))
+    assert flagged.filter(
+        (F.col("seen") == 1) & F.col("ffill_avg_value").isNull()).count() == 0
+    out.unpersist()
+
+
+def test_temperature_weights_normalize(spark):
+    rows = _q("temperature_resample")(spark, SF_SMOKE).collect()
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    # flattening: smallest language gains weight relative to its share,
+    # largest loses
+    lo = min(rows, key=lambda r: r.token_share)
+    hi = max(rows, key=lambda r: r.token_share)
+    assert lo.sample_weight > lo.token_share
+    assert hi.sample_weight < hi.token_share
+
+
+def test_grouping_sets_grain_counts(spark):
+    out = _q("grouping_sets_revenue")(spark, SF_SMOKE).collect()
+    regions = {r.region for r in out if r.g_priority == 1 and r.g_region == 0}
+    priorities = {r.priority for r in out if r.g_region == 1 and r.g_priority == 0}
+    grand = [r for r in out if r.g_region == 1 and r.g_priority == 1]
+    assert len(out) == len(regions) + len(priorities) + 1
+    assert len(grand) == 1
+    # each grain sums to the same grand total
+    tot = grand[0].revenue
+    assert abs(sum(r.revenue for r in out if r.g_priority == 1 and r.g_region == 0) - tot) < 1e-6
+    assert abs(sum(r.revenue for r in out if r.g_region == 1 and r.g_priority == 0) - tot) < 1e-6
+
+
+def test_gopher_filter_tallies_are_consistent(spark):
+    rows = _q("gopher_quality_filters")(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        # a doc fails iff it trips at least one gate (mwl band never
+        # trips on this corpus, so the three tallies cover all failures)
+        assert r.n_fail_short + r.n_fail_stopword + r.n_fail_repetitive >= r.n_docs - r.n_pass
