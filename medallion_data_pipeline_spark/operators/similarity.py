@@ -146,3 +146,69 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Distributed k-means (Lloyd), fully deterministic and therefore
+    oracle-replayable: seeds = the k lowest-id vectors, a fixed number
+    of iterations, argmin ties broken toward the lower cell index, and
+    element-wise centroid means computed as exact DECIMAL sums rounded
+    to 6 dp (order-independent across partitions — a plain double AVG
+    would hash-diverge between engines).
+
+    Per iteration: one scan with a codegen'd argmin over k broadcast
+    centroid literals (no shuffle), then a (cell, pos) aggregation —
+    k*dim groups — to rebuild centroids on the driver. The iterative
+    loop moves k*dim doubles per round; the data never re-shuffles, so
+    the pattern holds at 100 TB (each pass is a map + tiny agg).
+
+    Returns per-cell stats: size, decimal-exact inertia, and an md5
+    digest of the ordered member ids certifying the exact clustering.
+    """
+    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
+    cents = [(i, c) for i, c in
+             enumerate(deterministic_centroids(emb, k, id_col, vec_col))]
+
+    def assign(df, cent_pairs):
+        best_cell, best_dist = None, None
+        for label, c in cent_pairs:
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            dist = F.aggregate(
+                F.zip_with(F.col("dv"), cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, d: acc + d,
+            )
+            if best_dist is None:
+                best_cell, best_dist = F.lit(label), dist
+            else:
+                closer = dist < best_dist
+                best_cell = F.when(closer, F.lit(label)).otherwise(best_cell)
+                best_dist = F.when(closer, dist).otherwise(best_dist)
+        return df.withColumn("cell", best_cell).withColumn("d2", best_dist)
+
+    for _ in range(iters):
+        a = assign(v, cents)
+        m = (
+            a.select("cell", F.posexplode("dv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(
+                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("cx"))
+            .collect()
+        )
+        new = {}
+        for r in m:
+            new.setdefault(r.cell, {})[r.pos] = r.cx
+        cents = [(cell, [d[p] for p in sorted(d)])
+                 for cell, d in sorted(new.items())]
+
+    final = assign(v, cents)
+    final = final.withColumn(
+        "d2_6", F.round("d2", 6).cast("decimal(18,6)"))
+    return final.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2_6").cast("double").alias("inertia"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list(F.col(id_col))),
+            lambda x: x.cast("string")))).alias("member_digest"),
+    )

@@ -1060,3 +1060,80 @@ def tfidf_top_terms(spark, sf_dir):
     rk = F.row_number().over(
         W.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word")))
     return scored.withColumn("rk", rk).filter(F.col("rk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# q — distributed k-means (Lloyd, k=4, 2 iterations), fully
+# deterministic: lowest-id seeds, strict-less argmin (ties -> lower
+# cell), element-wise centroid means as exact DECIMAL(18,12) sums
+# rounded to 6dp. The oracle replays both iterations in SQL, so the
+# entire iterative clustering is hash-gated, not rows-only.
+# ---------------------------------------------------------------------------
+
+_KM_D2 = ("list_sum(list_transform(range(1, len({v}) + 1), "
+          "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))")
+
+
+def _km_assign_sql(src: str, cents: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT vec_id, dv, cell FROM (
+        SELECT v.vec_id, v.dv, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_KM_D2.format(v='v.dv', c='c.cv')}, c.cell) AS rn
+        FROM {src} v CROSS JOIN {cents} c)
+    WHERE rn = 1
+)"""
+
+
+def _km_mean_sql(assign: str, mean: str, cents: str) -> str:
+    return f"""{mean} AS (
+    SELECT cell, pos,
+           ROUND(CAST(SUM(CAST(dv[pos] AS DECIMAL(18,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS cx
+    FROM {assign} CROSS JOIN dims GROUP BY cell, pos
+), {cents} AS (
+    SELECT cell, list(cx ORDER BY pos) AS cv FROM {mean} GROUP BY cell
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), dims AS (
+    SELECT unnest(range(1, (SELECT max(len(dv)) FROM v) + 1)) AS pos
+), c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+    FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 4)
+), {_km_assign_sql('v', 'c0', 'a1')},
+{_km_mean_sql('a1', 'm1', 'c1')},
+{_km_assign_sql('v', 'c1', 'a2')},
+{_km_mean_sql('a2', 'm2', 'c2')},
+af AS (
+    SELECT vec_id, cell,
+           {_KM_D2.format(v='dv', c='cv')} AS d2
+    FROM (
+        SELECT v.vec_id, v.dv, c.cell, c.cv,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_KM_D2.format(v='v.dv', c='c.cv')}, c.cell) AS rn
+        FROM v CROSS JOIN c2 c)
+    WHERE rn = 1
+)
+SELECT cell, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS inertia,
+       md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+           AS member_digest
+FROM af GROUP BY cell
+"""
+
+
+@register("kmeans_embedding_cells", oracle=_KMEANS_SQL)
+def kmeans_embedding_cells(spark, sf_dir):
+    """2-iteration Lloyd k-means over the embedding corpus
+    (operators/similarity.py::lloyd_kmeans_stats): per-cell size,
+    decimal-exact inertia, and a member-set digest. Each iteration is a
+    broadcast-argmin map pass + a k*dim-group aggregation — the data
+    never re-shuffles, so the loop costs N scans, not N shuffles, at
+    any scale. This is the real fit behind the IVF router
+    (knn_cosine_ivf uses the seed-only degenerate case)."""
+    return S.lloyd_kmeans_stats(t(spark, sf_dir, "embeddings"), k=4, iters=2)
