@@ -226,12 +226,14 @@ def run_merge_stream(stream_df: DataFrame, path: str, pk: list[str],
         q.stop()
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> None:
     """Drive a streaming plan over all currently-available input and
-    stop — the synchronous smoke harness (complete mode -> memory sink).
-    Results land in the `name` temp view."""
+    stop — the synchronous smoke harness (memory sink). Results land in
+    the `name` temp view. Aggregating plans use the default complete
+    mode; stateless / dedup plans need ``output_mode="append"``."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -240,3 +242,26 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          on: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension snapshot. Spark re-plans the static side per micro-batch,
+    so a slowly-changing dim table is re-read without restarting the
+    query; the join itself is stateless (no watermark needed). At
+    cluster scale the dim side stays a broadcast hash join — the
+    stream never shuffles for the enrichment."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key's fingerprint only until
+    the watermark passes it, so state size tracks the late-data window
+    — the streaming dual of the batch hash-groupBy dedup
+    (operators/dedup.py), and the scale-safe form of the unbounded
+    dropDuplicates."""
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(keys)

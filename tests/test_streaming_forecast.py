@@ -256,3 +256,46 @@ def test_streaming_bronze_csv_ingest(spark, tmp_path):
     got = {r.supplier_id: r.supplier_name
            for r in spark.read.parquet(f"{wh}/bronze/suppliers").collect()}
     assert got == {1: "Acme Corp", 2: "Beta Holdings", 3: "Gamma Inc"}
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: every micro-batch row is enriched
+    with the dimension attributes; rows with no dim match survive
+    (left join) with nulls."""
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_enrich_src")
+    batch.repartition(4).write.parquet(src)
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "conversion")],
+        ["event_type", "event_class"],
+    )
+    stream = SE.read_event_stream(spark, src)
+    SE.run_to_memory(
+        SE.enrich_with_dimension(stream, dim, "event_type"), "stream_enriched",
+        output_mode="append")
+    out = spark.sql("SELECT * FROM stream_enriched")
+    assert out.count() == batch.count()
+    classed = {r.event_type: r.event_class for r in
+               out.select("event_type", "event_class").distinct().collect()}
+    assert classed["click"] == "engagement"
+    assert classed["purchase"] == "conversion"
+    assert classed["error"] is None  # unmatched types survive the left join
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """Replayed event_ids inside the watermark window are dropped;
+    output is exactly the distinct key set."""
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    doubled = batch.union(batch)  # exact replay of every event
+    src = str(tmp_path / "events_dedup_src")
+    doubled.repartition(4).write.parquet(src)
+
+    stream = SE.read_event_stream(spark, src)
+    SE.run_to_memory(
+        SE.dedup_within_watermark(stream, ["event_id"]), "stream_deduped",
+        output_mode="append")
+    out = spark.sql("SELECT event_id FROM stream_deduped")
+    assert out.count() == batch.count()
+    assert out.distinct().count() == batch.count()
