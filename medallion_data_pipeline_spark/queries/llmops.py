@@ -1137,3 +1137,111 @@ def kmeans_embedding_cells(spark, sf_dir):
     any scale. This is the real fit behind the IVF router
     (knn_cosine_ivf uses the seed-only degenerate case)."""
     return S.lloyd_kmeans_stats(t(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# q — inverted index: term -> document-frequency + md5 of the ordered
+# posting list. Top-30 terms by df with a total-order tiebreak.
+# ---------------------------------------------------------------------------
+
+_INVERTED_INDEX_SQL = """
+WITH w AS (
+    SELECT DISTINCT doc_id, unnest({words}) AS word FROM documents
+)
+SELECT word, COUNT(*) AS df,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS postings_digest
+FROM w GROUP BY word
+ORDER BY df DESC, word ASC
+LIMIT 30
+""".format(words=_SQL_WORDS.format("text"))
+
+
+@register("inverted_index_top_terms", oracle=_INVERTED_INDEX_SQL)
+def inverted_index_top_terms(spark, sf_dir):
+    """Posting-list construction (the retrieval-side index a RAG corpus
+    build needs): explode -> distinct (doc, term) -> per-term sorted
+    doc list, digested. The distinct collapses duplicate occurrences at
+    map side before the term shuffle; posting order is doc_id, so the
+    digest certifies the full index content. At 100 TB you'd range-
+    bucket terms; the per-term agg shape is unchanged."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "ws", X.words(F.col("text")))
+    w_ = d.select("doc_id", F.explode("ws").alias("word")).distinct()
+    return (
+        w_.groupBy("word").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string")))).alias("postings_digest"),
+        )
+        .orderBy(F.desc("df"), F.asc("word")).limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — per-group feature scaling: z-score + min-max over n_chars within
+# each language. Moments computed as exact decimal sums (order-
+# independent); the per-row scaled values round to 6dp.
+# ---------------------------------------------------------------------------
+
+_FEATURE_SCALING_SQL = """
+WITH m AS (
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2)) * CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           MIN(n_chars) AS mn, MAX(n_chars) AS mx
+    FROM documents GROUP BY lang
+), z AS (
+    SELECT d.doc_id, d.lang,
+           ROUND((d.n_chars - m.s1 / m.n)
+                 / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 6) AS zscore,
+           ROUND(CAST(d.n_chars - m.mn AS DOUBLE) / (m.mx - m.mn), 6) AS minmax
+    FROM documents d JOIN m USING (lang)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN abs(zscore) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       md5(string_agg(CAST(doc_id AS VARCHAR)
+                      || ':' || CAST(CAST(zscore AS DECIMAL(12,6)) AS VARCHAR)
+                      || ':' || CAST(CAST(minmax AS DECIMAL(12,6)) AS VARCHAR),
+                      ',' ORDER BY doc_id)) AS scaled_digest
+FROM z GROUP BY lang
+"""
+
+
+@register("feature_scaling", oracle=_FEATURE_SCALING_SQL)
+def feature_scaling(spark, sf_dir):
+    """Per-language z-score + min-max scaling of a numeric feature —
+    the standard ML preprocessing pass. Group moments come from exact
+    decimal sums (population stddev via s2/n - mean², identical
+    arithmetic both engines) broadcast back onto rows; the digest
+    certifies every scaled value. One small agg + one broadcast join —
+    no row-level shuffle at any scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dc = F.col("n_chars").cast("decimal(18,2)")
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dc).cast("double").alias("s1"),
+        F.sum(dc * dc).cast("double").alias("s2"),
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"),
+    )
+    j = docs.join(F.broadcast(m), "lang")
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = j.select(
+        "doc_id", "lang",
+        F.round((F.col("n_chars") - mean) / std, 6).alias("zscore"),
+        F.round((F.col("n_chars") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")), 6).alias("minmax"),
+    )
+    pair = F.concat_ws(":", F.col("doc_id").cast("string"),
+                       F.col("zscore").cast(_D6).cast("string"),
+                       F.col("minmax").cast(_D6).cast("string"))
+    z = z.withColumn("pair", pair)
+    return z.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.abs("zscore") > 2).cast("int")).alias("n_outliers"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list(F.struct("doc_id", "pair"))),
+            lambda x: x["pair"]))).alias("scaled_digest"),
+    )
