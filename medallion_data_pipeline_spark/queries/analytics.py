@@ -583,3 +583,107 @@ def nations_listagg(spark, sf_dir):
             .alias("nations_csv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q — RANGE-frame rolling window: 7 calendar days, not 7 rows — the
+# frame that stays correct when dates have gaps. Ordered by integer
+# epoch-day both engines (identical RANGE arithmetic).
+# ---------------------------------------------------------------------------
+
+_ROLLING_RANGE_SQL = """
+WITH daily AS (
+    SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS d,
+           {rev} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, strftime(d, '%Y-%m-%d') AS ds, revenue,
+       ROUND(SUM(revenue) OVER (
+           PARTITION BY region ORDER BY d - DATE '1970-01-01'
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d,
+       COUNT(*) OVER (
+           PARTITION BY region ORDER BY d - DATE '1970-01-01'
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_in_window
+FROM daily
+""".format(rev=sql_dsum("o.o_totalprice"))
+
+
+@register("rolling_7day_range_window", oracle=_ROLLING_RANGE_SQL)
+def rolling_7day_range_window(spark, sf_dir):
+    """7-CALENDAR-DAY rolling revenue per region via a RANGE frame over
+    epoch-day (rangeBetween(-6, 0)) — counts actual days present, stays
+    correct across date gaps where a ROWS frame would silently widen.
+    One shuffle on region; the frame scan is a local sorted pass.
+
+    Determinism: the window SUM adds pre-rounded 2dp doubles in frame
+    order (identical sequential order both engines), rounded again at
+    2dp."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("o_orderdate").cast("date").alias("d"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = (W.partitionBy("region").orderBy(F.unix_date(F.col("d")))
+         .rangeBetween(-6, 0))
+    return daily.select(
+        "region", F.date_format("d", "yyyy-MM-dd").alias("ds"), "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("rolling_7d"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — unpivot: wide per-region KPIs -> long (region, metric, value),
+# the DataFrame.unpivot / SQL UNPIVOT duals.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           {rev} AS revenue,
+           CAST(COUNT(DISTINCT o.o_custkey) AS DOUBLE) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+)
+SELECT region, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_orders, revenue, n_customers))
+""".format(rev=sql_dsum("o.o_totalprice"))
+
+
+@register("unpivot_region_kpis", oracle=_UNPIVOT_SQL)
+def unpivot_region_kpis(spark, sf_dir):
+    """Wide->long unpivot of the per-region KPI row (the inverse of
+    pivot_status_by_region) via DataFrame.unpivot — Catalyst's Expand,
+    3 output rows per input row, no shuffle beyond the source agg."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ["region"], ["n_orders", "revenue", "n_customers"], "metric", "value")
