@@ -68,3 +68,41 @@ def test_column_pruning_reaches_scan(spark):
     reads = [seg.split(">")[0] for seg in plan.split("ReadSchema: struct<")[1:]]
     assert reads, "no parquet scan found"
     assert all("o_comment" not in r for r in reads)
+
+
+def test_gopher_filters_single_shuffle(spark):
+    """The quality gates are scan-local expressions; only the tiny
+    per-language rollup shuffles — exactly one Exchange."""
+    plan = _plan(spark, "gopher_quality_filters")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_scaling_broadcasts_moments(spark):
+    plan = _plan(spark, "feature_scaling")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_is_single_expand(spark):
+    """All three grains come from ONE Expand feeding one agg — not a
+    union of three separate groupBys."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    plan = _plan(spark, "unpivot_region_kpis")
+    assert "Expand" in plan
+
+
+def test_correlated_exists_plans_semi_anti(spark):
+    plan = _plan(spark, "customers_open_no_final")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
