@@ -1245,3 +1245,45 @@ def feature_scaling(spark, sf_dir):
             F.sort_array(F.collect_list(F.struct("doc_id", "pair"))),
             lambda x: x["pair"]))).alias("scaled_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — deterministic uniform sample: ORDER BY md5(id) is a reproducible
+# shuffle of the id space; LIMIT n takes a uniform sample WITHOUT
+# replacement that is identical on every engine and cluster size.
+# ---------------------------------------------------------------------------
+
+_DET_SAMPLE_SQL = """
+WITH ranked AS (
+    SELECT doc_id, lang, md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), top AS (
+    SELECT doc_id, lang FROM ranked ORDER BY h, doc_id LIMIT 100
+)
+SELECT lang, COUNT(*) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS first_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS sample_digest
+FROM top GROUP BY lang
+"""
+
+
+@register("deterministic_sample", oracle=_DET_SAMPLE_SQL)
+def deterministic_sample(spark, sf_dir):
+    """Fixed-size uniform sample via hash ordering (the reproducible
+    dual of TABLESAMPLE/reservoir sampling): md5 of the id is a
+    uniform permutation key, so the 100 lowest hashes are a uniform
+    sample — same members on any engine, partitioning, or rerun. At
+    scale the global top-k is a per-partition top-k + small merge
+    (TakeOrderedAndProject), not a full sort."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        .alias("h"))
+    top = d.orderBy("h", "doc_id").limit(100)
+    return top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_id"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("doc_id")),
+            lambda x: x.cast("string")))).alias("sample_digest"),
+    )

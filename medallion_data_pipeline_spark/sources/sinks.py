@@ -82,3 +82,19 @@ def reset_warehouse(warehouse: str, layers: tuple[str, ...] = ("bronze", "silver
 def truncate_log(df: DataFrame, ts_col: str, keep: int = 100) -> DataFrame:
     """Keep-last-N log truncation (O4, reference scheduler_manager.py:285)."""
     return df.orderBy(F.desc(ts_col)).limit(keep)
+
+
+def export_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC export sink — the columnar interchange format next to
+    parquet (both ship in Spark; no extra package). Keeps predicate
+    pushdown + column pruning on re-read; optional partition column
+    for downstream pruning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC source: schema from file footers, pushdown-capable."""
+    return spark.read.orc(path)

@@ -61,3 +61,20 @@ def test_reset_warehouse(spark, tmp_path):
     assert os.path.isdir(os.path.join(wh, "bronze"))
     sinks.reset_warehouse(wh)
     assert not os.path.isdir(os.path.join(wh, "bronze"))
+
+
+def test_orc_roundtrip_preserves_values_and_prunes(spark, tmp_path):
+    """ORC write/read roundtrip: values survive exactly; a filtered
+    re-read shows pushed filters in the scan plan."""
+    src = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS bucket", "CAST(id * 1.5 AS DOUBLE) AS v")
+    path = str(tmp_path / "orc_out")
+    sinks.export_orc(src, path, partition_by="bucket")
+    back = sinks.read_orc(spark, path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == src.agg(F.sum("v")).collect()[0][0]
+    plan = back.filter(F.col("id") < 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters:")[1].split("]")[0]
+    # partition pruning: bucket filter prunes directories, not rows
+    pruned = back.filter(F.col("bucket") == 3)
+    assert pruned.count() == src.filter(F.col("bucket") == 3).count()
