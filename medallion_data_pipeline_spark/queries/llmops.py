@@ -1287,3 +1287,72 @@ def deterministic_sample(spark, sf_dir):
             F.sort_array(F.collect_list("doc_id")),
             lambda x: x.cast("string")))).alias("sample_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — PageRank over the symmetrized customer<->supplier trade graph:
+# the second iterative-algorithm flagship next to k-means and label
+# propagation. Two damped power iterations, decimal-exact mass sums,
+# both replayed in SQL.
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+    SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+_PR_ITER_SQL = """{out} AS (
+    SELECT e.dst AS node,
+           nb.base + 0.85 * CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(18,12))) AS DOUBLE) AS r
+    FROM edges e
+    JOIN {ranks} r ON e.src = r.node
+    JOIN outdeg d ON e.src = d.src
+    CROSS JOIN nb
+    GROUP BY e.dst, nb.base
+)"""
+
+_PAGERANK_SQL = f"""
+WITH trade AS ({_PR_EDGES_SQL}
+), edges AS (
+    SELECT src, dst FROM trade
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM trade
+), outdeg AS (
+    SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), nb AS (
+    SELECT COUNT(DISTINCT src) AS n, 0.15 / COUNT(DISTINCT src) AS base,
+           1.0 / COUNT(DISTINCT src) AS r0
+    FROM edges
+), r0 AS (
+    SELECT DISTINCT e.src AS node, nb.r0 AS r FROM edges e CROSS JOIN nb
+), {_PR_ITER_SQL.format(out='r1', ranks='r0')},
+{_PR_ITER_SQL.format(out='r2', ranks='r1')}
+SELECT node, ROUND(r, 9) AS rank
+FROM r2 ORDER BY r DESC, node ASC LIMIT 20
+"""
+
+
+@register("pagerank_trade_graph", oracle=_PAGERANK_SQL)
+def pagerank_trade_graph(spark, sf_dir):
+    """Top-20 PageRank nodes of the symmetrized customer<->supplier
+    trade graph (operators/graph.py::pagerank): distinct trade pairs
+    become bidirectional edges (no dangling nodes), two damped power
+    iterations with DECIMAL(18,12)-exact mass accumulation. Suppliers
+    serve many customers, so they concentrate rank — the oracle
+    replays both iterations and certifies the full top-20."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct()
+    )
+    edges = trade.union(trade.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    from ..operators.graph import pagerank as _pr
+    ranks = _pr(edges, iters=2)
+    return (ranks.select("node", F.round("r", 9).alias("rank"))
+            .orderBy(F.desc("r"), F.asc("node")).limit(20))
