@@ -287,15 +287,22 @@ def test_stream_static_enrichment(spark, tmp_path):
 def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     """Replayed event_ids inside the watermark window are dropped;
     output is exactly the distinct key set."""
-    batch = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    # deterministic subset — limit() can pick different rows in each
+    # union branch under parallel scheduling
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_id") < 200)
     doubled = batch.union(batch)  # exact replay of every event
     src = str(tmp_path / "events_dedup_src")
     doubled.repartition(4).write.parquet(src)
 
-    stream = SE.read_event_stream(spark, src)
+    # watermark must exceed the dataset's full time span here: rows
+    # behind the advancing watermark are dropped as LATE (not as
+    # duplicates), and the unordered source files would make that
+    # nondeterministic across micro-batch schedules
+    stream = SE.read_event_stream(spark, src, max_files_per_trigger=64)
     SE.run_to_memory(
-        SE.dedup_within_watermark(stream, ["event_id"]), "stream_deduped",
-        output_mode="append")
+        SE.dedup_within_watermark(stream, ["event_id"], watermark="90 days"),
+        "stream_deduped", output_mode="append")
     out = spark.sql("SELECT event_id FROM stream_deduped")
     assert out.count() == batch.count()
     assert out.distinct().count() == batch.count()
