@@ -687,3 +687,58 @@ def unpivot_region_kpis(spark, sf_dir):
     )
     return wide.unpivot(
         ["region"], ["n_orders", "revenue", "n_customers"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# q — FULL OUTER join (§2.3 gap): finalized-order revenue by day vs
+# returned-line value by ship day. Ship dates extend past order dates,
+# so both unmatched sides genuinely occur.
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_SQL = """
+WITH fin AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+           {rev} AS finalized_revenue
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+), ret AS (
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ds,
+           {ret} AS returned_value
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT COALESCE(fin.ds, ret.ds) AS ds,
+       COALESCE(fin.finalized_revenue, 0.0) AS finalized_revenue,
+       COALESCE(ret.returned_value, 0.0) AS returned_value,
+       CASE WHEN fin.ds IS NULL THEN 'returns_only'
+            WHEN ret.ds IS NULL THEN 'finalized_only'
+            ELSE 'both' END AS presence
+FROM fin FULL OUTER JOIN ret ON fin.ds = ret.ds
+""".format(rev=sql_dsum("o_totalprice"),
+           ret=sql_dsum("l_extendedprice"))
+
+
+@register("full_outer_day_reconcile", oracle=_FULL_OUTER_SQL)
+def full_outer_day_reconcile(spark, sf_dir):
+    """FULL OUTER reconciliation of two independently-derived daily
+    series with COALESCE key/measure fill and a presence tag — the
+    join type the rest of the inventory didn't yet pin. Both inputs
+    pre-aggregate to day grain before the join, so the outer join is
+    between two small frames regardless of fact size."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    fin = (o.filter(F.col("o_orderstatus") == "F")
+           .groupBy(F.date_format(F.col("o_orderdate").cast("date"),
+                                  "yyyy-MM-dd").alias("ds"))
+           .agg(dsum("o_totalprice").alias("finalized_revenue")))
+    ret = (li.filter(F.col("l_returnflag") == "R")
+           .groupBy(F.date_format(F.col("l_shipdate").cast("date"),
+                                  "yyyy-MM-dd").alias("ds"))
+           .agg(dsum("l_extendedprice").alias("returned_value")))
+    j = fin.join(ret, fin.ds == ret.ds, "full_outer")
+    return j.select(
+        F.coalesce(fin.ds, ret.ds).alias("ds"),
+        F.coalesce("finalized_revenue", F.lit(0.0)).alias("finalized_revenue"),
+        F.coalesce("returned_value", F.lit(0.0)).alias("returned_value"),
+        F.when(fin.ds.isNull(), "returns_only")
+        .when(ret.ds.isNull(), "finalized_only")
+        .otherwise("both").alias("presence"),
+    )

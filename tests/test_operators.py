@@ -139,3 +139,18 @@ def test_connected_components_known_graph(spark):
         "id_a long, id_b long")
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pandas_udf_token_count_matches_expression(spark):
+    """The Arrow-batched pandas_udf token counter must agree with the
+    codegen expression version on every document."""
+    from medallion_data_pipeline_spark.functions import text as X
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text")
+    both = docs.select(
+        X.token_count_bpe_ish(F.col("text")).alias("expr_n"),
+        X.token_count_bpe_pandas(F.col("text")).alias("udf_n"),
+    )
+    assert both.filter(F.col("expr_n") != F.col("udf_n")).count() == 0
