@@ -742,3 +742,54 @@ def full_outer_day_reconcile(spark, sf_dir):
         .when(ret.ds.isNull(), "finalized_only")
         .otherwise("both").alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — incremental aggregation: fold a delta batch's partial aggregates
+# into a base partial table and read final measures from merged state.
+# The oracle computes the same result directly over the full input —
+# passing certifies merged-state == from-scratch.
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       {rev} AS revenue,
+       strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date,
+       strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_date
+FROM orders GROUP BY 1
+""".format(rev=sql_dsum("o_totalprice"))
+
+
+@register("incremental_agg_merge", oracle=_INCREMENTAL_SQL)
+def incremental_agg_merge(spark, sf_dir):
+    """Partial-aggregate merge (operators/incremental.py): the orders
+    fact is split at 1997-01-01 into 'history' and 'delta', each
+    collapsed to per-priority mergeable state (count / decimal sum /
+    min / max), then folded together WITHOUT touching raw history
+    rows. The oracle aggregates the full table directly — the hash
+    match proves merge(partial(a), partial(b)) == agg(a ∪ b), the
+    invariant that makes O(delta) refreshes legal at 100 TB."""
+    from ..operators import incremental as I
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate",
+        dmoney("o_totalprice").alias("price_dec"),
+        F.col("o_orderdate").cast("date").alias("d"))
+    base = o.filter(F.col("d") < "1997-01-01")
+    delta = o.filter(F.col("d") >= "1997-01-01")
+    spec = {
+        "n_orders": ("count", "price_dec"),
+        "revenue_dec": ("sum", "price_dec"),
+        "first_d": ("min", "d"),
+        "last_d": ("max", "d"),
+    }
+    keys = ["o_orderpriority"]
+    merged = I.merge_partials(
+        I.partial_agg(base, keys, spec), I.partial_agg(delta, keys, spec),
+        keys, spec)
+    return merged.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.date_format("first_d", "yyyy-MM-dd").alias("first_date"),
+        F.date_format("last_d", "yyyy-MM-dd").alias("last_date"),
+    )
