@@ -793,3 +793,57 @@ def incremental_agg_merge(spark, sf_dir):
         F.date_format("first_d", "yyyy-MM-dd").alias("first_date"),
         F.date_format("last_d", "yyyy-MM-dd").alias("last_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — generated calendar dimension: a date spine with derived
+# attributes, left-joined to facts — the dimension you generate, not
+# ingest. ISODOW convention: Spark weekday()+1 == Postgres/DuckDB
+# isodow (Mon=1), per SURVEY §7 hard-part (b).
+# ---------------------------------------------------------------------------
+
+_CALENDAR_SQL = """
+WITH spine AS (
+    SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                  INTERVAL 1 DAY))::DATE AS d
+), cal AS (
+    SELECT d, year(d) AS yr, quarter(d) AS qtr,
+           CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS is_weekend
+    FROM spine
+), daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+           {rev} AS rev
+    FROM orders GROUP BY 1
+)
+SELECT cal.yr, cal.qtr, cal.is_weekend,
+       COUNT(*) AS n_days,
+       CAST(SUM(COALESCE(daily.n, 0)) AS BIGINT) AS n_orders,
+       ROUND(SUM(COALESCE(daily.rev, 0.0)), 2) AS revenue
+FROM cal LEFT JOIN daily ON cal.d = daily.d
+GROUP BY 1, 2, 3
+""".format(rev=sql_dsum("o_totalprice"))
+
+
+@register("calendar_dim_rollup", oracle=_CALENDAR_SQL)
+def calendar_dim_rollup(spark, sf_dir):
+    """Generated calendar dimension (2-year date spine with year /
+    quarter / ISO-weekend attributes) left-joined to daily order
+    aggregates and rolled up per (year, quarter, weekend). The spine
+    is 730 rows — generated, broadcast, never a scale concern; facts
+    pre-aggregate to day grain before touching it."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  dsum("o_totalprice").alias("rev")))
+    spine = spark.range(1).select(F.explode(F.sequence(
+        F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date"),
+        F.expr("interval 1 day"))).alias("d"))
+    cal = spine.select(
+        "d", F.year("d").alias("yr"), F.quarter("d").alias("qtr"),
+        ((F.weekday("d") + 1) >= 6).cast("int").alias("is_weekend"))
+    j = cal.join(daily, "d", "left")
+    return j.groupBy("yr", "qtr", "is_weekend").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.coalesce("n", F.lit(0))).alias("n_orders"),
+        F.round(F.sum(F.coalesce("rev", F.lit(0.0))), 2).alias("revenue"),
+    )

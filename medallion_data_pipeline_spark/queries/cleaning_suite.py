@@ -309,3 +309,61 @@ def quality_scores(spark, sf_dir):
             .alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q — edit-distance fuzzy matching: near-identical part names within a
+# brand block (levenshtein <= 2). Blocking on the brand key turns the
+# n² similarity scan into per-block equi-join work — the classic
+# record-linkage shape.
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH p AS (
+    SELECT p_partkey AS k, p_brand AS brand, p_name AS name FROM part
+), pairs AS (
+    SELECT a.brand, a.k AS k_a, b.k AS k_b, levenshtein(a.name, b.name) AS d
+    FROM p a JOIN p b ON a.brand = b.brand AND a.k < b.k
+    WHERE levenshtein(a.name, b.name) <= 2
+)
+SELECT brand, COUNT(*) AS n_close_pairs,
+       CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       md5(string_agg(CAST(k_a AS VARCHAR) || '>' || CAST(k_b AS VARCHAR),
+                      ',' ORDER BY k_a, k_b)) AS pair_digest
+FROM pairs GROUP BY brand
+"""
+
+
+@register("fuzzy_part_match", oracle=_FUZZY_SQL)
+def fuzzy_part_match(spark, sf_dir):
+    """Blocked edit-distance record linkage: self-join parts within a
+    brand block, keep pairs with levenshtein(name) <= 2, report
+    per-brand pair counts + a digest of the exact matched pair set.
+    Levenshtein runs JVM-side (builtin), and blocking bounds the
+    quadratic term to block_size² — at 100 TB you'd block on
+    (brand, size) or an LSH key to keep blocks small; the join shape
+    is unchanged."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name"))
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.brand") == F.col("b.brand"))
+               & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.brand").alias("brand"),
+                F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"),
+                F.levenshtein(F.col("a.name"), F.col("b.name")).alias("d"))
+        .filter(F.col("d") <= 2)
+    )
+    pair = F.concat_ws(">", F.col("k_a").cast("string"),
+                       F.col("k_b").cast("string"))
+    pairs = pairs.withColumn(
+        "pr", F.struct(F.col("k_a"), F.col("k_b"), pair.alias("s")))
+    return pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_close_pairs"),
+        F.sum((F.col("d") == 0).cast("int")).alias("n_exact"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("pr")), lambda x: x["s"])))
+        .alias("pair_digest"),
+    )
