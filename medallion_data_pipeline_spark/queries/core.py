@@ -677,3 +677,143 @@ def mode_order_priority(spark, sf_dir):
         .limit(1)
         .select(F.col("value").alias("mode_priority"), F.col("n").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (adapted to the driver testdata's columns):
+# Q3 shipping priority, Q5 local-supplier volume (the customer-nation
+# == supplier-nation join predicate), Q12 ship-mode severity buckets.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l.l_orderkey AS orderkey,
+       {rev} AS revenue,
+       strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o  ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""".format(rev="CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)")
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (adapted: this testdata carries o_orderpriority, not
+    o_shippriority): unshipped high-value BUILDING orders. Date filters
+    push to both scans; customer filter semi-reduces orders before the
+    lineitem join; total-order top-10 (revenue DESC, orderkey ASC)."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < "1995-03-15").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > "1995-03-15").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.sum(dmoney("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"))
+        .agg(rev.cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10)
+    )
+
+
+_Q5_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_SQL)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue from orders where the SUPPLIER IS IN THE
+    CUSTOMER'S NATION (the c_nationkey = s_nationkey predicate rides
+    the lineitem-supplier join) for ASIA, 1995. nation/region broadcast
+    and prune suppliers before any fact shuffle."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= "1995-01-01")
+        & (F.col("o_orderdate").cast("date") < "1996-01-01")).select(
+        "o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+         .join(F.broadcast(n.join(F.broadcast(r),
+                                  n.n_regionkey == r.r_regionkey)
+                           .select("n_nationkey", "n_name")),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    rev = F.sum(dmoney("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.cast("double").alias("revenue"))
+    )
+
+
+_Q12_SQL = """
+SELECT l.l_linestatus AS linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                CAST(l.l_shipdate AS DATE)) > 60
+GROUP BY l.l_linestatus
+"""
+
+
+@register("q12_late_lines_priority", oracle=_Q12_SQL)
+def q12_late_lines_priority(spark, sf_dir):
+    """TPC-H Q12 (adapted: this testdata has no shipmode/commit/
+    receipt columns): lines shipped >60 days after their order date,
+    bucketed by line status into high/low priority counts — same
+    fact-fact join + CASE-bucket shape as the original; the delay
+    predicate is cross-table so it applies post-join."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    late = F.datediff(F.col("l_shipdate").cast("date"),
+                      F.col("o_orderdate").cast("date")) > 60
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(F.sum(hi.cast("int")).alias("high_line_count"),
+             F.sum((~hi).cast("int")).alias("low_line_count"))
+    )
