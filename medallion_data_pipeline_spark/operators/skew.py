@@ -30,3 +30,30 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = b.join(s, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def salted_two_phase_agg(df: DataFrame, keys: list[str], aggs: dict,
+                         n_salts: int = 8) -> DataFrame:
+    """Skew-safe aggregation: pre-aggregate on (keys, salt) so a hot
+    group's rows combine across n_salts partitions first, then merge
+    the partials per key. Measures must be mergeable (sum/count/min/
+    max — see operators/incremental.py for the same algebra).
+
+    ``aggs``: out_col -> (partial_fn, merge_fn) column-builder pair,
+    e.g. {"n": (lambda: F.count(F.lit(1)), lambda c: F.sum(c))}.
+
+    Spark's own hash aggregate already does map-side partials, which
+    covers most skew; explicit salting matters when the per-key state
+    is too big for one reducer (huge collect_list/distinct state) or
+    when AQE is unavailable. Results are identical to a direct groupBy
+    — the salt only routes rows.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                             F.spark_partition_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[build().alias(out) for out, (build, _m) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge(out).alias(out) for out, (_b, merge) in aggs.items()])

@@ -472,3 +472,40 @@ def events_debounce(spark, sf_dir):
                 F.when(F.col("kept") == 1, F.col("event_id")))),
             lambda x: x.cast("string")))).alias("kept_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — salted two-phase aggregation over the 5-hot-key event stream:
+# results provably identical to the direct groupBy (the oracle IS the
+# direct aggregation).
+# ---------------------------------------------------------------------------
+
+_SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(event_id) AS BIGINT) AS last_event
+FROM events GROUP BY event_type
+"""
+
+
+@register("salted_two_phase_agg", oracle=_SALTED_AGG_SQL)
+def salted_two_phase_agg(spark, sf_dir):
+    """Skew-safe aggregation (operators/skew.py::salted_two_phase_agg)
+    on event_type — 5 hot keys that would each land on one reducer in
+    a naive plan. The oracle is the plain direct aggregation, so the
+    hash match proves salting changes the route, never the result."""
+    from ..operators.skew import salted_two_phase_agg as _sagg
+    ev = t(spark, sf_dir, "events").withColumn(
+        "vdec", F.col("value").cast("decimal(18,2)"))
+    aggs = {
+        "n_events": (lambda: F.count(F.lit(1)), F.sum),
+        "total_value_dec": (lambda: F.sum("vdec"), F.sum),
+        "first_event": (lambda: F.min("event_id"), F.min),
+        "last_event": (lambda: F.max("event_id"), F.max),
+    }
+    out = _sagg(ev, ["event_type"], aggs, n_salts=8)
+    return out.select(
+        "event_type", "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "first_event", "last_event")
