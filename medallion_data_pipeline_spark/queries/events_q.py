@@ -509,3 +509,37 @@ def salted_two_phase_agg(spark, sf_dir):
         "event_type", "n_events",
         F.col("total_value_dec").cast("double").alias("total_value"),
         "first_event", "last_event")
+
+
+# ---------------------------------------------------------------------------
+# q — VARIANT semi-structured path (Spark 4): parse_json once into a
+# variant column, typed variant_get extraction, aggregate. The modern
+# replacement for per-access get_json_object string re-parsing.
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+@register("variant_props_agg", oracle=_VARIANT_SQL)
+def variant_props_agg(spark, sf_dir):
+    """Spark 4 VARIANT: props parses ONCE into a binary variant value
+    (staged column), then typed `variant_get` paths extract without
+    re-tokenizing the JSON string per access — the scale answer to
+    repeated get_json_object on wide semi-structured payloads
+    (json_props_agg is the legacy dual on the same data)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props"))
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )

@@ -265,3 +265,39 @@ def dedup_within_watermark(events: DataFrame, keys: list[str],
     dropDuplicates."""
     return events.withWatermark("ts", watermark) \
         .dropDuplicatesWithinWatermark(keys)
+
+
+def clicks_to_purchases_join(events: DataFrame,
+                             horizon_minutes: int = 30,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each purchase joins the
+    same user's clicks from the preceding ``horizon_minutes``. Both
+    sides carry a watermark and the join condition bounds event-time
+    distance, so Spark can expire buffered state — the interval-join
+    contract that keeps stream-stream joins bounded-memory at scale.
+    Batch dual: operators/temporal.py::range_join (same pairs)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    horizon = F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - horizon)
+    )
+    return purchases.join(clicks, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        F.unix_millis("purchase_ts").alias("purchase_ms"),
+        F.unix_millis("click_ts").alias("click_ms"),
+    )

@@ -306,3 +306,34 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     out = spark.sql("SELECT event_id FROM stream_deduped")
     assert out.count() == batch.count()
     assert out.distinct().count() == batch.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pairs (purchase x same-user clicks in the
+    preceding 30 min)."""
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_ssj_src")
+    batch.repartition(4).write.parquet(src)
+
+    stream = SE.read_event_stream(spark, src, max_files_per_trigger=64)
+    SE.run_to_memory(
+        SE.clicks_to_purchases_join(stream, watermark="90 days"),
+        "stream_ssj", output_mode="append")
+    streamed = {(r.purchase_id, r.click_id)
+                for r in spark.sql("SELECT * FROM stream_ssj").collect()}
+
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("cms"))
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("pms"))
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(c, (F.col("pu") == F.col("cu"))
+                        & (F.col("cms") <= F.col("pms"))
+                        & (F.col("cms") >= F.col("pms") - 1800000)).collect()
+    }
+    assert streamed == expected
+    assert len(expected) > 0
