@@ -106,3 +106,30 @@ def test_correlated_exists_plans_semi_anti(spark):
     plan = _plan(spark, "customers_open_no_final")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q3_filters_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    pushed = plan.split("PushedFilters:")
+    assert any("o_orderdate" in p.split("]")[0] or "l_shipdate" in p.split("]")[0]
+               for p in pushed[1:])
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+
+
+def test_q5_broadcasts_pruned_suppliers(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_scale_configs_pinned(spark):
+    """The scale-critical session settings PERFORMANCE.md relies on:
+    AQE (+ coalesce/skew-join), Arrow for pandas exchange, UTC
+    timezone (oracle parity), a real broadcast threshold."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) >= 10 * 1024 * 1024
