@@ -78,3 +78,28 @@ def test_orc_roundtrip_preserves_values_and_prunes(spark, tmp_path):
     # partition pruning: bucket filter prunes directories, not rows
     pruned = back.filter(F.col("bucket") == 3)
     assert pruned.count() == src.filter(F.col("bucket") == 3).count()
+
+
+def test_custom_python_datasource_generates_deterministic_events(spark):
+    """Spark 4 Python DataSource API: the synthetic source plans real
+    InputPartitions (parallel, executor-side) and its output is a pure
+    function of options — two reads are identical."""
+    from medallion_data_pipeline_spark.sources.synthetic import SyntheticEventsSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
+    df = (spark.read.format("synthetic_events")
+          .option("n_rows", 500).option("n_partitions", 4).load())
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
+    types = {r.event_type for r in df.select("event_type").distinct().collect()}
+    assert types <= {"view", "click", "purchase", "signup", "error"}
+    a = df.agg(F.sum("value"), F.sum("user_id")).collect()[0]
+    b = (spark.read.format("synthetic_events")
+         .option("n_rows", 500).option("n_partitions", 4).load()
+         .agg(F.sum("value"), F.sum("user_id")).collect()[0])
+    assert tuple(a) == tuple(b)
