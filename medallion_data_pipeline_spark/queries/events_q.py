@@ -543,3 +543,153 @@ def variant_props_agg(spark, sf_dir):
         F.max(k).alias("max_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — sliding windows in batch: window(ts, '3 hours', '1 hour') puts
+# each event in exactly 3 hourly-aligned windows; the oracle unnests
+# the 3 offsets per event.
+# ---------------------------------------------------------------------------
+
+_SLIDING_SQL = """
+WITH expanded AS (
+    SELECT e.event_type, e.value,
+           date_trunc('hour', e.ts) - (k.k * INTERVAL 1 HOUR) AS win_start
+    FROM events e CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:00') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_windows", oracle=_SLIDING_SQL)
+def events_sliding_windows(spark, sf_dir):
+    """3-hour windows sliding by 1 hour (batch F.window with slide —
+    the same Expand the streaming variant uses): every event lands in
+    exactly 3 windows, so the pre-shuffle row count is 3x and the agg
+    stays one shuffle. Streaming dual: swap readStream in, add a
+    watermark — plan unchanged."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "3 hours", "1 hour").alias("win"),
+                  "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+             .alias("total_value"))
+        .select(F.date_format("win.start", "yyyy-MM-dd HH:00")
+                .alias("window_start"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — max_by / arg_max: latest event per user without a window sort.
+# Tie-safe ordering key packs (epoch_ms, event_id) into one BIGINT
+# because DuckDB 1.0 arg_max lacks composite keys.
+# ---------------------------------------------------------------------------
+
+_LATEST_SQL = """
+SELECT user_id,
+       arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+       arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS last_value,
+       CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ms,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+@register("latest_event_per_user", oracle=_LATEST_SQL)
+def latest_event_per_user(spark, sf_dir):
+    """Latest event per user via max_by (SQL arg_max): ONE hash
+    aggregation instead of the window row_number + filter plan — no
+    per-group sort, mergeable partials, the cheapest 'top-1 per key'
+    at any scale. Ordering key packs (epoch_ms, event_id) so ties are
+    impossible."""
+    e = t(spark, sf_dir, "events")
+    key = F.unix_millis("ts") * F.lit(1000000) + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max(F.unix_millis("ts")).alias("last_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — gaps and islands: runs of consecutive event_ids among 'click'
+# events via the id - row_number() grouping trick.
+# ---------------------------------------------------------------------------
+
+_ISLANDS_SQL = """
+WITH c AS (
+    SELECT event_id,
+           event_id - row_number() OVER (ORDER BY event_id) AS grp
+    FROM events WHERE event_type = 'click'
+), islands AS (
+    SELECT grp, COUNT(*) AS island_len,
+           CAST(MIN(event_id) AS BIGINT) AS island_start
+    FROM c GROUP BY grp
+)
+SELECT island_len, COUNT(*) AS n_islands,
+       CAST(MIN(island_start) AS BIGINT) AS first_island_start
+FROM islands GROUP BY island_len
+"""
+
+
+@register("event_id_islands", oracle=_ISLANDS_SQL)
+def event_id_islands(spark, sf_dir):
+    """Gaps-and-islands: consecutive event_id runs within the click
+    stream (id - row_number() is constant per run). Histogram of
+    island lengths. The global row_number is the known single-partition
+    step — at scale, range-partition by id block and offset per-block
+    row numbers by the cumulative block counts (same pattern as
+    quantile_bins_broadcast's scale note)."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click").select("event_id")
+    w = W.orderBy("event_id")
+    c = e.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+    islands = c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("island_len"),
+        F.min("event_id").alias("island_start"))
+    return islands.groupBy("island_len").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.min("island_start").alias("first_island_start"))
+
+
+# ---------------------------------------------------------------------------
+# q — width_bucket histogram of event values (DuckDB 1.0 lacks
+# width_bucket; uniform buckets are exact floor arithmetic, which IS
+# the definition being verified).
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_SQL = """
+WITH b AS (
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 100 THEN 11
+                ELSE CAST(FLOOR(value / 10) AS BIGINT) + 1 END AS bucket,
+           value
+    FROM events
+)
+SELECT bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_value
+FROM b GROUP BY bucket
+"""
+
+
+@register("value_histogram", oracle=_HISTOGRAM_SQL)
+def value_histogram(spark, sf_dir):
+    """Fixed-bucket histogram via width_bucket(value, 0, 100, 10)
+    (buckets 0 and 11 are under/overflow): one scan + tiny agg; the
+    oracle recomputes the bucket with the floor arithmetic that
+    defines uniform width_bucket."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.width_bucket(
+            "value", F.lit(0.0), F.lit(100.0), F.lit(10)))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+             .alias("bucket_value"))
+    )
