@@ -116,3 +116,48 @@ def test_gopher_filter_tallies_are_consistent(spark):
         # a doc fails iff it trips at least one gate (mwl band never
         # trips on this corpus, so the three tallies cover all failures)
         assert r.n_fail_short + r.n_fail_stopword + r.n_fail_repetitive >= r.n_docs - r.n_pass
+
+
+def test_ann_variants_recall_floor(spark):
+    """LSH and IVF approximate top-5 must retain reasonable recall vs
+    the exact brute-force top-5 on the same queries. sf0.01 (500
+    vectors, 10 queries) — sf0.001's single query has degenerate
+    buckets."""
+    from medallion_data_pipeline_spark.operators import similarity as S
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(S.knn_bruteforce(emb, qs, k=5))
+    # wider buckets (fewer planes) for recall; the synthetic embeddings
+    # are near-isotropic, so hyperplane agreement among true neighbors
+    # is weak — floors sit far above the ~0.01 chance baseline, not at
+    # production levels (real clustered embeddings bucket far better)
+    lsh = pairs(S.knn_lsh(emb, qs, k=5, n_planes=4))
+    ivf = pairs(S.knn_ivf(emb, qs, k=5))
+    assert len(exact) > 0
+    assert len(lsh & exact) / len(exact) >= 0.1
+    assert len(ivf & exact) / len(exact) >= 0.3
+
+
+def test_digests_stable_across_shuffle_partitioning(spark):
+    """The reproducibility contract: digest-certified queries produce
+    IDENTICAL results under a different shuffle partitioning (the
+    cluster-size-independence the deterministic samplers promise)."""
+    from medallion_data_pipeline_spark.queries import REGISTRY, _load
+    _load()
+    names = ["hash_split", "sequence_packing", "deterministic_sample",
+             "stratified_sample"]
+    before = {}
+    for n in names:
+        before[n] = sorted(map(str, REGISTRY[n].fn(spark, SF_SMOKE).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            after = sorted(map(str, REGISTRY[n].fn(spark, SF_SMOKE).collect()))
+            assert after == before[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
