@@ -847,3 +847,34 @@ def calendar_dim_rollup(spark, sf_dir):
         F.sum(F.coalesce("n", F.lit(0))).alias("n_orders"),
         F.round(F.sum(F.coalesce("rev", F.lit(0.0))), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — HAVING + scalar subquery via SQL passthrough.
+# ---------------------------------------------------------------------------
+
+_HAVING_SCALAR_SQL = """
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING COUNT(*) > (SELECT COUNT(*) * 1.0 / COUNT(DISTINCT c_nationkey)
+                   FROM customer)
+"""
+
+
+@register("having_above_avg_nations", oracle=_HAVING_SCALAR_SQL)
+def having_above_avg_nations(spark, sf_dir):
+    """HAVING with an uncorrelated SCALAR SUBQUERY threshold (nations
+    with more customers than the per-nation average) through the
+    spark.sql passthrough — Catalyst plans the scalar subquery as a
+    broadcast single-row join, so the threshold never collects to the
+    driver."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_h")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation_h")
+    return spark.sql("""
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM v_customer_h c JOIN v_nation_h n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING COUNT(*) > (SELECT COUNT(*) * 1.0 / COUNT(DISTINCT c_nationkey)
+                           FROM v_customer_h)
+    """)

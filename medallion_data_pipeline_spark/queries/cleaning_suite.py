@@ -367,3 +367,78 @@ def fuzzy_part_match(spark, sf_dir):
             F.sort_array(F.collect_list("pr")), lambda x: x["s"])))
         .alias("pair_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — scalar string-function parity: translate / lpad / reverse /
+# repeat / strpos / initcap-emulation agree byte-for-byte per row.
+# ---------------------------------------------------------------------------
+
+from ._util import sql_initcap as _sql_initcap
+
+_STRING_FUNCS_SQL = """
+SELECT p_partkey AS k,
+       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+       reverse(p_name) AS rev,
+       repeat(p_name[1:2], 2) AS rep,
+       strpos(p_name, 'widget') AS pos,
+       {initcap} AS cap
+FROM part
+""".format(initcap=_sql_initcap("p_name"))
+
+
+@register("string_functions_parity", oracle=_STRING_FUNCS_SQL)
+def string_functions_parity(spark, sf_dir):
+    """Row-level scalar string surface (SURVEY F-class widening):
+    translate, lpad, reverse, repeat, instr/strpos, initcap (DuckDB
+    lacks initcap; the shared sql_initcap emulation is the oracle
+    dual). All codegen expressions — zero shuffle, scan-local."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("k"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("p_name").alias("rev"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("rep"),
+        F.instr("p_name", "widget").cast("long").alias("pos"),
+        F.initcap("p_name").alias("cap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — scalar date-function parity: last_day / add_months / quarter
+# trunc / dayofyear / ISO weekofyear / ISODOW per row.
+# ---------------------------------------------------------------------------
+
+_DATE_FUNCS_SQL = """
+SELECT o_orderkey AS k,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS quarter_start,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_dow
+FROM orders
+"""
+
+
+@register("date_functions_parity", oracle=_DATE_FUNCS_SQL)
+def date_functions_parity(spark, sf_dir):
+    """Row-level scalar date surface: last_day, add_months, quarter
+    truncation, dayofyear, ISO week, ISODOW (weekday()+1 — the
+    Postgres-convention bridge from SURVEY §7 hard-part (b)). Spark's
+    add_months clamps month-ends exactly like SQL interval month
+    addition on these engines."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd")
+        .alias("quarter_start"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+    )
