@@ -693,3 +693,45 @@ def value_histogram(spark, sf_dir):
              F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
              .alias("bucket_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q — weekly retention cohorts: users grouped by first-seen week,
+# counted by weeks-since-cohort activity (the retention triangle).
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch_ms(MIN(ts)) / 604800000) AS BIGINT) AS cohort_wk
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_wk,
+           CAST(FLOOR(epoch_ms(e.ts) / 604800000) AS BIGINT) - f.cohort_wk
+               AS week_n
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_wk, week_n, COUNT(*) AS n_users
+FROM activity GROUP BY cohort_wk, week_n
+"""
+
+
+@register("weekly_retention_cohorts", oracle=_RETENTION_SQL)
+def weekly_retention_cohorts(spark, sf_dir):
+    """Retention triangle: cohort = epoch-week of a user's first event;
+    each (cohort, weeks-since-cohort) cell counts distinct active
+    users. Two shuffles total (per-user min, then the distinct+count
+    on the small cell grain); the firsts frame is per-user — broadcast
+    range at any realistic user count relative to events."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", (F.floor(F.unix_millis("ts") / 604800000))
+        .cast("long").alias("wk"))
+    firsts = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select("user_id", "cohort_wk",
+                (F.col("wk") - F.col("cohort_wk")).alias("week_n"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_wk", "week_n").agg(
+        F.count(F.lit(1)).alias("n_users"))

@@ -133,3 +133,11 @@ def test_session_scale_configs_pinned(spark):
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
     assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) >= 10 * 1024 * 1024
+
+
+def test_feature_scaling_prunes_text_column(spark):
+    """feature_scaling touches only doc_id/lang/n_chars — the wide
+    `text` column must not appear in the parquet ReadSchema."""
+    plan = _plan(spark, "feature_scaling")
+    for schema in plan.split("ReadSchema:")[1:]:
+        assert "text" not in schema.split("\n")[0], schema.split("\n")[0]
