@@ -878,3 +878,87 @@ def having_above_avg_nations(spark, sf_dir):
         HAVING COUNT(*) > (SELECT COUNT(*) * 1.0 / COUNT(DISTINCT c_nationkey)
                            FROM v_customer_h)
     """)
+
+
+# ---------------------------------------------------------------------------
+# q — RFM segmentation: per-customer recency/frequency/monetary scored
+# into quartile buckets via BROADCAST thresholds (no global ntile
+# sort — the quantile_bins_broadcast scale path applied 3-ways).
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey AS cust,
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                     (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+           COUNT(*) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+), th AS (
+    SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS r_th,
+           quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS f_th,
+           quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS m_th
+    FROM per_cust
+), scored AS (
+    SELECT cust, recency_days, frequency, mon_dec, monetary,
+           CASE WHEN recency_days <= r_th[1] THEN 4
+                WHEN recency_days <= r_th[2] THEN 3
+                WHEN recency_days <= r_th[3] THEN 2 ELSE 1 END AS r,
+           CASE WHEN frequency <= f_th[1] THEN 1
+                WHEN frequency <= f_th[2] THEN 2
+                WHEN frequency <= f_th[3] THEN 3 ELSE 4 END AS f,
+           CASE WHEN monetary <= m_th[1] THEN 1
+                WHEN monetary <= m_th[2] THEN 2
+                WHEN monetary <= m_th[3] THEN 3 ELSE 4 END AS m
+    FROM per_cust CROSS JOIN th
+)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       CAST(SUM(mon_dec) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY r, f, m
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_SQL)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency scored 4->1 (recent = best),
+    frequency/monetary 1->4, quartile thresholds computed once (exact
+    percentiles on the per-customer frame — customer-grain, orders of
+    magnitude smaller than facts) and broadcast back; no global sort
+    anywhere. 64-cell segment grid with exact-decimal spend means."""
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.datediff(F.lit(maxd), F.max(F.col("o_orderdate").cast("date")))
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dmoney("o_totalprice")).alias("mon_dec"),
+        F.sum(dmoney("o_totalprice")).cast("double").alias("monetary"),
+    )
+    th = per_cust.agg(*[
+        F.percentile(c, F.lit(q)).alias(f"{c}_{int(q * 100)}")
+        for c in ("recency_days", "frequency", "monetary")
+        for q in (0.25, 0.5, 0.75)
+    ])
+    j = per_cust.join(F.broadcast(th))
+
+    def bucket(col, prefix, reverse=False):
+        t1, t2, t3 = (F.col(f"{col}_{p}") for p in (25, 50, 75))
+        c = F.col(col)
+        up = (F.when(c <= t1, 1).when(c <= t2, 2).when(c <= t3, 3)
+              .otherwise(4))
+        down = (F.when(c <= t1, 4).when(c <= t2, 3).when(c <= t3, 2)
+                .otherwise(1))
+        return (down if reverse else up).alias(prefix)
+
+    scored = j.select(
+        "mon_dec",
+        bucket("recency_days", "r", reverse=True),
+        bucket("frequency", "f"),
+        bucket("monetary", "m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_dec").cast("double").alias("total_monetary"),
+    )
