@@ -962,3 +962,131 @@ def rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("mon_dec").cast("double").alias("total_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — duplicate-order detection: same customer, same total, order
+# dates within 7 days — the fraud/double-submit dedup pattern. The
+# (custkey, totalprice) equi-join does the blocking; the day window is
+# a residual filter.
+# ---------------------------------------------------------------------------
+
+_DUP_ORDERS_SQL = """
+WITH p AS (
+    SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+), pairs AS (
+    SELECT a.cust, a.k AS k_a, b.k AS k_b,
+           abs(date_diff('day', a.d, b.d)) AS day_gap
+    FROM p a JOIN p b
+      ON a.cust = b.cust AND a.k < b.k
+    WHERE abs(a.price - b.price) < 1000
+      AND abs(date_diff('day', a.d, b.d)) <= 30
+)
+SELECT COUNT(*) AS n_suspect_pairs,
+       COUNT(DISTINCT cust) AS n_customers,
+       CAST(MIN(day_gap) AS BIGINT) AS min_gap,
+       md5(COALESCE(string_agg(CAST(k_a AS VARCHAR) || '>' || CAST(k_b AS VARCHAR),
+                               ',' ORDER BY k_a, k_b), '')) AS pair_digest
+FROM pairs
+"""
+
+
+@register("duplicate_order_detection", oracle=_DUP_ORDERS_SQL)
+def duplicate_order_detection(spark, sf_dir):
+    """Double-submit detection: customer-blocked self-join (per-block
+    pair count bounded by a customer's order count), then near-amount
+    (<$1000) and ±30-day residual predicates — synthetic prices never
+    collide exactly, so near-duplicate matching IS the realistic
+    semantics. Digest certifies the exact suspect-pair set (md5('')
+    when empty — the oracle COALESCEs to match)."""
+    p = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("d"))
+    a, b = p.alias("a"), p.alias("b")
+    gap = F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+    pairs = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust"))
+               & (F.col("a.k") < F.col("b.k")))
+        .filter((F.abs(F.col("a.price") - F.col("b.price")) < 1000)
+                & (gap <= 30))
+        .select(F.col("a.cust").alias("cust"),
+                F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"),
+                gap.alias("day_gap"))
+    )
+    pr = F.struct("k_a", "k_b",
+                  F.concat_ws(">", F.col("k_a").cast("string"),
+                              F.col("k_b").cast("string")).alias("s"))
+    return pairs.withColumn("pr", pr).agg(
+        F.count(F.lit(1)).alias("n_suspect_pairs"),
+        F.countDistinct("cust").alias("n_customers"),
+        F.min("day_gap").cast("long").alias("min_gap"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("pr")), lambda x: x["s"])))
+        .alias("pair_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — market-basket affinity: part pairs co-occurring in an order,
+# ranked by lift vs independence. Blocking key = the order itself.
+# ---------------------------------------------------------------------------
+
+_AFFINITY_SQL = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+), n AS (
+    SELECT COUNT(DISTINCT ok) AS n_orders FROM li
+), part_freq AS (
+    SELECT part, COUNT(*) AS cnt FROM li GROUP BY part
+), pairs AS (
+    SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS together
+    FROM li a JOIN li b ON a.ok = b.ok AND a.part < b.part
+    GROUP BY a.part, b.part
+)
+SELECT part_a, part_b, together,
+       ROUND(CAST(together AS DOUBLE) * n.n_orders
+             / (fa.cnt * CAST(fb.cnt AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN part_freq fa ON pairs.part_a = fa.part
+JOIN part_freq fb ON pairs.part_b = fb.part
+CROSS JOIN n
+WHERE together >= 3
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+@register("part_affinity_lift", oracle=_AFFINITY_SQL)
+def part_affinity_lift(spark, sf_dir):
+    """Market-basket lift: P(a,b)/(P(a)P(b)) for part pairs appearing
+    in >= 3 common orders, top-20 by lift with a total-order tiebreak.
+    The pair explosion is bounded per order (few lines each), the
+    frequency table is part-grain (broadcast), and the count shuffle is
+    on the pair key — the canonical affinity plan at any scale."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = li.select("ok").distinct().count()
+    freq = li.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"),
+                 F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    lift = F.round(
+        F.col("together").cast("double") * F.lit(n_orders)
+        / (F.col("cnt_a") * F.col("cnt_b").cast("double")), 6)
+    return (
+        pairs.join(F.broadcast(fa), "part_a").join(F.broadcast(fb), "part_b")
+        .select("part_a", "part_b", "together", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b")).limit(20)
+    )
