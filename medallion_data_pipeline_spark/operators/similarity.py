@@ -212,3 +212,48 @@ def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
             F.sort_array(F.collect_list(F.col(id_col))),
             lambda x: x.cast("string")))).alias("member_digest"),
     )
+
+
+def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  n_cells: int = 8, nprobe: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with multi-cell probing: the query searches its
+    ``nprobe`` nearest cells instead of 1 — the standard recall knob
+    (recall grows with nprobe at proportional cost; nprobe = n_cells
+    degenerates to exact search). Corpus routing stays single-cell;
+    only the query side fans out, so the join cost scales with
+    queries × nprobe, not corpus size."""
+    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    c = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"), "cell")
+
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+    dists = []
+    for i, cent in enumerate(cents):
+        cvec = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(F.zip_with(F.col("qv"), cvec,
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        dists.append(F.struct(d.alias("d2"), F.lit(i).alias("cell")))
+    # sort the k (d2, cell) structs ascending -> first nprobe cells;
+    # ties break toward the lower cell id (struct field order)
+    probed = qv.select(
+        "query_id", "qv",
+        F.explode(F.slice(F.array_sort(F.array(*dists)), 1, nprobe))
+        .alias("pc"))
+    q = probed.select("query_id", "qv", F.col("pc.cell").alias("cell"))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                V.cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+        .distinct()  # a neighbor reachable via 2 cells counts once
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos_raw", 6).alias("cosine"))
+    )
