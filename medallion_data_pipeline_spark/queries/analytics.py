@@ -1090,3 +1090,69 @@ def part_affinity_lift(spark, sf_dir):
         .select("part_a", "part_b", "together", lift.alias("lift"))
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b")).limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q — array set algebra over windowed baskets: Jaccard overlap between
+# a customer's consecutive order part-sets (repeat-purchase affinity).
+# array_intersect/array_union on collect_set arrays + lag window.
+# ---------------------------------------------------------------------------
+
+_BASKET_OVERLAP_SQL = """
+WITH baskets AS (
+    SELECT o.o_custkey AS cust, o.o_orderkey AS ok,
+           CAST(o.o_orderdate AS DATE) AS d,
+           list_sort(list_distinct(list(l.l_partkey))) AS parts
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3
+), seq AS (
+    SELECT cust, ok, parts,
+           lag(parts) OVER (PARTITION BY cust ORDER BY d, ok) AS prev_parts
+    FROM baskets
+), ovl AS (
+    SELECT cust,
+           ROUND(CAST(len(list_intersect(parts, prev_parts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(parts, prev_parts))), 6)
+               AS jaccard
+    FROM seq WHERE prev_parts IS NOT NULL
+)
+SELECT COUNT(*) AS n_consecutive_pairs,
+       CAST(SUM(CASE WHEN jaccard > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_overlap,
+       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_jaccard,
+       CAST(MAX(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE) AS max_jaccard
+FROM ovl
+"""
+
+
+@register("repeat_purchase_overlap", oracle=_BASKET_OVERLAP_SQL)
+def repeat_purchase_overlap(spark, sf_dir):
+    """Set algebra on windowed ARRAY columns: per customer, Jaccard
+    between consecutive orders' part sets — collect_set baskets, lag
+    over the order sequence, array_intersect / array_union sizes.
+    Baskets are bounded per order, so the arrays stay small; the only
+    shuffles are the basket agg and the per-customer window."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").cast("date").alias("d"))
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_partkey")
+    baskets = (o.join(li, "ok")
+               .groupBy("cust", "ok", "d")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts")))
+    w = W.partitionBy("cust").orderBy("d", "ok")
+    seq = baskets.withColumn("prev_parts", F.lag("parts").over(w))
+    jac = F.round(
+        F.size(F.array_intersect("parts", "prev_parts")).cast("double")
+        / F.size(F.array_union("parts", "prev_parts")), 6)
+    overlaps = (seq.filter(F.col("prev_parts").isNotNull())
+                .select("cust", jac.alias("jaccard")))
+    return overlaps.agg(
+        F.count(F.lit(1)).alias("n_consecutive_pairs"),
+        F.sum((F.col("jaccard") > 0).cast("int")).alias("n_with_overlap"),
+        F.round(F.sum(F.col("jaccard").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("avg_jaccard"),
+        F.max(F.col("jaccard").cast("decimal(12,6)")).cast("double")
+        .alias("max_jaccard"),
+    )
