@@ -1156,3 +1156,57 @@ def repeat_purchase_overlap(spark, sf_dir):
         F.max(F.col("jaccard").cast("decimal(12,6)")).cast("double")
         .alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — share-of-total via window sums (ratio_to_report): nation revenue
+# as a share of its region and of the grand total, one row per nation.
+# ---------------------------------------------------------------------------
+
+_REVENUE_SHARE_SQL = """
+WITH nat AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           {rev} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation, revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+           AS share_of_region,
+       ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+FROM nat
+""".format(rev=sql_dsum("o.o_totalprice"))
+
+
+@register("nation_revenue_share", oracle=_REVENUE_SHARE_SQL)
+def nation_revenue_share(spark, sf_dir):
+    """ratio_to_report: each nation's revenue share within its region
+    and overall, from two window sums over the 25-row nation grain —
+    the facts collapse before any window touches them, so the
+    unpartitioned window is a non-issue at any scale.
+
+    Determinism: window sums add the pre-rounded 2dp revenues; with 25
+    values the fp accumulation is exact to far beyond 6dp."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return nat.select(
+        "region", "nation", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6)
+        .alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wt), 6)
+        .alias("share_of_total"),
+    )

@@ -161,3 +161,32 @@ def test_digests_stable_across_shuffle_partitioning(spark):
             assert after == before[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_incremental_merge_is_associative_and_order_free(spark):
+    """merge(partial(A), partial(B)) == agg(A ∪ B) for several split
+    points, and merging in either order gives identical state — the
+    invariant that legalizes O(delta) refreshes."""
+    from medallion_data_pipeline_spark.operators import incremental as I
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.col("o_orderdate").cast("date").alias("d"))
+    spec = {
+        "n": ("count", "p"),
+        "s": ("sum", "p"),
+        "mn": ("min", "d"),
+        "mx": ("max", "d"),
+    }
+    keys = ["o_orderpriority"]
+    full = {tuple(r) for r in I.partial_agg(o, keys, spec).collect()}
+    for boundary in ("1994-06-01", "1996-01-01", "1998-01-01"):
+        a = o.filter(F.col("d") < boundary)
+        b = o.filter(F.col("d") >= boundary)
+        ab = I.merge_partials(I.partial_agg(a, keys, spec),
+                              I.partial_agg(b, keys, spec), keys, spec)
+        ba = I.merge_partials(I.partial_agg(b, keys, spec),
+                              I.partial_agg(a, keys, spec), keys, spec)
+        assert {tuple(r) for r in ab.collect()} == full, boundary
+        assert {tuple(r) for r in ba.collect()} == full, boundary
