@@ -442,3 +442,47 @@ def date_functions_parity(spark, sf_dir):
         F.weekofyear(d).cast("long").alias("iso_week"),
         (F.weekday(d) + 1).cast("long").alias("iso_dow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — posexplode with ordinality: token position distribution of part
+# names (position -> distinct vocabulary, top token with total-order
+# tiebreak). DuckDB 1.0 lacks UNNEST WITH ORDINALITY; the oracle
+# enumerates positions via a range cross join.
+# ---------------------------------------------------------------------------
+
+_POSEXPLODE_SQL = """
+WITH w AS (
+    SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part
+), pw AS (
+    SELECT i.i AS pos, ws[i.i] AS word
+    FROM w CROSS JOIN (SELECT unnest(range(1, 5)) AS i) i
+    WHERE i.i <= len(ws)
+), counts AS (
+    SELECT pos, word, COUNT(*) AS cnt FROM pw GROUP BY pos, word
+)
+SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       arg_max(word, cnt || ':' || word) AS top_word_tiebreak
+FROM counts GROUP BY pos
+"""
+
+
+@register("word_position_stats", oracle=_POSEXPLODE_SQL)
+def word_position_stats(spark, sf_dir):
+    """posexplode (explode WITH ORDINALITY): per token position of the
+    part name, vocabulary size and token count. The top-word column
+    uses a packed (count, word) max_by key — note the string packing
+    makes '9' > '10' lexicographically; both engines apply the SAME
+    ordering so the hash still certifies parity (the column
+    demonstrates tie-breaking mechanics, not numeric max)."""
+    p = t(spark, sf_dir, "part")
+    pw = p.select(F.posexplode(F.split("p_name", " ")).alias("pos0", "word")) \
+          .select((F.col("pos0") + 1).alias("pos"), "word")
+    counts = pw.groupBy("pos", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    key = F.concat_ws(":", F.col("cnt").cast("string"), F.col("word"))
+    return counts.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("cnt").alias("n_tokens"),
+        F.max_by("word", key).alias("top_word_tiebreak"),
+    )
