@@ -436,10 +436,15 @@ def approx_sketches(spark, sf_dir):
     countDistinct/percentile used elsewhere — at 100 TB these are the
     defaults and the exact forms are the special case."""
     li = t(spark, sf_dir, "lineitem")
+    # Quartiles flattened to scalar columns: the driver's canonicalizer
+    # sorts/hashes result cells and cannot handle array-typed columns.
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return li.agg(
         F.approx_count_distinct("l_extendedprice", rsd=0.01).alias("approx_distinct_prices"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_distinct_orders"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_quartiles"),
+        q.getItem(0).alias("approx_q25"),
+        q.getItem(1).alias("approx_q50"),
+        q.getItem(2).alias("approx_q75"),
     )
 
 
