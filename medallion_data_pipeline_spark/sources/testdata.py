@@ -37,10 +37,13 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: columns written as parquet TIMESTAMP(NANOS) — Spark's reader rejects
-#: nanosecond timestamps unless they come in as raw longs; we read them
-#: via the legacy conf and convert to microsecond timestamps (exactly the
-#: truncation DuckDB applies to the same files).
+#: columns written as parquet TIMESTAMP — depending on how the driver
+#: generated the files they arrive as TIMESTAMP(NANOS) (Spark reads them
+#: only as raw longs via the legacy conf) or as naive TIMESTAMP(MICROS)
+#: (Spark 4 infers TIMESTAMP_NTZ). Both are normalized to a plain
+#: TimestampType whose instant equals the wall-clock read as UTC — the
+#: exact interpretation DuckDB applies to the same files — independent of
+#: the caller session's timezone.
 NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
@@ -50,10 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             # integer div: double division loses precision on epoch-nanos (> 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # NTZ wall-clock -> UTC instant, session-timezone independent
+            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 
