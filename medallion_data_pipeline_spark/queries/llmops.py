@@ -356,7 +356,10 @@ _MULTIMODAL_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        sha256(text) AS sha_hex,
-       list_transform(range(1, 5), i -> CAST(ascii(substr(sha256(text), i, 1)) AS DOUBLE) / 255.0) AS feat
+       ROUND(CAST(ascii(substr(sha256(text), 1, 1)) AS DOUBLE) / 255.0, 6) AS feat_1,
+       ROUND(CAST(ascii(substr(sha256(text), 2, 1)) AS DOUBLE) / 255.0, 6) AS feat_2,
+       ROUND(CAST(ascii(substr(sha256(text), 3, 1)) AS DOUBLE) / 255.0, 6) AS feat_3,
+       ROUND(CAST(ascii(substr(sha256(text), 4, 1)) AS DOUBLE) / 255.0, 6) AS feat_4
 FROM documents
 """
 
@@ -366,10 +369,17 @@ def multimodal_features(spark, sf_dir):
     """Binary media plumbing: text -> binary payload -> Arrow-batched
     mapInPandas decode/featurize (operators/multimodal.py). The decode
     is a deterministic stub (media libs absent here); the schema,
-    batching, and UDF signature are the real 100 TB pattern."""
+    batching, and UDF signature are the real 100 TB pattern. The
+    feature vector is flattened to scalar columns here only for the
+    harness (array cells break its pandas canonicalizer)."""
     docs = t(spark, sf_dir, "documents")
     media = M.with_binary_payload(docs, "text")
-    return M.featurize_binary(media)
+    feat = M.featurize_binary(media)
+    return feat.select(
+        "doc_id", "byte_len", "sha_hex",
+        *[F.round(F.element_at("feat", i), 6).alias(f"feat_{i}")
+          for i in range(1, 5)],
+    )
 
 
 # ---------------------------------------------------------------------------
