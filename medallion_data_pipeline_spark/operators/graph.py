@@ -94,19 +94,25 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     # full upstream lineage (measured 12s -> ~5s at sf0.01)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(out_deg, "src")
-            .select(F.col("dst"),
-                    (F.col("r") / F.col("outdeg"))
-                    .cast("decimal(18,12)").alias("c"))
-        )
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(base)
-             + F.lit(damping) * F.sum("c").cast("double")).alias("r"))
-    return ranks
+    try:
+        nodes = e.select(F.col("src").alias("node")).distinct()
+        n = nodes.count()
+        base = (1.0 - damping) / n
+        ranks = nodes.withColumn("r", F.lit(1.0 / n))
+        for _ in range(iters):
+            contrib = (
+                e.join(ranks, e.src == ranks.node)
+                .join(out_deg, "src")
+                .select(F.col("dst"),
+                        (F.col("r") / F.col("outdeg"))
+                        .cast("decimal(18,12)").alias("c"))
+            )
+            ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+                (F.lit(base)
+                 + F.lit(damping) * F.sum("c").cast("double")).alias("r"))
+        # materialize before releasing the persisted inputs the plan
+        # still references — otherwise blocks leak for the session life
+        return ranks.localCheckpoint()
+    finally:
+        e.unpersist()
+        out_deg.unpersist()
