@@ -20,16 +20,24 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node
     id reachable through any path. Deterministic for any edge order.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round a node adopts the minimum label among itself and its
-    neighbors; stop when no label changed. Convergence in <= diameter
-    rounds; `max_iter` guards pathological chains (at 25 the partial
-    labels are still valid upper bounds, but components longer than 25
-    hops would stay split — raise for path-shaped graphs).
+    Adaptive execution: the edge set here is the OUTPUT of a dedup
+    pass — tiny relative to the corpus it came from (near-dup pairs,
+    not documents). When it fits comfortably on the driver
+    (``driver_threshold`` edges) union-find runs locally in one pass —
+    the same bounded-output collection a BroadcastExchange does — and
+    saves ~2 jobs x diameter of distributed iteration. Above the
+    threshold: min-label propagation, every node starts labeled with
+    itself; each round one groupBy shuffle adopts the minimum label
+    among self and neighbors; stop when no label changed. Convergence
+    in <= diameter rounds; `max_iter` guards pathological chains
+    (at 25 the partial labels are still valid upper bounds, but
+    components longer than 25 hops would stay split — raise for
+    path-shaped graphs).
     """
     # undirected: both directions once, then per-node min over neighbors
     both = (
@@ -38,6 +46,33 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         .distinct()
         .persist()
     )
+    if both.count() <= driver_threshold:
+        try:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:          # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in both.collect():
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:                       # min id becomes the root
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            rows = [(n, find(n)) for n in parent]
+            schema = both.select(F.col("u").alias("node"),
+                                 F.col("u").alias("comp")).schema
+            return edges.sparkSession.createDataFrame(rows, schema)
+        finally:
+            both.unpersist()
     # Each round's labels are localCheckpoint'ed (eager): iterative
     # DataFrames MUST truncate lineage every round or the plan doubles
     # per iteration and re-executes from scratch. On a cluster prefer
