@@ -48,6 +48,11 @@ NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Determinism contract (queries/__init__.py): session-timezone-
+    # dependent functions (date_format/date_trunc on TimestampType) must
+    # agree with the oracle's naive-as-UTC reading of the same files, so
+    # pin UTC even when the caller's session was built elsewhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = NANO_TS_COLUMNS.get(name, ())
     if nano_cols:
