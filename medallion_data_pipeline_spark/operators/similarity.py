@@ -56,6 +56,67 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def knn_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors via Arrow-batched BLAS — the
+    vectorized-Pandas-UDF dual of :func:`knn_bruteforce` (same result).
+
+    The (small-by-contract) query set is collected once, L2-normalized
+    into a numpy matrix, and broadcast; each corpus Arrow batch then
+    costs ONE `Q_norm @ C_batch.T` matmul, and only |Q| x k candidate
+    rows per batch ever leave the executor (local top-k inside the UDF,
+    global top-k after). This is the shape that wins as dim or |Q|
+    grows: the crossJoin plan evaluates |Q| x |C| expression trees,
+    the matmul path hands the same arithmetic to BLAS. At 100 TB the
+    corpus side stays fully distributed; if |Q| outgrows a broadcast,
+    shard the query matrix and union the shards.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qm = np.asarray([list(r[1]) for r in qrows], dtype="float64")
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qn))
+
+    def run(batches):
+        b_qids, b_qn = bq.value
+        kk = k
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf[id_col].to_numpy(dtype="int64")
+            cm = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = b_qn @ cn.T                      # |Q| x |batch|
+            # a query vector present in this batch must not match itself
+            self_mask = b_qids[:, None] == nids[None, :]
+            sims[self_mask] = -np.inf
+            take = min(kk, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(sims.shape[0]):
+                cols = idx[qi][np.isfinite(sims[qi, idx[qi]])]
+                out_q.extend([b_qids[qi]] * len(cols))
+                out_n.extend(nids[cols])
+                out_c.extend(sims[qi, cols])
+            yield pd.DataFrame({
+                "query_id": np.array(out_q, dtype="int64"),
+                "neighbor_id": np.array(out_n, dtype="int64"),
+                "cos_raw": np.array(out_c, dtype="float64"),
+            })
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        run, schema="query_id long, neighbor_id long, cos_raw double")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell).

@@ -196,6 +196,19 @@ def knn_cosine_bruteforce(spark, sf_dir):
     return S.knn_bruteforce(emb, queries, k=5)
 
 
+@register("knn_cosine_matmul", oracle=_KNN_SQL)
+def knn_cosine_matmul(spark, sf_dir):
+    """Same exact top-5 as knn_cosine_bruteforce, computed by the
+    Arrow-batched BLAS path (mapInPandas matmul against the broadcast
+    normalized query matrix, operators/similarity.py::knn_matmul) —
+    the vectorized-Pandas-UDF alternative the crossJoin plan trades
+    against as dim x |Q| grows. Shares the bruteforce oracle: both
+    must produce identical rankings."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_matmul(emb, queries, k=5)
+
+
 # ---------------------------------------------------------------------------
 # q34 — LSH-bucketed ANN (the scale path). The oracle inlines the SAME
 # md5-derived hyperplane constants (functions/vectors.py), so even the

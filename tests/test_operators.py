@@ -60,6 +60,18 @@ def test_knn_bruteforce_identical_vector_is_top1(spark):
     assert out[0].cosine == 1.0
 
 
+def test_knn_matmul_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id % 20 = 0")
+    bf = sorted(map(tuple, S.knn_bruteforce(emb, queries, k=4).collect()))
+    mm = sorted(map(tuple, S.knn_matmul(emb, queries, k=4).collect()))
+    assert bf == mm
+
+
 def test_knn_lsh_finds_identical(spark):
     rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
     rows.append((100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # dup of vec 0
