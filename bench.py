@@ -89,6 +89,22 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Structured Streaming throughput over the same events table: file
+    # source micro-batches (2 files/trigger over the 8-file layout) ->
+    # watermarked 1-hour tumbling rollup -> memory sink, drained with
+    # processAllAvailable. Reference has no streaming at all
+    # (SURVEY §2.8); this is the green-field extension benched.
+    from medallion_data_pipeline_spark.streaming import events as SE
+
+    ev_path = os.path.join(layout_dir, "events.parquet")
+    best = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        stream = SE.read_event_stream(spark, ev_path, max_files_per_trigger=2)
+        SE.run_to_memory(SE.hourly_rollup(stream), f"bench_stream_{rep}")
+        best = min(best, time.time() - t0)
+    timings["streaming_hourly_rollup"] = round(best, 3)
+
     shutil.rmtree(layout_dir, ignore_errors=True)
 
     # Medallion pipeline stages at the reference's own data scale
@@ -106,6 +122,8 @@ def main() -> None:
         silver.run_silver(spark, wh_warm, run_id="warm")
         gold.run_gold(spark, wh_warm)
         quality.run_quality_checks(spark, wh_warm).collect()
+        from medallion_data_pipeline_spark.plans import forecasting
+        forecasting.run_forecasts(spark, wh_warm, run_id="warm").count()
     finally:
         shutil.rmtree(wh_warm, ignore_errors=True)
 
@@ -124,6 +142,13 @@ def main() -> None:
         t0 = time.time()
         quality.run_quality_checks(spark, wh).collect()
         timings["pipeline_quality_50k"] = round(time.time() - t0, 3)
+        # per-entity forecast fan-out, 3 levels (product/warehouse/store)
+        # x daily series x 14-day horizon — the reference's ~8 min
+        # process-pool stage (BASELINE.md) as applyInPandas
+        from medallion_data_pipeline_spark.plans import forecasting
+        t0 = time.time()
+        forecasting.run_forecasts(spark, wh, run_id="bench").count()
+        timings["pipeline_forecast_50k"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
