@@ -127,30 +127,41 @@ def main() -> None:
     finally:
         shutil.rmtree(wh_warm, ignore_errors=True)
 
-    wh = tempfile.mkdtemp(prefix="mdp_bench_wh_")
-    try:
-        t0 = time.time()
-        dfs = fixtures.generate_bronze(spark, n_orders=50000)
-        bronze.write_bronze(dfs, wh)
-        timings["pipeline_bronze_50k"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        silver.run_silver(spark, wh, run_id="bench")
-        timings["pipeline_silver_50k"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        gold.run_gold(spark, wh)
-        timings["pipeline_gold_50k"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        quality.run_quality_checks(spark, wh).collect()
-        timings["pipeline_quality_50k"] = round(time.time() - t0, 3)
-        # per-entity forecast fan-out, 3 levels (product/warehouse/store)
-        # x daily series x 14-day horizon — the reference's ~8 min
-        # process-pool stage (BASELINE.md) as applyInPandas
-        from medallion_data_pipeline_spark.plans import forecasting
-        t0 = time.time()
-        forecasting.run_forecasts(spark, wh, run_id="bench").count()
-        timings["pipeline_forecast_50k"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+    # min-of-2 for the pipeline stages, same noise rationale as the
+    # query loop (fresh warehouse per rep — each rep is a full cold run
+    # of the data, only the compiled plans are shared).
+    from medallion_data_pipeline_spark.plans import forecasting
+
+    stage_best: dict[str, float] = {}
+    for _rep in range(2):
+        wh = tempfile.mkdtemp(prefix="mdp_bench_wh_")
+        try:
+            rep_t: dict[str, float] = {}
+            t0 = time.time()
+            dfs = fixtures.generate_bronze(spark, n_orders=50000)
+            bronze.write_bronze(dfs, wh)
+            rep_t["pipeline_bronze_50k"] = time.time() - t0
+            t0 = time.time()
+            silver.run_silver(spark, wh, run_id="bench")
+            rep_t["pipeline_silver_50k"] = time.time() - t0
+            t0 = time.time()
+            gold.run_gold(spark, wh)
+            rep_t["pipeline_gold_50k"] = time.time() - t0
+            t0 = time.time()
+            quality.run_quality_checks(spark, wh).collect()
+            rep_t["pipeline_quality_50k"] = time.time() - t0
+            # per-entity forecast fan-out, 3 levels (product/warehouse/
+            # store) x daily series x 14-day horizon — the reference's
+            # ~8 min process-pool stage (BASELINE.md) as applyInPandas
+            t0 = time.time()
+            forecasting.run_forecasts(spark, wh, run_id="bench").count()
+            rep_t["pipeline_forecast_50k"] = time.time() - t0
+            for k, v in rep_t.items():
+                stage_best[k] = min(stage_best.get(k, float("inf")), v)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+    for k, v in stage_best.items():
+        timings[k] = round(v, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
