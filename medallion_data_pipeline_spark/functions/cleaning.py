@@ -53,20 +53,27 @@ DATE_FORMATS = [
 
 # Canonical status vocabularies (reference silver_builder.py:662-665,
 # 860-864, 949-954).
+#: Variant vocabularies copied verbatim (lowercased — matching is
+#: case-insensitive on both sides) from the reference's per-table maps:
+#: orders silver_builder.py:949-954, stores :860-864, products :662-665.
+#: Dict order matters: clean_status_field builds a first-match when
+#: chain, reproducing the reference's dict-iteration quirk where a raw
+#: 'closed' store maps to 'inactive' (listed there first), never
+#: 'closed'.
 ORDER_STATUS_MAP = {
-    "pending": ["pending", "awaiting", "processing", "new", "created"],
-    "shipped": ["shipped", "in transit", "dispatched", "sent", "on the way"],
-    "delivered": ["delivered", "complete", "completed", "received", "fulfilled"],
-    "cancelled": ["cancelled", "canceled", "void", "voided", "rejected"],
+    "pending": ["pending", "awaiting", "processing", "in process"],
+    "shipped": ["shipped", "dispatched", "in transit", "on route"],
+    "delivered": ["delivered", "complete", "completed", "received"],
+    "cancelled": ["cancelled", "canceled", "void"],
 }
 STORE_STATUS_MAP = {
-    "active": ["active", "open", "operational"],
-    "inactive": ["inactive", "closed temporarily", "suspended"],
-    "closed": ["closed", "shutdown", "permanently closed"],
+    "active": ["active", "open"],
+    "inactive": ["inactive", "closed"],
+    "closed": ["closed", "shutdown"],
 }
 PRODUCT_STATUS_MAP = {
-    "active": ["active", "available", "in stock"],
-    "discontinued": ["discontinued", "inactive", "eol", "end of life"],
+    "active": ["active"],
+    "discontinued": ["discontinued", "inactive"],
 }
 
 

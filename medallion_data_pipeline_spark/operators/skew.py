@@ -24,7 +24,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     we salt by pmod over an arbitrary second column when present, else
     a per-partition counter — correctness is unaffected (salt only
     routes rows), results are identical to an unsalted join.
+
+    Only inner/left (big-side-preserving) joins are supported: a
+    right/full join would emit every unmatched small-side row once per
+    salt replica, which is NOT the unsalted result.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: the "
+            "exploded small side would duplicate unmatched rows under "
+            "right/full joins")
     salt = F.pmod(F.xxhash64(F.col(key), F.spark_partition_id()), F.lit(n_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))

@@ -87,7 +87,8 @@ def build_inventory_health(inventory: DataFrame, warehouses: DataFrame,
             F.min(qty).alias("min_quantity"),
             F.max(qty).alias("max_quantity"),
             F.sum(F.when(qty == 0, 1).otherwise(0)).alias("out_of_stock_items"),
-            F.sum(F.when((qty > 0) & (qty < 100), 1).otherwise(0)).alias("low_stock_items"),
+            # reference gold_builder.py:147: qty < 100 INCLUDING zero
+            F.sum(F.when(qty < 100, 1).otherwise(0)).alias("low_stock_items"),
             F.first("storage_capacity_clean").alias("storage_capacity"),
             F.round(F.sum(qty * F.coalesce(F.col("unit_cost_clean"), F.lit(0.0))), 2)
             .alias("inventory_value"),
@@ -97,9 +98,10 @@ def build_inventory_health(inventory: DataFrame, warehouses: DataFrame,
             F.round(guarded_div(F.col("total_quantity") * 100.0, F.col("storage_capacity")), 2),
         )
         .withColumn(
+            # reference gold_builder.py:177-181 thresholds
             "stock_health",
-            F.when(F.col("out_of_stock_items") > 0, "Critical")
-            .when(F.col("low_stock_items") > 5, "Warning")
+            F.when(F.col("out_of_stock_items") > 5, "Critical")
+            .when(F.col("low_stock_items") > 10, "Warning")
             .otherwise("Healthy"),
         )
         .withColumn("created_at", F.current_timestamp())
@@ -136,9 +138,11 @@ def build_supplier_performance(orders: DataFrame, products: DataFrame,
             F.sum(F.when(F.col("status") == "delivered", 1).otherwise(0)).alias("delivered_orders"),
             F.sum(F.when(F.col("status").isin("delivered", "shipped"), 1).otherwise(0))
             .alias("fulfilled_orders"),
+            # reference gold_builder.py:227: rate over ALL orders in the
+            # group, not just delivered ones
             F.round(guarded_div(
                 F.sum(F.when(on_time, 1).otherwise(0)) * 100.0,
-                F.sum(F.when(F.col("delivered_date").isNotNull(), 1).otherwise(0))), 2)
+                F.countDistinct("supply_order_id")), 2)
             .alias("on_time_rate_pct"),
             F.round(guarded_div(
                 F.sum(F.when(on_time & F.col("is_calculation_correct"), 1).otherwise(0)) * 100.0,

@@ -158,6 +158,15 @@ def clean_inventory(df: DataFrame) -> tuple[DataFrame, object]:
     return cleaned, reason
 
 
+def _calc_ok(invoice, qty, price):
+    """Reference is_calculation_correct (silver_builder.py:964-971):
+    True unless a truthy invoice differs from qty*price by > 0.01
+    (NULL/0 invoice short-circuits True; NULL qty/price count as 0)."""
+    expected = F.coalesce(qty, F.lit(0)) * F.coalesce(price, F.lit(0.0))
+    return F.when(invoice.isNull() | (invoice == 0), F.lit(True)) \
+        .otherwise(F.abs(invoice - expected) <= 0.01)
+
+
 def clean_supply_orders(df: DataFrame) -> tuple[DataFrame, object]:
     qty = C.clean_integer_field("quantity")
     price = C.clean_numeric_field("price")
@@ -177,12 +186,16 @@ def clean_supply_orders(df: DataFrame) -> tuple[DataFrame, object]:
         sd.alias("shipped_date"),
         dd.alias("delivered_date"),
         C.clean_status_field("status", C.ORDER_STATUS_MAP).alias("status"),
-        # validation flags (reference silver_builder.py:969-981, 402-403)
-        (F.abs(invoice - qty * price) <= 0.01).alias("is_calculation_correct"),
-        (sd.isNull() | od.isNull() | (sd >= od)).alias("date_logic_valid"),
+        # validation flags (reference silver_builder.py:964-981, 402-403):
+        # the calc check only fires when total_invoice is truthy (NULL or
+        # 0 keeps the flag True — the reference's falsy guard), and date
+        # logic is invalid when shipped < order OR delivered < shipped.
+        _calc_ok(invoice, qty, price).alias("is_calculation_correct"),
+        ((sd.isNull() | od.isNull() | (sd >= od))
+         & (dd.isNull() | sd.isNull() | (dd >= sd))).alias("date_logic_valid"),
         C.quality_score(
             [qty.isNull(), price.isNull(), od.isNull(),
-             ~(F.abs(invoice - qty * price) <= 0.01)], 4).alias("quality_score"),
+             ~_calc_ok(invoice, qty, price)], 4).alias("quality_score"),
     )
     reason = (
         F.when(F.col("quantity").isNull(), "invalid_quantity")

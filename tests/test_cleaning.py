@@ -163,3 +163,52 @@ def test_guarded_div(spark):
     df = spark.createDataFrame([(10.0, 2.0), (10.0, 0.0)], "a double, b double")
     out = [r.r for r in df.select(C.guarded_div(F.col("a"), F.col("b")).alias("r")).collect()]
     assert out == [5.0, None]
+
+
+def test_status_maps_match_reference_vocabularies(spark):
+    """Reference maps verbatim (silver_builder.py:949-954, 860-864,
+    662-665), including the first-match quirk: a raw 'closed' store
+    canonicalizes to 'inactive' (listed first), never 'closed'."""
+    fn = lambda c: C.clean_status_field(c, C.ORDER_STATUS_MAP)
+    cases = {"In Process": "pending", "On Route": "shipped",
+             "Received": "delivered", "Canceled": "cancelled",
+             "fulfilled": "fulfilled"}   # NOT in the reference map -> raw
+    assert _run(spark, fn, list(cases)) == list(cases.values())
+
+    sfn = lambda c: C.clean_status_field(c, C.STORE_STATUS_MAP)
+    s_cases = {"closed": "inactive", "Shutdown": "closed", "OPEN": "active"}
+    assert _run(spark, sfn, list(s_cases)) == list(s_cases.values())
+
+    pfn = lambda c: C.clean_status_field(c, C.PRODUCT_STATUS_MAP)
+    p_cases = {"inactive": "discontinued", "in stock": "in stock"}
+    assert _run(spark, pfn, list(p_cases)) == list(p_cases.values())
+
+
+def test_supply_order_validation_flags_reference_semantics(spark):
+    """is_calculation_correct keeps the reference's falsy guard (NULL/0
+    invoice -> True, silver_builder.py:964-971); date_logic_valid also
+    fails on delivered < shipped (:975-981)."""
+    from medallion_data_pipeline_spark.plans.silver import clean_supply_orders
+
+    rows = [
+        # id, product, wh, store, qty, price, invoice, od, sd, dd, status
+        (1, "1", "1", "1", "10", "2.0", "20.0", "2024-01-01", "2024-01-02", "2024-01-03", "delivered"),
+        (2, "1", "1", "1", "10", "2.0", None,   "2024-01-01", "2024-01-02", "2024-01-03", "delivered"),
+        (3, "1", "1", "1", "10", "2.0", "0",    "2024-01-01", "2024-01-02", "2024-01-03", "delivered"),
+        (4, "1", "1", "1", "10", "2.0", "99.0", "2024-01-01", "2024-01-02", "2024-01-03", "delivered"),
+        (5, "1", "1", "1", "10", "2.0", "20.0", "2024-01-05", "2024-01-02", "2024-01-06", "delivered"),
+        (6, "1", "1", "1", "10", "2.0", "20.0", "2024-01-01", "2024-01-04", "2024-01-02", "delivered"),
+    ]
+    schema = ("supply_order_id long, product_id string, warehouse_id string, "
+              "retail_store_id string, quantity string, price string, "
+              "total_invoice string, order_date string, shipped_date string, "
+              "delivered_date string, status string")
+    cleaned, _ = clean_supply_orders(spark.createDataFrame(rows, schema))
+    got = {r.supply_order_id: (r.is_calculation_correct, r.date_logic_valid)
+           for r in cleaned.collect()}
+    assert got[1] == (True, True)
+    assert got[2] == (True, True)     # NULL invoice -> calc flag stays True
+    assert got[3] == (True, True)     # 0 invoice -> falsy guard -> True
+    assert got[4] == (False, True)    # drift > 0.01
+    assert got[5] == (True, False)    # shipped < order
+    assert got[6] == (True, False)    # delivered < shipped
