@@ -592,6 +592,73 @@ def dedup_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — cluster-aware train/val/test split: the leakage fix a plain hash
+# split misses. Near-duplicate documents MUST land in the same split
+# (a train doc whose near-copy sits in val leaks), so the split key is
+# the dedup CLUSTER id, not the doc id; singletons key on themselves.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+    {_minhash_oracle()}
+), edges2 AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(node, m) AS (
+    SELECT u, u FROM edges2
+    UNION
+    SELECT e.u, r.m FROM edges2 e JOIN reach r ON e.v = r.node
+), clusters AS (
+    SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+), keyed AS (
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+), b AS (
+    SELECT doc_id, cluster_id,
+           CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+    FROM keyed
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("cluster_aware_split", oracle=_CLUSTER_SPLIT_SQL)
+def cluster_aware_split(spark, sf_dir):
+    """Split keyed on md5(dedup cluster id) so near-duplicates can
+    never straddle train/val/test; singleton documents key on their
+    own id. Composition: minhash pairs -> connected components ->
+    broadcast cluster map -> deterministic md5 bucket."""
+    from ..operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.4)
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    # cluster map is bounded by the near-dup population -> broadcast
+    keyed = (
+        docs.select("doc_id")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return keyed.select(
+        "doc_id", "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q — benchmark-contamination check: flag corpus documents sharing any
 # 4-shingle with a held-out eval set (here: doc_id % 100 == 0 stands in
 # for the benchmark). The decontamination pass every training-data
