@@ -592,6 +592,71 @@ def dedup_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — dedup keeper policy: the decision step after clustering. Keep the
+# LONGEST document of each near-dup cluster (whitespace tokens,
+# tiebreak min doc_id) — the standard "richest variant wins" heuristic;
+# everything else in the cluster is the drop list.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+    {_minhash_oracle()}
+), edges2 AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(node, m) AS (
+    SELECT u, u FROM edges2
+    UNION
+    SELECT e.u, r.m FROM edges2 e JOIN reach r ON e.v = r.node
+), clusters AS (
+    SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+), sized AS (
+    SELECT c.cluster_id, c.doc_id,
+           len({_SQL_WORDS.format('d.text')}) AS n_tokens
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tokens DESC, doc_id) AS rk
+    FROM sized
+)
+SELECT cluster_id,
+       MIN(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+       CAST(MIN(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT) AS keep_tokens,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY cluster_id
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_SQL)
+def dedup_keep_best(spark, sf_dir):
+    """Keeper per near-dup cluster: longest doc wins (whitespace token
+    count, tiebreak min doc_id), rest are dropped. One broadcast join
+    of the bounded cluster map onto documents + one window at cluster
+    grain — the corpus is never shuffled."""
+    from ..operators.graph import connected_components
+    from ..functions import text as X
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.4)
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    sized = (
+        docs.join(F.broadcast(clusters), "doc_id")
+        .select("cluster_id", "doc_id",
+                F.size(X.words(F.col("text"))).cast("long").alias("n_tokens"))
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("n_tokens"))).alias("keep_tokens"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q — cluster-aware train/val/test split: the leakage fix a plain hash
 # split misses. Near-duplicate documents MUST land in the same split
 # (a train doc whose near-copy sits in val leaks), so the split key is
