@@ -39,6 +39,10 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     components longer than 25 hops would stay split — raise for
     path-shaped graphs).
     """
+    # The union below references `edges` twice (forward + swapped), so
+    # an unpersisted input would execute its full upstream plan — for
+    # dedup, the whole band-join + Jaccard pipeline — twice.
+    edges = edges.persist()
     # undirected: both directions once, then per-node min over neighbors
     both = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -73,6 +77,7 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             return edges.sparkSession.createDataFrame(rows, schema)
         finally:
             both.unpersist()
+            edges.unpersist()
     # Each round's labels are localCheckpoint'ed (eager): iterative
     # DataFrames MUST truncate lineage every round or the plan doubles
     # per iteration and re-executes from scratch. On a cluster prefer
@@ -107,6 +112,7 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         return labels.select("node", "comp")
     finally:
         both.unpersist()
+        edges.unpersist()
 
 
 def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
