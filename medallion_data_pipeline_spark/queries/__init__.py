@@ -65,7 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "clean_status_parity", "rejection_split", "quality_scores",
     "string_functions_parity", "date_functions_parity",
     # analytics / windows / multi-dim aggregation
-    "lag_rolling_features", "null_dup_profile", "describe_extendedprice",
+    "null_dup_profile", "describe_extendedprice",
     "correlation_pairs", "quantile_bins_broadcast", "ranking_functions",
     "grouping_sets_revenue", "rolling_7day_range_window",
     "unpivot_region_kpis", "pivot_status_by_region",
@@ -77,9 +77,12 @@ PRIORITY: tuple[str, ...] = (
     "events_gap_fill", "skew_salted_join",
     # LLM-data-pipeline tier: dedup / similarity / text / multimodal
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_clusters", "knn_cosine_bruteforce",
-    "knn_cosine_lsh", "knn_cosine_ivf", "text_analysis",
+    "dedup_embedding_cosine", "knn_cosine_bruteforce", "text_analysis",
     "multimodal_features", "corpus_token_stats", "gopher_quality_filters",
+    # the prefix's costliest checks go last so a time-bounded harness
+    # still completes everything above before starting them
+    "lag_rolling_features", "dedup_clusters", "knn_cosine_lsh",
+    "knn_cosine_ivf",
 )
 
 
