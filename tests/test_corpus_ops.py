@@ -190,3 +190,21 @@ def test_incremental_merge_is_associative_and_order_free(spark):
                               I.partial_agg(a, keys, spec), keys, spec)
         assert {tuple(r) for r in ab.collect()} == full, boundary
         assert {tuple(r) for r in ba.collect()} == full, boundary
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """Leakage invariant: every near-dup cluster lands wholly in one
+    split, and the assignment covers every document exactly once."""
+    _load()
+    out = REGISTRY["cluster_aware_split"].fn(spark, SF_SMOKE)
+    docs_n = out.count()
+    assert docs_n == out.select("doc_id").distinct().count()
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # multi-doc clusters exist in the corpus, so the invariant is real
+    assert out.groupBy("cluster_id").count().filter("count > 1").count() > 0
