@@ -592,6 +592,76 @@ def dedup_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — PII scrubbing (functions/text.py::redact_pii): every training-data
+# pipeline's compliance pass. The corpus text carries no PII, so each
+# doc is salted with deterministic synthetic email/SSN/phone strings;
+# the query reports per-type match counts and the redacted text. The
+# patterns are RE2-safe by construction, so Spark (Java regex) and the
+# oracle agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_PII_SQL = """
+WITH salted AS (
+    SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ssn 123-45-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ph 555-123-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g'),
+              '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g'),
+              '\\d{3}[-.]\\d{3}[-.]\\d{4}', '[PHONE]', 'g')) AS redacted_md5
+FROM salted
+"""
+
+
+@register("pii_redaction", oracle=_PII_SQL)
+def pii_redaction(spark, sf_dir):
+    """Typed PII masking as codegen'd regexp_replace chains — counts
+    use the PRE-redaction text per type, applied in the declared order
+    (emails first, SSN before phone) so tokens never mask inside each
+    other. Output keys on md5 of the redacted text.
+
+    NOTE the ordered semantics: phone counts run on the email+SSN
+    redacted text (matching redact_pii's sequential application), so a
+    digit run consumed by [SSN] is never double-counted as a phone."""
+    from ..functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com ssn 123-45-"), four, F.lit(" ph 555-123-"), four,
+        ).alias("t"),
+    )
+    pats = X.PII_PATTERNS
+    after_email = F.regexp_replace("t", pats["EMAIL"], "[EMAIL]")
+    after_ssn = F.regexp_replace(after_email, pats["SSN"], "[SSN]")
+    return salted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(pats["EMAIL"]), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(after_email, F.lit(pats["SSN"]), F.lit(0)))
+        .cast("long").alias("n_ssn"),
+        F.size(F.regexp_extract_all(after_ssn, F.lit(pats["PHONE"]), F.lit(0)))
+        .cast("long").alias("n_phone"),
+        F.md5(X.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q — dedup keeper policy: the decision step after clustering. Keep the
 # LONGEST document of each near-dup cluster (whitespace tokens,
 # tiebreak min doc_id) — the standard "richest variant wins" heuristic;
