@@ -1,5 +1,5 @@
 """Pipeline orchestrator — the reference's etl.py CLI re-shaped for
-Spark (etl.py:93-187): `--layer bronze|silver|gold|quality|all` with
+Spark (etl.py:93-187): `--layer bronze|silver|gold|quality|forecast|all` with
 fail-fast gating (silver only runs if bronze landed, etc.) and
 idempotent overwrite semantics per layer.
 
@@ -55,6 +55,19 @@ def run_pipeline(spark: SparkSession, warehouse: str, layer: str = "all",
         if not ok:
             return False
 
+    if layer == "forecast":
+        # deliberately NOT part of "all": the reference runs forecasting
+        # as its own entry point (python forecasting.py), separate from
+        # etl.py --layer all (etl.py:153-167, forecasting.py:434-449)
+        t = time.time()
+        from . import forecasting
+        fc = forecasting.run_forecasts(spark, warehouse)
+        n = fc.count()
+        ok = n > 0
+        print(f"[forecast] {n} forecast rows ok={ok} ({time.time() - t:.1f}s)")
+        if not ok:
+            return False
+
     if layer in ("quality", "all"):
         t = time.time()
         checks = quality.run_quality_checks(spark, warehouse)
@@ -75,7 +88,7 @@ def run_pipeline(spark: SparkSession, warehouse: str, layer: str = "all",
 def main() -> int:
     ap = argparse.ArgumentParser(description="Medallion pipeline (Spark)")
     ap.add_argument("--layer", default="all",
-                    choices=["bronze", "silver", "gold", "quality", "all"])
+                    choices=["bronze", "silver", "gold", "quality", "forecast", "all"])
     ap.add_argument("--warehouse", default="/tmp/mdp_warehouse")
     ap.add_argument("--fixtures", action="store_true", default=True,
                     help="generate deterministic dirty fixtures for bronze")
