@@ -166,12 +166,73 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    bits: int = 16) -> DataFrame:
     """SimHash-equal buckets: doc count per fingerprint. Equal
-    fingerprints are near-dup clusters; Hamming<=d retrieval would
-    expand each fingerprint by its d-bit flips before the groupBy."""
+    fingerprints are near-dup clusters; Hamming<=d pairs (one bit of
+    drift between two near-identical docs flips a fingerprint bit) are
+    recovered by :func:`simhash_hamming_pairs`."""
     return (
         docs.withColumn("_toks", X.words(F.col(text_col)))
         .withColumn("_hashed", F.transform("_toks", F.md5))
         .select(F.col(id_col), X.simhash_from_hashes(F.col("_hashed"), bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(id, simhash) — the staged fingerprint frame shared by the
+    grouping and Hamming-retrieval paths."""
+    return (
+        docs.withColumn("_toks", X.words(F.col(text_col)))
+        .withColumn("_hashed", F.transform("_toks", F.md5))
+        .select(F.col(id_col),
+                X.simhash_from_hashes(F.col("_hashed"), bits).alias("simhash"))
+    )
+
+
+def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", bits: int = 16,
+                          max_distance: int = 1) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= ``max_distance`` between
+    SimHash fingerprints — the bit-flip bucket expansion that
+    equal-fingerprint grouping misses.
+
+    Plan: the probe side explodes each fingerprint into its
+    sum(C(bits, e), e<=d) bit-flip variants (17 keys at 16/1) and
+    equi-joins against the EXACT fingerprint side. The asymmetric
+    probe-vs-exact design means a pair at distance e <= d collides on
+    exactly ONE mask (mask == fp_a XOR fp_b), and the id_a < id_b
+    predicate kills the mirror collision — so there is no pair-dedup
+    shuffle at all; the only shuffle is the equi-join on the 8-byte
+    probe key. 100% recall within d by construction (verified against
+    the all-pairs SQL oracle). At 100 TB the probe fan-out is a fixed
+    x17 row multiplier on a narrow (id, key) projection — linear, not
+    quadratic; raise ``bits`` to keep buckets sparse as n grows.
+    """
+    from itertools import combinations
+
+    masks = [0]
+    for d in range(1, max_distance + 1):
+        for combo in combinations(range(bits), d):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+
+    fp = simhash_fingerprints(docs, text_col, id_col, bits)
+    probe = fp.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"),
+        F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mask"),
+    ).select(
+        "id_a", "fp_a",
+        F.col("fp_a").bitwiseXOR(F.col("mask")).alias("probe_key"),
+    )
+    exact = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    return (
+        probe.join(exact, (F.col("probe_key") == F.col("fp_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
     )

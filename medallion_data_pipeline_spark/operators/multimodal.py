@@ -7,11 +7,14 @@ resize / frame-sample / feature-extract run as Arrow-batched
 never a row at a time. Partitioning stays on the metadata keys, so
 re-shuffles never move payload bytes more than once.
 
-The decode step itself needs media libraries (PIL/av/librosa) that are
-NOT in this container — it is stubbed behind ``decode_stub`` (a
-deterministic byte-level "decoder") with the real-library call site
-marked; the Spark-side plumbing (schema, batch iteration, UDF
-signatures) is real and tested.
+The decode step needs media libraries (Pillow/av/librosa). Pillow is
+try-imported: ``decoder="auto"`` resolves to the real PIL path when the
+library is importable (corrupt payloads become feat=None marker rows)
+and to ``decode_stub`` (a deterministic byte-level "decoder") when it
+is not — as in this container. The Spark-side plumbing (schema, batch
+iteration, UDF signatures) is identical on both paths and tested; the
+oracle-gated query pins decoder="stub" so correctness never depends on
+which libraries the host has.
 """
 
 from __future__ import annotations
@@ -43,22 +46,62 @@ def with_binary_payload(df: DataFrame, source_col: str, id_col: str = "doc_id") 
 
 
 def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode of one payload.
-
-    REAL IMPLEMENTATION would be e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
-        arr = np.asarray(img.resize((224, 224))) / 255.0
-
-    — not available in this container; this stub derives a stable
-    4-dim feature from the payload's sha256 so the full pipeline
-    (schema, batching, joins downstream) is exercised end to end.
+    """Deterministic fake decode of one payload: a stable 4-dim
+    feature from the payload's sha256, so the full pipeline (schema,
+    batching, joins downstream) is exercised end to end — and so the
+    SQL oracle can replay it. The registered ``multimodal_features``
+    query pins ``decoder="stub"`` for exactly that reason; ``auto``
+    picks :func:`decode_pil` when Pillow is importable.
     """
     import hashlib
 
     h = hashlib.sha256(payload).hexdigest()
     feat = [ord(h[i]) / 255.0 for i in range(4)]
     return {"sha_hex": h, "feat": feat}
+
+
+def decode_pil(payload: bytes) -> dict:
+    """Real image decode via Pillow: open -> RGB -> 16x16 thumbnail ->
+    per-channel means + global std as the 4-dim feature. A payload
+    that is not a parseable image yields ``feat=None`` — the
+    corrupt-media marker row (real pipelines flag, never crash, on bad
+    bytes). Raises ImportError when Pillow is absent; callers go
+    through :func:`resolve_decoder`."""
+    import hashlib
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    h = hashlib.sha256(payload).hexdigest()
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+    except Exception:
+        return {"sha_hex": h, "feat": None}
+    arr = np.asarray(img.resize((16, 16)), dtype="float64") / 255.0
+    feat = [float(arr[..., 0].mean()), float(arr[..., 1].mean()),
+            float(arr[..., 2].mean()), float(arr.std())]
+    return {"sha_hex": h, "feat": feat}
+
+
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def resolve_decoder(decoder: str = "auto"):
+    """(name, fn) for a decoder choice: ``auto`` -> Pillow when
+    importable, else the deterministic stub. Resolution happens ONCE,
+    driver-side, at plan build — the chosen function is captured in the
+    mapInPandas closure, so every executor batch uses the same path."""
+    if decoder == "auto":
+        decoder = "pil" if _pil_available() else "stub"
+    if decoder == "pil":
+        return "pil", decode_pil
+    if decoder == "stub":
+        return "stub", decode_stub
+    raise ValueError(f"unknown decoder: {decoder!r}")
 
 
 def resize_stub(payload: bytes, target: tuple[int, int] = (224, 224)) -> bytes:
@@ -86,17 +129,40 @@ RESIZED_SCHEMA = "doc_id bigint, resized binary, resized_len int"
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
 
 
+def resize_pil(payload: bytes, target: tuple[int, int] = (224, 224)) -> bytes | None:
+    """Real resize via Pillow, re-encoded as PNG bytes; ``None`` for
+    unparseable payloads (corrupt-media marker)."""
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+    except Exception:
+        return None
+    buf = io.BytesIO()
+    img.resize(target).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def resize_batch(media: DataFrame, id_col: str = "doc_id",
-                 target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Arrow-batched resize over the payload column (mapInPandas)."""
+                 target: tuple[int, int] = (224, 224),
+                 decoder: str = "auto") -> DataFrame:
+    """Arrow-batched resize over the payload column (mapInPandas).
+    ``decoder`` as in :func:`featurize_binary`: auto -> Pillow when
+    importable, else the deterministic stub."""
+    if decoder == "auto":
+        decoder = "pil" if _pil_available() else "stub"
+    resize = resize_pil if decoder == "pil" else resize_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [resize_stub(bytes(p), target) for p in pdf["payload"]]
+            resized = [resize(bytes(p), target) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].values,
                 "resized": resized,
-                "resized_len": [len(r) for r in resized],
+                "resized_len": [len(r) if r is not None else None
+                                for r in resized],
             })
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
@@ -121,14 +187,19 @@ def frame_sample(media: DataFrame, id_col: str = "doc_id",
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
-def featurize_binary(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def featurize_binary(media: DataFrame, id_col: str = "doc_id",
+                     decoder: str = "auto") -> DataFrame:
     """Arrow-batched decode/featurize over the binary payload column via
     mapInPandas (SURVEY §2.9 U2-analogue for media; the slow path done
-    right: per-batch Python, never per-row)."""
+    right: per-batch Python, never per-row). ``decoder``: "auto" uses
+    Pillow when importable (corrupt payloads -> feat=None marker rows),
+    "stub" pins the deterministic sha-derived features the SQL oracle
+    replays."""
+    _, decode = resolve_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            decoded = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

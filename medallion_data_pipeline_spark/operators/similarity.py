@@ -28,16 +28,28 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _paired_cosine(qv="qv", cv="cv", qn="qn", cn="cn"):
+    """cos from per-row precomputed norms: dot/(qn*cn). Identical IEEE
+    ops in the same order as V.cosine (norm product, >0 guard, one
+    divide), but the norms are computed once per ROW before the join
+    instead of once per PAIR after it — 3x fewer array folds on the
+    scored-pairs path, which dominates candidate scoring."""
+    d = F.col(qn) * F.col(cn)
+    return F.when(d > 0, V.dot(F.col(qv), F.col(cv)) / d)
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (excluding
     itself). Embeddings are cast float->double BEFORE the products so
     the arithmetic is engine-portable (float*float truncates)."""
+    qv = _as_double(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), qv.alias("qv"), V.norm(qv).alias("qn")
     )
+    cv = _as_double(F.col(vec_col))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), cv.alias("cv"), V.norm(cv).alias("cn")
     )
     scored = (
         F.broadcast(q).crossJoin(c)
@@ -45,7 +57,7 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            _paired_cosine().alias("cos_raw"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
@@ -61,9 +73,9 @@ def knn_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k cosine neighbors via Arrow-batched BLAS — the
     vectorized-Pandas-UDF dual of :func:`knn_bruteforce` (same result).
 
-    The (small-by-contract) query set is collected once, L2-normalized
-    into a numpy matrix, and broadcast; each corpus Arrow batch then
-    costs ONE `Q_norm @ C_batch.T` matmul, and only |Q| x k candidate
+    The (small-by-contract) query set is collected once into a numpy
+    matrix (with its row norms) and broadcast; each corpus Arrow batch
+    then costs ONE `Q @ C_batch.T` matmul, and only |Q| x k candidate
     rows per batch ever leave the executor (local top-k inside the UDF,
     global top-k after). This is the shape that wins as dim or |Q|
     grows: the crossJoin plan evaluates |Q| x |C| expression trees,
@@ -77,19 +89,22 @@ def knn_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype="int64")
     qm = np.asarray([list(r[1]) for r in qrows], dtype="float64")
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    bq = corpus.sparkSession.sparkContext.broadcast((qids, qn))
+    qnorm = np.linalg.norm(qm, axis=1)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qm, qnorm))
 
     def run(batches):
-        b_qids, b_qn = bq.value
+        b_qids, b_qm, b_qnorm = bq.value
         kk = k
         for pdf in batches:
             if not len(pdf):
                 continue
             nids = pdf[id_col].to_numpy(dtype="int64")
             cm = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
-            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = b_qn @ cn.T                      # |Q| x |batch|
+            cnorm = np.linalg.norm(cm, axis=1)
+            # dot / (|q| * |c|) — the same final-division order as
+            # V.cosine, so ties rank identically across the two paths
+            # (normalize-then-matmul rounds differently in the low bits)
+            sims = (b_qm @ cm.T) / (b_qnorm[:, None] * cnorm[None, :])
             # a query vector present in this batch must not match itself
             self_mask = b_qids[:, None] == nids[None, :]
             sims[self_mask] = -np.inf
@@ -162,13 +177,15 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
     equi-join on cell id; recall tuned by probing >1 cell (nprobe)."""
     cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"), "cell")
+        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"),
+        V.norm(F.col("dv")).alias("cn"), "cell")
     q = ivf_assign(queries, cents, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("dv").alias("qv"), "cell")
+        F.col(id_col).alias("query_id"), F.col("dv").alias("qv"),
+        V.norm(F.col("dv")).alias("qn"), "cell")
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+        .select("query_id", "neighbor_id", _paired_cosine().alias("cos_raw"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -189,23 +206,74 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
+        V.norm(_as_double(F.col(vec_col))).alias("qn"),
         V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
+        V.norm(_as_double(F.col(vec_col))).alias("cn"),
         V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed, dim).alias("bucket"),
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+        .select("query_id", "neighbor_id", _paired_cosine().alias("cos_raw"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
+                        n_planes: int = 4, n_tables: int = 8, seed: int = 101,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded sign-LSH — the scale
+    path that replaces the all-pairs self-join.
+
+    ``n_tables`` independent hash tables, each keyed by an
+    ``n_planes``-bit sign-LSH bucket (deterministic md5-derived
+    hyperplanes, seeds ``seed..seed+n_tables-1``). Candidates are pairs
+    colliding in ANY table (explode (table, bucket) keys -> self
+    equi-join on both), scored exactly, filtered at ``threshold``, then
+    deduped across tables with groupBy+max (map-side combine — never
+    `.distinct()` on the scored triple). The plan contains no all-pairs
+    join: work is proportional to colliding pairs.
+
+    Recall for a pair at cosine c is 1-(1-p^n_planes)^n_tables with
+    p = 1 - arccos(c)/pi (~0.80 at c=0.42 for the 4x8 default; higher
+    in practice on clustered corpora where buckets align with
+    clusters). At 100 TB, grow n_planes with log2(n) to keep buckets
+    bounded, and raise n_tables to buy recall back; the exploded rows
+    carry the vector (dim doubles) x n_tables through one shuffle —
+    project ids-only and re-join vectors if dim is large.
+    """
+    dv = _as_double(F.col(vec_col))
+    keys = F.array(*[
+        V.sign_lsh_key(dv, n_planes, seed + t, dim) for t in range(n_tables)
+    ])
+    keyed = emb.select(
+        F.col(id_col).alias("vid"), dv.alias("v"), V.norm(dv).alias("nrm"),
+        F.posexplode(keys).alias("tbl", "bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    scored = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+            _paired_cosine("a.v", "b.v", "a.nrm", "b.nrm").alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+    )
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cos_raw"), 6).alias("cosine"))
     )
 
 
@@ -286,7 +354,8 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
     queries × nprobe, not corpus size."""
     cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"), "cell")
+        F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"),
+        V.norm(F.col("dv")).alias("cn"), "cell")
 
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("qv"))
@@ -303,13 +372,21 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
         "query_id", "qv",
         F.explode(F.slice(F.array_sort(F.array(*dists)), 1, nprobe))
         .alias("pc"))
-    q = probed.select("query_id", "qv", F.col("pc.cell").alias("cell"))
+    q = probed.select("query_id", "qv", V.norm(F.col("qv")).alias("qn"),
+                      F.col("pc.cell").alias("cell"))
+    # No post-score dedup is needed: ivf_assign routes every corpus
+    # vector to exactly ONE cell (strict-< argmin) and the probed cells
+    # per query are distinct by construction, so each (query, neighbor)
+    # pair is scored at most once. The previous `.distinct()` here
+    # inserted a full shuffle of every scored candidate pair (4.4x
+    # slower than single-probe at sf0.1) for rows that were already
+    # unique. If corpus routing ever becomes multi-cell, dedupe with
+    # groupBy(query_id, neighbor_id).agg(F.max("cos_raw")) — map-side
+    # combine — never `.distinct()` on the near-unique scored triple.
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                V.cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
-        .distinct()  # a neighbor reachable via 2 cells counts once
+        .select("query_id", "neighbor_id", _paired_cosine().alias("cos_raw"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (

@@ -74,6 +74,53 @@ def _seasonal_naive_forecast(pdf: pd.DataFrame, horizon: int, season: int = 7):
     return yhat, yhat * 0.8, yhat * 1.2
 
 
+def _prophet_forecast(pdf: pd.DataFrame, horizon: int):
+    """Fit a real Prophet model on the (ds, y) series (reference
+    forecasting.py:168-183). Raises ImportError when the optional dep
+    is absent — the worker dispatches to the next model."""
+    from prophet import Prophet
+
+    m = Prophet(weekly_seasonality=True, daily_seasonality=False,
+                yearly_seasonality=False)
+    m.fit(pdf[["ds", "y"]].assign(ds=pd.to_datetime(pdf["ds"])))
+    future = m.make_future_dataframe(periods=horizon, include_history=False)
+    fc = m.predict(future)
+    import numpy as np
+
+    return (np.maximum(fc["yhat"].to_numpy(float), 0.0),
+            np.maximum(fc["yhat_lower"].to_numpy(float), 0.0),
+            np.maximum(fc["yhat_upper"].to_numpy(float), 0.0))
+
+
+def _sarimax_forecast(pdf: pd.DataFrame, horizon: int):
+    """Fit SARIMAX(1,1,1)x(1,1,1,7) via statsmodels (reference
+    forecasting.py:185-211). Raises ImportError when absent."""
+    from statsmodels.tsa.statespace.sarimax import SARIMAX
+
+    import numpy as np
+
+    y = pdf["y"].to_numpy(float)
+    res = SARIMAX(y, order=(1, 1, 1), seasonal_order=(1, 1, 1, 7),
+                  enforce_stationarity=False,
+                  enforce_invertibility=False).fit(disp=False)
+    pred = res.get_forecast(horizon)
+    conf = pred.conf_int(alpha=0.05)
+    conf = conf.to_numpy() if hasattr(conf, "to_numpy") else conf
+    return (np.maximum(pred.predicted_mean, 0.0),
+            np.maximum(conf[:, 0], 0.0),
+            np.maximum(conf[:, 1], 0.0))
+
+
+#: model name -> fit function; tried in order under model="auto".
+#: ImportError (dep absent in this container) falls through to the
+#: next entry; any other fit failure also falls through — the
+#: reference's per-series try/except-fallback (forecasting.py:214-241).
+_MODEL_FITTERS: tuple[tuple[str, object], ...] = (
+    ("prophet", _prophet_forecast),
+    ("sarimax", _sarimax_forecast),
+)
+
+
 def make_forecast_worker(level: str, horizon: int, run_id: str, model: str = "auto"):
     def worker(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ds")
@@ -83,16 +130,20 @@ def make_forecast_worker(level: str, horizon: int, run_id: str, model: str = "au
                 "model", "granularity", "run_id"])
         used = "seasonal_naive"
         yhat = lower = upper = None
-        if model in ("auto", "prophet"):
-            try:  # optional heavy dep (reference forecasting.py:168-183)
-                from prophet import Prophet  # noqa: F401
-                used = "prophet"
+        for name, fit in _MODEL_FITTERS:
+            if model not in ("auto", name):
+                continue
+            try:
+                yhat, lower, upper = fit(pdf, horizon)
+                used = name
+                break
             except ImportError:
-                pass
+                continue  # optional dep absent -> next model / fallback
+            except Exception:
+                continue  # fit blew up on this series -> fallback
         if yhat is None:
             yhat, lower, upper = _seasonal_naive_forecast(pdf, horizon)
-            if used != "seasonal_naive":
-                used = "seasonal_naive"  # dep missing -> documented fallback
+            used = "seasonal_naive"
         last = pd.Timestamp(pdf["ds"].iloc[-1])
         ds = [last + pd.Timedelta(days=i) for i in range(1, horizon + 1)]
         return pd.DataFrame({

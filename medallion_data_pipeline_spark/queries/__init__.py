@@ -76,8 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "latest_event_per_user", "weekly_retention_cohorts",
     "events_gap_fill", "skew_salted_join",
     # LLM-data-pipeline tier: dedup / similarity / text / multimodal
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "knn_cosine_bruteforce", "text_analysis",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
+    "dedup_embedding_lsh", "knn_cosine_bruteforce", "text_analysis",
     "multimodal_features", "corpus_token_stats", "gopher_quality_filters",
     # the prefix's costliest checks go last so a time-bounded harness
     # still completes everything above before starting them

@@ -157,6 +157,41 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_groups(t(spark, sf_dir, "documents"))
 
 
+def _simhash_hamming_oracle(bits: int = 16, max_distance: int = 1) -> str:
+    """All-pairs semantic oracle: DuckDB brute-forces
+    bit_count(xor) <= d over every pair; the Spark plan must recover
+    the identical pair set from its bit-flip probe buckets (100%
+    recall within d by construction)."""
+    toks = _SQL_WORDS.format("text")
+    bit_terms = []
+    for b in range(bits):
+        votes = (
+            f"list_sum(list_transform({toks}, "
+            f"tok -> CASE WHEN ascii(substr(md5(tok), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {votes} > 0 THEN {1 << b} ELSE 0 END")
+    fp = " + ".join(bit_terms)
+    return f"""
+WITH fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+"""
+
+
+@register("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance <= 1 via bit-flip
+    probe expansion (operators/dedup.py::simhash_hamming_pairs): 17
+    probe keys per doc equi-joined against exact fingerprints — no
+    all-pairs join, no pair-dedup shuffle (each qualifying pair
+    collides on exactly one mask). Catches the one-bit-drift pairs
+    that equal-fingerprint grouping (dedup_simhash) silently misses;
+    the DuckDB oracle brute-forces all pairs, pinning 100% recall."""
+    return D.simhash_hamming_pairs(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # q33 — brute-force cosine top-k (exact ANN baseline).
 # ---------------------------------------------------------------------------
@@ -380,14 +415,17 @@ FROM documents
 @register("multimodal_features", oracle=_MULTIMODAL_SQL)
 def multimodal_features(spark, sf_dir):
     """Binary media plumbing: text -> binary payload -> Arrow-batched
-    mapInPandas decode/featurize (operators/multimodal.py). The decode
-    is a deterministic stub (media libs absent here); the schema,
-    batching, and UDF signature are the real 100 TB pattern. The
-    feature vector is flattened to scalar columns here only for the
-    harness (array cells break its pandas canonicalizer)."""
+    mapInPandas decode/featurize (operators/multimodal.py). The decoder
+    is PINNED to the deterministic stub so the SQL oracle replays it
+    bit-for-bit regardless of which media libs the host has;
+    decoder="auto" on the operator picks the real Pillow path when
+    importable. The schema, batching, and UDF signature are the real
+    100 TB pattern. The feature vector is flattened to scalar columns
+    here only for the harness (array cells break its pandas
+    canonicalizer)."""
     docs = t(spark, sf_dir, "documents")
     media = M.with_binary_payload(docs, "text")
-    feat = M.featurize_binary(media)
+    feat = M.featurize_binary(media, decoder="stub")
     return feat.select(
         "doc_id", "byte_len", "sha_hex",
         *[F.round(F.element_at("feat", i), 6).alias(f"feat_{i}")
@@ -427,15 +465,87 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     dv = F.transform("embedding", lambda x: x.cast("double"))
-    a = emb.select(F.col("vec_id").alias("id_a"), dv.alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), dv.alias("vb"))
+    # norms precomputed per ROW (n folds), not per pair (n² folds);
+    # dot/(na*nb) is the same IEEE op order as V.cosine
+    a = emb.select(F.col("vec_id").alias("id_a"), dv.alias("va"),
+                   V.norm(dv).alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), dv.alias("vb"),
+                   V.norm(dv).alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = V.cosine(F.col("va"), F.col("vb"))
+    d = F.col("na") * F.col("nb")
+    cos = F.when(d > 0, V.dot(F.col("va"), F.col("vb")) / d)
     return (
         pairs.withColumn("_cos", cos)
         .filter(F.col("_cos") >= 0.42)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q — embedding near-dup pairs via banded sign-LSH (the gated scale
+# path; dedup_embedding_cosine above stays as the small-SF recall
+# cross-check). The oracle replays the SAME md5-derived bucket keys per
+# hash table, so bucket assignment, candidate pruning, exact in-bucket
+# cosine, and the cross-table pair dedup all hash-match.
+# ---------------------------------------------------------------------------
+
+_EMB_LSH_PLANES = 4
+_EMB_LSH_TABLES = 8
+_EMB_LSH_SEED = 101
+
+
+def _emb_lsh_oracle(threshold: float = 0.42, n_planes: int = _EMB_LSH_PLANES,
+                    n_tables: int = _EMB_LSH_TABLES, seed: int = _EMB_LSH_SEED,
+                    dim: int = 64) -> str:
+    from ..functions.vectors import _plane_component
+
+    def bucket_expr(table_seed: int) -> str:
+        terms = []
+        for pl in range(n_planes):
+            comps = ", ".join(repr(_plane_component(table_seed, pl, j))
+                              for j in range(dim))
+            proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                    f"i -> dv[i] * ([{comps}])[i]))")
+            terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
+        return " + ".join(terms)
+
+    tables = "\nUNION ALL\n".join(
+        f"SELECT vec_id, dv, {t} AS tbl, CAST({bucket_expr(seed + t)} AS BIGINT) AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), keyed AS (
+{tables}
+), scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, {dim + 1}), i -> a.dv[i] * b.dv[i]))
+             / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) AS cos_raw
+    FROM keyed a JOIN keyed b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(MAX(cos_raw), 6) AS cosine
+FROM scored WHERE cos_raw >= {threshold}
+GROUP BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.42) with banded
+    sign-LSH candidate pruning (operators/similarity.py::
+    embedding_lsh_pairs): 8 hash tables x 4-plane buckets -> explode
+    (table, bucket) keys -> self equi-join -> exact cosine within
+    buckets -> groupBy+max pair dedup. No all-pairs join anywhere in
+    the plan; ~80% pair recall vs the exact all-pairs cross-check
+    (dedup_embedding_cosine), tunable via n_planes/n_tables."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_lsh_pairs(
+        emb, threshold=0.42, n_planes=_EMB_LSH_PLANES,
+        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED)
 
 
 # ---------------------------------------------------------------------------

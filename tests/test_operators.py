@@ -166,3 +166,50 @@ def test_pandas_udf_token_count_matches_expression(spark):
         X.token_count_bpe_pandas(F.col("text")).alias("udf_n"),
     )
     assert both.filter(F.col("expr_n") != F.col("udf_n")).count() == 0
+
+
+def test_multimodal_decoder_resolution_and_seam():
+    """decoder='auto' resolves to the stub in this container (Pillow
+    absent) and the stub output is deterministic; the pil branch is
+    selectable and fails loudly on unknown names. The corrupt-media
+    contract of decode_pil (feat=None, sha still computed) is pinned
+    where Pillow exists."""
+    import pytest
+
+    name, fn = M.resolve_decoder("auto")
+    if M._pil_available():
+        assert (name, fn) == ("pil", M.decode_pil)
+    else:
+        assert (name, fn) == ("stub", M.decode_stub)
+    assert M.resolve_decoder("stub") == ("stub", M.decode_stub)
+    assert M.resolve_decoder("pil") == ("pil", M.decode_pil)
+    with pytest.raises(ValueError):
+        M.resolve_decoder("librosa")
+
+    d = M.decode_stub(b"payload")
+    assert d == M.decode_stub(b"payload") and len(d["feat"]) == 4
+
+
+def test_multimodal_decode_pil_real():
+    """Runs only where Pillow exists (skipped in this container): a
+    real in-memory PNG round-trips through decode_pil/resize_pil, and
+    non-image bytes produce the corrupt-media marker row."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    d = M.decode_pil(png)
+    assert len(d["feat"]) == 4
+    assert abs(d["feat"][0] - 1.0) < 1e-6  # red channel saturated
+    assert M.decode_pil(b"not an image")["feat"] is None
+
+    out = M.resize_pil(png, (4, 4))
+    assert out is not None and Image.open(io.BytesIO(out)).size == (4, 4)
+    assert M.resize_pil(b"not an image") is None

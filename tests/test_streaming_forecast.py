@@ -337,3 +337,87 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert streamed == expected
     assert len(expected) > 0
+
+
+def _series_pdf(days: int = 60):
+    import pandas as pd
+
+    ds = pd.date_range("2024-01-01", periods=days).date
+    y = [10.0 + (i % 7) + 0.1 * i for i in range(days)]
+    return pd.DataFrame({"entity_id": "E1", "ds": ds, "y": y})
+
+
+def test_forecast_worker_falls_back_without_heavy_deps():
+    """In this container (no prophet/statsmodels) model='auto' must
+    land on the documented seasonal_naive fallback, producing the full
+    horizon with +-20% bounds."""
+    from medallion_data_pipeline_spark.plans import forecasting as FC
+
+    out = FC.make_forecast_worker("warehouse", 14, "r1")(_series_pdf())
+    assert len(out) == 14
+    assert set(out["model"]) == {"seasonal_naive"}
+    assert (out["yhat_lower"] <= out["yhat"]).all()
+    assert (out["yhat_upper"] >= out["yhat"]).all()
+
+
+def test_forecast_worker_dispatches_to_available_model(monkeypatch):
+    """The optional-import seam: when a model fitter succeeds the
+    worker uses its output and tags the model column; when it raises
+    (dep missing OR fit failure) the chain falls through. Pinned by
+    stubbing the fitter table — the worker body is a plain pandas
+    function, so the dispatch contract is testable without the dep."""
+    import numpy as np
+
+    from medallion_data_pipeline_spark.plans import forecasting as FC
+
+    def fake_fit(pdf, horizon):
+        yhat = np.full(horizon, 42.0)
+        return yhat, yhat * 0.9, yhat * 1.1
+
+    def broken_fit(pdf, horizon):
+        raise ImportError("dep absent")
+
+    monkeypatch.setattr(FC, "_MODEL_FITTERS",
+                        (("prophet", broken_fit), ("sarimax", fake_fit)))
+    out = FC.make_forecast_worker("warehouse", 7, "r1")(_series_pdf())
+    assert set(out["model"]) == {"sarimax"}
+    assert (out["yhat"] == 42.0).all()
+
+    monkeypatch.setattr(FC, "_MODEL_FITTERS",
+                        (("prophet", broken_fit), ("sarimax", broken_fit)))
+    out = FC.make_forecast_worker("warehouse", 7, "r1")(_series_pdf())
+    assert set(out["model"]) == {"seasonal_naive"}
+
+    # model= pins a single fitter: others are never consulted
+    monkeypatch.setattr(FC, "_MODEL_FITTERS",
+                        (("prophet", fake_fit), ("sarimax", broken_fit)))
+    out = FC.make_forecast_worker("warehouse", 7, "r1", model="prophet")(
+        _series_pdf())
+    assert set(out["model"]) == {"prophet"}
+
+
+def test_forecast_worker_real_prophet():
+    """Runs only where the real dep exists (skipped in this container):
+    the prophet branch must fit and fill the horizon."""
+    import pytest
+
+    pytest.importorskip("prophet")
+    from medallion_data_pipeline_spark.plans import forecasting as FC
+
+    out = FC.make_forecast_worker("warehouse", 7, "r1", model="prophet")(
+        _series_pdf())
+    assert len(out) == 7
+    assert set(out["model"]) == {"prophet"}
+
+
+def test_forecast_worker_real_sarimax():
+    """Runs only where statsmodels exists (skipped in this container)."""
+    import pytest
+
+    pytest.importorskip("statsmodels")
+    from medallion_data_pipeline_spark.plans import forecasting as FC
+
+    out = FC.make_forecast_worker("warehouse", 7, "r1", model="sarimax")(
+        _series_pdf())
+    assert len(out) == 7
+    assert set(out["model"]) == {"sarimax"}
