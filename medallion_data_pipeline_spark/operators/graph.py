@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iter: int = 25,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = 100_000) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node
     id reachable through any path. Deterministic for any edge order.
 
@@ -30,19 +30,27 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     not documents). When it fits comfortably on the driver
     (``driver_threshold`` edges) union-find runs locally in one pass —
     the same bounded-output collection a BroadcastExchange does — and
-    saves ~2 jobs x diameter of distributed iteration. Above the
-    threshold: min-label propagation, every node starts labeled with
-    itself; each round one groupBy shuffle adopts the minimum label
-    among self and neighbors; stop when no label changed. Convergence
-    in <= diameter rounds; `max_iter` guards pathological chains
-    (at 25 the partial labels are still valid upper bounds, but
+    saves ~2 jobs x diameter of distributed iteration. The default
+    threshold (100k edge rows) is sized like a broadcast threshold:
+    wide node ids (long strings) make Python dict entries hundreds of
+    bytes each, so 100k stays tens-of-MB driver-side worst case; opt
+    IN to a higher bound (e.g. 1M) only for narrow integer ids. Above
+    the threshold: min-label propagation, every node starts labeled
+    with itself; each round one groupBy shuffle adopts the minimum
+    label among self and neighbors; stop when no label changed.
+    Convergence in <= diameter rounds; `max_iter` guards pathological
+    chains (at 25 the partial labels are still valid upper bounds, but
     components longer than 25 hops would stay split — raise for
     path-shaped graphs).
     """
     # The union below references `edges` twice (forward + swapped), so
     # an unpersisted input would execute its full upstream plan — for
-    # dedup, the whole band-join + Jaccard pipeline — twice.
-    edges = edges.persist()
+    # dedup, the whole band-join + Jaccard pipeline — twice. Persist
+    # only if the CALLER hasn't (and only unpersist what we persisted:
+    # dropping a caller's cache out from under them breaks their reuse).
+    we_persisted = not edges.is_cached
+    if we_persisted:
+        edges = edges.persist()
     # undirected: both directions once, then per-node min over neighbors
     both = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -77,7 +85,8 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             return edges.sparkSession.createDataFrame(rows, schema)
         finally:
             both.unpersist()
-            edges.unpersist()
+            if we_persisted:
+                edges.unpersist()
     # Each round's labels are localCheckpoint'ed (eager): iterative
     # DataFrames MUST truncate lineage every round or the plan doubles
     # per iteration and re-executes from scratch. On a cluster prefer
@@ -112,7 +121,8 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         return labels.select("node", "comp")
     finally:
         both.unpersist()
-        edges.unpersist()
+        if we_persisted:
+            edges.unpersist()
 
 
 def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,

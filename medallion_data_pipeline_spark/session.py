@@ -10,6 +10,12 @@ enabled for the pandas-UDF slow path.
 The engine never *requires* its own session — all operators and queries
 accept a caller-provided SparkSession (the driver's verify harness
 passes one in) — this factory is for the CLI, tests, and bench.
+
+Session contract: the engine assumes ``spark.sql.session.timeZone=UTC``
+(set here). A caller-provided session with a different timezone is
+overridden — with a warning — on first table load
+(sources/testdata.py::ensure_utc_session), because timezone-dependent
+expressions must match the DuckDB oracle's naive-as-UTC file reading.
 """
 
 from __future__ import annotations

@@ -47,12 +47,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
+def ensure_utc_session(spark: SparkSession) -> None:
+    """Enforce the engine's UTC-session contract, loudly.
+
+    The determinism contract (queries/__init__.py) makes session-
+    timezone-dependent functions (date_format/date_trunc on
+    TimestampType) agree with the oracle's naive-as-UTC reading of the
+    same files — sessions from :func:`..session.get_spark` are already
+    UTC. A caller-provided session with another timezone is mutated
+    here (queries would silently hash-diverge otherwise), but only when
+    it actually differs, and with a warning naming the override — not
+    as a silent side effect of every table read."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        import warnings
+
+        warnings.warn(
+            "medallion_data_pipeline_spark requires spark.sql.session."
+            "timeZone=UTC (oracle comparability); overriding the "
+            "session's configured timezone. Build sessions with "
+            "medallion_data_pipeline_spark.session.get_spark to avoid "
+            "this.", stacklevel=3)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Determinism contract (queries/__init__.py): session-timezone-
-    # dependent functions (date_format/date_trunc on TimestampType) must
-    # agree with the oracle's naive-as-UTC reading of the same files, so
-    # pin UTC even when the caller's session was built elsewhere.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_utc_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = NANO_TS_COLUMNS.get(name, ())
     if nano_cols:

@@ -141,3 +141,61 @@ def test_feature_scaling_prunes_text_column(spark):
     plan = _plan(spark, "feature_scaling")
     for schema in plan.split("ReadSchema:")[1:]:
         assert "text" not in schema.split("\n")[0], schema.split("\n")[0]
+
+
+def test_scheduler_config_jobs_and_cron(tmp_path):
+    """Schedule surface parity (reference scheduler_manager.py:136-205):
+    add/remove/clear persist to JSON and survive reload; next_run is
+    computed from the cron expression."""
+    from datetime import datetime
+
+    from medallion_data_pipeline_spark.plans import scheduler as SCH
+
+    m = SCH.SchedulerManager(str(tmp_path))
+    now = datetime(2026, 1, 5, 10, 30)  # a Monday
+    j1 = m.add_schedule("daily", "0 2 * * *", stage="full", now=now)
+    j2 = m.add_schedule("hourly", "15 * * * *", stage="gold", now=now)
+    assert j1["next_run"] == "2026-01-06T02:00:00"
+    assert j2["next_run"] == "2026-01-05T11:15:00"
+
+    m2 = SCH.SchedulerManager(str(tmp_path))  # reload from disk
+    assert [j["id"] for j in m2.get_active_jobs(now)] == [j1["id"], j2["id"]]
+    assert m2.remove_schedule(j1["id"]) and not m2.remove_schedule(j1["id"])
+    m2.clear_all_schedules()
+    assert SCH.SchedulerManager(str(tmp_path)).jobs_config == []
+
+    assert SCH.cron_matches("*/5 9-17 * * 1-5", datetime(2026, 1, 5, 9, 25))
+    assert not SCH.cron_matches("*/5 9-17 * * 1-5", datetime(2026, 1, 4, 9, 25))
+    assert not SCH.cron_matches("*/5 9-17 * * 1-5", datetime(2026, 1, 5, 8, 25))
+
+
+def test_scheduler_run_log_truncates_at_100(tmp_path):
+    """Two scheduled idempotent runs append run-log rows; the log keeps
+    only the last 100 entries (reference scheduler_manager.py:285)."""
+    from datetime import datetime
+
+    from medallion_data_pipeline_spark.plans import scheduler as SCH
+
+    runs = []
+    m = SCH.SchedulerManager(str(tmp_path), runner=lambda stage: (runs.append(stage), True)[1])
+    now = datetime(2026, 1, 5, 2, 0)
+    m.add_schedule("daily", "0 2 * * *", stage="full", now=now)
+    m.add_schedule("daily-gold", "0 2 * * *", stage="gold", now=now)
+
+    assert len(m.run_due_jobs(now)) == 2      # both jobs fire this minute
+    assert len(m.run_due_jobs(now)) == 2      # idempotent re-tick
+    assert runs == ["full", "gold", "full", "gold"]
+    hist = m.get_execution_history(limit=None)
+    assert len(hist) == 4
+    assert {h["status"] for h in hist} == {"success"}
+    assert m.run_due_jobs(datetime(2026, 1, 5, 3, 0)) == []  # off-minute
+
+    for _ in range(120):
+        m.log_execution("full", "success")
+    assert len(m.get_execution_history(limit=None)) == 100
+    assert len(m.get_execution_history(limit=10)) == 10
+
+    # a crashing runner is logged as error, never raised (ref :258-261)
+    boom = SCH.SchedulerManager(str(tmp_path), runner=lambda s: 1 / 0)
+    assert boom.run_pipeline_job("full") is False
+    assert boom.get_execution_history(limit=1)[0]["status"] == "error"
