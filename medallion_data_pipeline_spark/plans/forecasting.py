@@ -178,14 +178,10 @@ def _panel_features(series: DataFrame) -> DataFrame:
     )
 
 
-def fit_global_linear_model(panel) -> list[float]:
-    """Train ONE global model over the panel (the reference trains one
-    LightGBM booster for all entities, forecasting.py:288-295). Here:
-    ordinary least squares via numpy (no heavy dep) on
-    [1, lag_1, lag_7, roll_mean_7, isodow, month] -> y."""
+def _features_matrix(panel):
     import numpy as np
 
-    X = np.column_stack([
+    return np.column_stack([
         np.ones(len(panel)),
         panel["lag_1"].to_numpy(float),
         panel["lag_7"].to_numpy(float),
@@ -193,16 +189,78 @@ def fit_global_linear_model(panel) -> list[float]:
         panel["isodow"].to_numpy(float),
         panel["month"].to_numpy(float),
     ])
+
+
+def fit_global_linear_model(panel) -> list[float]:
+    """Train ONE global model over the panel (the reference trains one
+    LightGBM booster for all entities, forecasting.py:288-295). Here:
+    ordinary least squares via numpy (no heavy dep) on
+    [1, lag_1, lag_7, roll_mean_7, isodow, month] -> y."""
+    import numpy as np
+
+    X = _features_matrix(panel)
     y = panel["y"].to_numpy(float)
     theta, *_ = np.linalg.lstsq(X, y, rcond=None)
     return [float(t) for t in theta]
 
 
-def make_autoregressive_worker(theta: list[float], horizon: int, run_id: str, level: str):
+def fit_global_model(panel, model: str = "auto"):
+    """(name, predict_fn) for the one-global-model stage: a real
+    LightGBM booster when importable (the reference's booster,
+    forecasting.py:288-295), else the OLS fallback. ``predict_fn``
+    takes the feature row [1, lag_1, lag_7, roll_mean_7, isodow,
+    month] so both paths drive the same autoregressive worker."""
+    if model in ("auto", "lightgbm"):
+        try:
+            import lightgbm as lgb
+            import numpy as np
+
+            X = _features_matrix(panel)[:, 1:]  # booster needs no bias
+            booster = lgb.train(
+                {"objective": "regression", "verbosity": -1, "seed": 7,
+                 "deterministic": True},
+                lgb.Dataset(X, label=panel["y"].to_numpy(float)),
+                num_boost_round=50)
+
+            def predict(x: list[float]) -> float:
+                return float(booster.predict(np.asarray([x[1:]]))[0])
+
+            return "lightgbm", predict
+        except ImportError:
+            if model == "lightgbm":
+                raise
+    theta = fit_global_linear_model(panel)
+
+    def predict(x: list[float]) -> float:
+        import numpy as np
+
+        return float(np.dot(theta, x))
+
+    return "global_linear", predict
+
+
+def make_autoregressive_worker(model, horizon: int, run_id: str, level: str):
     """Per-entity AUTOREGRESSIVE horizon loop (reference forecasting.py:
     297-335): predict one step, append it to the history, repeat —
     inherently sequential per entity, so it lives inside applyInPandas
-    where each executor walks its own entities."""
+    where each executor walks its own entities.
+
+    ``model``: either a theta list (OLS coefficients over
+    [1, lag_1, lag_7, roll_mean_7, isodow, month]) or a
+    ``(name, predict_fn)`` pair from :func:`fit_global_model` — the
+    predict closure (e.g. a pickled LightGBM booster) ships to
+    executors inside the applyInPandas closure, the reference's
+    one-booster-for-all-entities design."""
+    if isinstance(model, tuple):
+        model_name, predict = model
+    else:
+        theta = [float(t) for t in model]
+        model_name = "global_linear"
+
+        def predict(x: list[float]) -> float:
+            import numpy as np
+
+            return float(np.dot(theta, x))
 
     def worker(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -220,7 +278,7 @@ def make_autoregressive_worker(theta: list[float], horizon: int, run_id: str, le
             roll7 = float(np.mean(hist[-7:]))
             x = [1.0, hist[-1], hist[-7] if len(hist) >= 7 else hist[0],
                  roll7, float(d.weekday() + 1), float(d.month)]
-            pred = max(float(np.dot(theta, x)), 0.0)
+            pred = max(predict(x), 0.0)
             hist.append(pred)                      # autoregressive append
             out_ds.append(d.date())
             out_y.append(round(pred, 4))
@@ -228,7 +286,7 @@ def make_autoregressive_worker(theta: list[float], horizon: int, run_id: str, le
         return pd.DataFrame({
             "level": level, "entity_id": pdf["entity_id"].iloc[0], "ds": out_ds,
             "yhat": yhat, "yhat_lower": yhat * 0.8, "yhat_upper": yhat * 1.2,
-            "model": "global_linear", "granularity": "daily", "run_id": run_id,
+            "model": model_name, "granularity": "daily", "run_id": run_id,
         })
 
     return worker
@@ -242,9 +300,9 @@ def run_global_forecast(spark: SparkSession, warehouse: str, level: str = "wareh
     orders = read_silver(spark, warehouse, "supply_orders")
     series = build_series(orders, level)
     panel = _panel_features(series).toPandas()
-    theta = fit_global_linear_model(panel)
+    model = fit_global_model(panel)  # lightgbm when importable, else OLS
     fc = series.groupBy("entity_id").applyInPandas(
-        make_autoregressive_worker(theta, horizon, run_id, level), FORECAST_SCHEMA)
+        make_autoregressive_worker(model, horizon, run_id, level), FORECAST_SCHEMA)
     path = os.path.join(warehouse, "gold", "forecasts")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     fc.write.mode("overwrite").partitionBy("run_id").parquet(path)

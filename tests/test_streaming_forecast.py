@@ -421,3 +421,58 @@ def test_forecast_worker_real_sarimax():
         _series_pdf())
     assert len(out) == 7
     assert set(out["model"]) == {"sarimax"}
+
+
+def test_global_model_seam():
+    """fit_global_model returns the OLS fallback here (no lightgbm);
+    its predict closure must agree with the raw theta path, and
+    model='lightgbm' must raise loudly when the dep is absent."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from medallion_data_pipeline_spark.plans import forecasting as FC
+
+    rng = range(60)
+    panel = pd.DataFrame({
+        "y": [10.0 + (i % 7) for i in rng],
+        "lag_1": [10.0 + ((i - 1) % 7) for i in rng],
+        "lag_7": [10.0 + (i % 7) for i in rng],
+        "roll_mean_7": [13.0] * 60,
+        "isodow": [(i % 7) + 1.0 for i in rng],
+        "month": [1.0] * 60,
+    })
+    import importlib.util
+
+    name, predict = FC.fit_global_model(panel)
+    if importlib.util.find_spec("lightgbm") is not None:
+        assert name == "lightgbm"
+    else:
+        assert name == "global_linear"
+        theta = FC.fit_global_linear_model(panel)
+        x = [1.0, 12.0, 11.0, 13.0, 3.0, 1.0]
+        assert abs(predict(x) - float(np.dot(theta, x))) < 1e-9
+        with pytest.raises(ImportError):
+            FC.fit_global_model(panel, model="lightgbm")
+
+
+def test_global_model_real_lightgbm():
+    """Runs only where lightgbm exists (skipped in this container)."""
+    import pytest
+
+    pytest.importorskip("lightgbm")
+    import pandas as pd
+
+    from medallion_data_pipeline_spark.plans import forecasting as FC
+
+    panel = pd.DataFrame({
+        "y": [float(i % 7) for i in range(60)],
+        "lag_1": [float((i - 1) % 7) for i in range(60)],
+        "lag_7": [float(i % 7) for i in range(60)],
+        "roll_mean_7": [3.0] * 60,
+        "isodow": [(i % 7) + 1.0 for i in range(60)],
+        "month": [1.0] * 60,
+    })
+    name, predict = FC.fit_global_model(panel, model="lightgbm")
+    assert name == "lightgbm"
+    assert isinstance(predict([1.0, 2.0, 3.0, 3.0, 4.0, 1.0]), float)
