@@ -540,8 +540,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     embedding_lsh_pairs): 8 hash tables x 4-plane buckets -> explode
     (table, bucket) keys -> self equi-join -> exact cosine within
     buckets -> groupBy+max pair dedup. No all-pairs join anywhere in
-    the plan; ~80% pair recall vs the exact all-pairs cross-check
-    (dedup_embedding_cosine), tunable via n_planes/n_tables."""
+    the plan; measured pair recall vs the exact all-pairs cross-check
+    (dedup_embedding_cosine) is 71% at sf0.01 and 76% at sf0.1,
+    tunable via n_planes/n_tables."""
     emb = t(spark, sf_dir, "embeddings")
     return S.embedding_lsh_pairs(
         emb, threshold=0.42, n_planes=_EMB_LSH_PLANES,
