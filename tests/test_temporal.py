@@ -61,3 +61,33 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(big, small, "k").groupBy("grp").agg(F.sum("v").alias("s"))
     plain = big.join(small, "k").groupBy("grp").agg(F.sum("v").alias("s"))
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_testdata_schema_drift_guard(spark):
+    """Round-start canary: the driver regenerates /root/testdata between
+    rounds and physical types have drifted twice (TIMESTAMP(NANOS) ->
+    long in r1, TIMESTAMP_NTZ in r3). load_table must normalize every
+    table to the logical schema the queries and oracles assume,
+    whatever the parquet writer did."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.sources.testdata import TABLES, load_table
+
+    # events.ts feeds instant functions (unix_millis — the r3 crash was
+    # unix_millis on NTZ), so it MUST normalize to TimestampType; pure
+    # date columns only feed tz-independent date arithmetic, where both
+    # Timestamp flavors agree with the oracle's naive reading.
+    date_like = (T.TimestampType(), T.TimestampNTZType(), T.DateType())
+    expected = {
+        "events": {"ts": (T.TimestampType(),)},
+        "orders": {"o_orderdate": date_like},
+        "lineitem": {"l_shipdate": date_like},
+        "embeddings": {"embedding": (T.ArrayType(T.FloatType(), True),
+                                     T.ArrayType(T.DoubleType(), True))},
+    }
+    for name in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        assert df.count() > 0, name
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for col, want in expected.get(name, {}).items():
+            assert fields[col] in want, (name, col, fields[col])
