@@ -231,7 +231,8 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                         n_planes: int = 4, n_tables: int = 8, seed: int = 101,
                         dim: int = 64, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        carry_vectors: bool = True) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH — the scale
     path that replaces the all-pairs self-join.
 
@@ -250,33 +251,67 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     synthetic corpus, whose 0.42-0.51 cosine band is hyperplane LSH's
     weakest regime — production near-dup thresholds ~0.9 bucket far
     more sharply). At 100 TB, grow n_planes with log2(n) to keep buckets
-    bounded, and raise n_tables to buy recall back; the exploded rows
-    carry the vector (dim doubles) x n_tables through one shuffle —
-    project ids-only and re-join vectors if dim is large.
+    bounded, and raise n_tables to buy recall back.
+
+    Shuffle-width knob: with ``carry_vectors=True`` (default, right for
+    modest dims) the exploded rows carry the vector (dim doubles) x
+    n_tables through the bucket join and pairs dedupe AFTER scoring
+    (groupBy+max, map-side combine). With ``carry_vectors=False`` —
+    the large-dim shape (1024-dim embeddings would otherwise push
+    ~8 KB x n_tables per row through the exchange) — only (id, table,
+    bucket) triples are exploded and joined; candidate PAIRS are
+    deduped pre-score (dropDuplicates on two longs), then the vectors
+    join back once per side and each surviving pair is scored exactly
+    once. Same result by construction (both paths are tested equal).
     """
     dv = _as_double(F.col(vec_col))
     keys = F.array(*[
         V.sign_lsh_key(dv, n_planes, seed + t, dim) for t in range(n_tables)
     ])
-    keyed = emb.select(
-        F.col(id_col).alias("vid"), dv.alias("v"), V.norm(dv).alias("nrm"),
-        F.posexplode(keys).alias("tbl", "bucket"),
-    )
+    if carry_vectors:
+        keyed = emb.select(
+            F.col(id_col).alias("vid"), dv.alias("v"), V.norm(dv).alias("nrm"),
+            F.posexplode(keys).alias("tbl", "bucket"),
+        )
+        a, b = keyed.alias("a"), keyed.alias("b")
+        scored = (
+            a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .select(
+                F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                _paired_cosine("a.v", "b.v", "a.nrm", "b.nrm").alias("cos_raw"),
+            )
+            .filter(F.col("cos_raw") >= threshold)
+        )
+        return (
+            scored.groupBy("id_a", "id_b")
+            .agg(F.round(F.max("cos_raw"), 6).alias("cosine"))
+        )
+    keyed = emb.select(F.col(id_col).alias("vid"),
+                       F.posexplode(keys).alias("tbl", "bucket"))
     a, b = keyed.alias("a"), keyed.alias("b")
-    scored = (
+    cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vid") < F.col("b.vid")))
-        .select(
-            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
-            _paired_cosine("a.v", "b.v", "a.nrm", "b.nrm").alias("cos_raw"),
-        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = emb.select(F.col(id_col).alias("vid"), dv.alias("v"),
+                      V.norm(dv).alias("nrm"))
+    scored = (
+        cand
+        .join(vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                          F.col("nrm").alias("na")), "id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                          F.col("nrm").alias("nb")), "id_b")
+        .select("id_a", "id_b",
+                _paired_cosine("va", "vb", "na", "nb").alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
     )
-    return (
-        scored.groupBy("id_a", "id_b")
-        .agg(F.round(F.max("cos_raw"), 6).alias("cosine"))
-    )
+    return scored.select("id_a", "id_b",
+                         F.round("cos_raw", 6).alias("cosine"))
 
 
 def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,

@@ -265,3 +265,18 @@ def test_embedding_lsh_pairs_sound_and_recalls(spark):
     for p, c in got.items():
         assert abs(c - exact[p]) < 1e-5    # exact scoring within buckets
     assert len(got) / len(exact) >= 0.5    # recall floor (measured ~0.7)
+
+
+def test_embedding_lsh_ids_only_path_equals_default(spark):
+    """The large-dim shuffle shape (explode ids only, dedupe candidate
+    pairs pre-score, join vectors back) must produce EXACTLY the same
+    pair set and cosines as the carry-vectors default."""
+    from medallion_data_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    wide = {(r.id_a, r.id_b): r.cosine
+            for r in S.embedding_lsh_pairs(emb, threshold=0.42).collect()}
+    narrow = {(r.id_a, r.id_b): r.cosine
+              for r in S.embedding_lsh_pairs(
+                  emb, threshold=0.42, carry_vectors=False).collect()}
+    assert wide == narrow and len(wide) > 0
