@@ -199,3 +199,23 @@ def test_scheduler_run_log_truncates_at_100(tmp_path):
     boom = SCH.SchedulerManager(str(tmp_path), runner=lambda s: 1 / 0)
     assert boom.run_pipeline_job("full") is False
     assert boom.get_execution_history(limit=1)[0]["status"] == "error"
+
+
+def test_scheduler_drives_real_pipeline(spark, tmp_path):
+    """End-to-end wiring: a cron job executed by run_due_jobs drives the
+    actual medallion pipeline through make_pipeline_runner and records
+    the success in the run log."""
+    from datetime import datetime
+
+    from medallion_data_pipeline_spark.plans import scheduler as SCH
+
+    wh = str(tmp_path / "wh")
+    m = SCH.SchedulerManager(str(tmp_path / "sched"),
+                             runner=SCH.make_pipeline_runner(spark, wh))
+    now = datetime(2026, 1, 5, 2, 0)
+    m.add_schedule("nightly", "0 2 * * *", stage="full", now=now)
+    assert m.run_due_jobs(now) != []
+    hist = m.get_execution_history(limit=1)
+    assert hist[0]["status"] == "success" and hist[0]["stage"] == "full"
+    import os
+    assert os.path.isdir(os.path.join(wh, "gold"))
