@@ -180,7 +180,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
 """
 
 
-@register("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+@register("dedup_simhash_hamming", oracle=_simhash_hamming_oracle(), bench=True)
 def dedup_simhash_hamming(spark, sf_dir):
     """SimHash near-dup pairs at Hamming distance <= 1 via bit-flip
     probe expansion (operators/dedup.py::simhash_hamming_pairs): 17
