@@ -163,6 +163,136 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
     )
 
 
+def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 3,
+                             threshold: float = 0.4, min_tokens: int = 3,
+                             persist_intermediate: bool = True) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (>= ``threshold``) via a
+    prefix-filtering set-similarity join (AllPairs/PPJoin family).
+
+    Unlike MinHash-LSH this has 100% recall by construction — no pair
+    with true Jaccard >= t is ever missed — yet it avoids the O(n²)
+    cross join. The classic prefix-filter theorem: order every doc's
+    distinct-shingle set by ONE global total order (document frequency
+    ascending, shingle string as tiebreak — rarest first) and keep only
+    the first ``|s| - ceil(t*|s|) + 1`` shingles (the "prefix"). If
+    J(A,B) >= t then |A∩B| >= ceil(t*|A|), so the common shingles
+    cannot all hide in A's suffix of size ceil(t*|A|) - 1 — every
+    qualifying pair must collide on at least one PREFIX shingle of both
+    sides. Candidate generation is therefore an equi-self-join on
+    prefix shingles only; because prefixes are the globally RAREST
+    shingles, bucket sizes stay tiny even when the corpus shares heavy
+    boilerplate n-grams (which a naive shared-any-ngram inverted index
+    would blow up on).
+
+    Shuffle inventory at scale: one explode+agg for document
+    frequencies, one equi-join to rank shingles, one groupBy to
+    reassemble ordered sets, one narrow (id, shingle) self-join for
+    candidates, then the exact-Jaccard verify join — all key-partition
+    shuffles, work proportional to colliding prefix pairs, not n².
+
+    The ceil is computed as ``ceil(t*n - 1e-9)``: the epsilon guards
+    against float error ever rounding an exact integer product UP
+    (which would shorten the prefix and break the completeness proof);
+    at worst the prefix is one shingle longer — more candidates, never
+    a missed pair.
+    """
+    staged = _staged_shingles(docs, text_col, id_col, k, min_tokens).select(
+        F.col(id_col).alias("sid"), F.array_distinct("shingles").alias("ds")
+    ).filter(F.size("ds") >= 1).withColumn(
+        "xs", F.array_distinct(X.shingle_ints(F.col("ds")))
+    )
+    if persist_intermediate:
+        staged = staged.persist()
+
+    # Candidate generation and pre-verification run over the 8-byte md5
+    # image of each shingle, not the string: narrower shuffles and a
+    # cheaper join key. A hash collision merges two universe elements,
+    # which can only RAISE a pair's candidate-universe Jaccard
+    # (intersections keep every truly-shared element; unions can only
+    # shrink), so J_hashed >= J_true and no qualifying pair escapes any
+    # filter stated on the hashed sets; the exact verify at the end
+    # re-scores the few survivors on the true strings.
+    grams = staged.select("sid", F.explode("xs").alias("g"))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        grams.join(freq, "g")
+        .groupBy("sid")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ordered"))
+        .withColumn("n", F.size("ordered"))
+        .withColumn(
+            "plen",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1)
+            .cast("int"),
+        )
+    )
+    prefix = ordered.select(
+        "sid", "n",
+        F.posexplode(F.slice("ordered", 1, F.col("plen"))).alias("pos0", "p"),
+    ).select("sid", "n", (F.col("pos0") + 1).alias("pos"), F.col("p.g").alias("g"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin prunes on top of the prefix filter (both are safe for the
+    # pair's FIRST common prefix element, which every qualifying pair
+    # has, so neither can cause a miss):
+    #  - length filter: J >= t forces t*|A| <= |B| <= |A|/t;
+    #  - positional filter: at the first shared element no earlier
+    #    element is common, so overlap <= 1 + min(|A|-posA, |B|-posB),
+    #    and J >= t needs overlap >= ceil(t/(1+t) * (|A|+|B|)).
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            & (F.col("b.n") * F.lit(1.0) >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("a.n") * F.lit(1.0) >= F.lit(threshold) * F.col("b.n"))
+            & (F.lit(1) + F.least(F.col("a.n") - F.col("a.pos"),
+                                  F.col("b.n") - F.col("b.pos")) >= min_overlap),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+    # Two-stage verify. Stage 1 scores the (many) candidates on the
+    # cheap int arrays: J_hashed >= J_true, and the final filter keeps
+    # round(J_true, 6) >= t, i.e. J_true >= t - 5e-7, so pruning at
+    # J_hashed >= t - 1e-6 is a strictly necessary condition — no true
+    # pair is lost. Stage 2 re-joins only the survivors (≈ the true
+    # pair count) against the string sets for the exact Jaccard the
+    # caller (and the SQL oracle) sees.
+    pre = (
+        cands
+        .join(staged.select(F.col("sid").alias("id_a"), F.col("xs").alias("xa")), "id_a")
+        .join(staged.select(F.col("sid").alias("id_b"), F.col("xs").alias("xb")), "id_b")
+        .withColumn("_ih", F.size(F.array_intersect("xa", "xb")))
+        .withColumn("_uh", F.size("xa") + F.size("xb") - F.col("_ih"))
+        .filter(
+            (F.col("_uh") > 0)
+            & (F.col("_ih").cast("double") / F.col("_uh").cast("double")
+               >= F.lit(threshold - 1e-6))
+        )
+        .select("id_a", "id_b")
+    )
+    out = (
+        pre
+        .join(staged.select(F.col("sid").alias("id_a"), F.col("ds").alias("sh_a")), "id_a")
+        .join(staged.select(F.col("sid").alias("id_b"), F.col("ds").alias("sh_b")), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("_union", F.size("sh_a") + F.size("sh_b") - F.col("_inter"))
+    )
+    jac = F.round(
+        F.when(F.col("_union") > 0, F.col("_inter").cast("double") / F.col("_union").cast("double")),
+        6,
+    )
+    return (
+        out.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    bits: int = 16) -> DataFrame:
     """SimHash-equal buckets: doc count per fingerprint. Equal

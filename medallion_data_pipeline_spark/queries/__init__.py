@@ -68,7 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "null_dup_profile", "describe_extendedprice",
     "correlation_pairs", "quantile_bins_broadcast", "ranking_functions",
     "grouping_sets_revenue", "rolling_7day_range_window",
-    "unpivot_region_kpis", "pivot_status_by_region",
+    "pivot_status_by_region",
     "cube_priority_status", "rollup_customer_balance",
     # event-stream operators
     "sessionize_events", "asof_last_click", "range_join_followups",
@@ -77,7 +77,8 @@ PRIORITY: tuple[str, ...] = (
     "events_gap_fill", "skew_salted_join",
     # LLM-data-pipeline tier: dedup / similarity / text / multimodal
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
-    "dedup_embedding_lsh", "knn_cosine_bruteforce", "text_analysis",
+    "dedup_ngram_jaccard", "dedup_embedding_lsh",
+    "knn_cosine_bruteforce", "text_analysis",
     "multimodal_features", "corpus_token_stats", "gopher_quality_filters",
     # the prefix's costliest checks go last so a time-bounded harness
     # still completes everything above before starting them

@@ -193,6 +193,50 @@ def dedup_simhash_hamming(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q32c — EXACT n-gram Jaccard dedup via prefix-filtering (AllPairs).
+# ---------------------------------------------------------------------------
+
+def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.4,
+                          min_tokens: int = 3) -> str:
+    """Semantic oracle: every pair sharing >= 1 shingle, scored with
+    exact Jaccard — complete for any threshold > 0, since J(A,B) >= t
+    implies a common shingle. The Spark side must recover the identical
+    pair set from its prefix-filter candidates (100% recall is the
+    whole point of the exact tier vs MinHash's probabilistic bands)."""
+    return f"""
+WITH sh AS (
+    SELECT doc_id, list_distinct({_sql_shingles("text", k)}) AS ds
+    FROM documents
+    WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
+), ex AS (
+    SELECT doc_id, len(ds) AS n, unnest(ds) AS g FROM sh
+    WHERE len(ds) >= 1
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+           COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM inter
+WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) >= {threshold}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT 3-gram Jaccard >= 0.4 near-dup pairs via a prefix-filter
+    set-similarity join (operators/dedup.py::ngram_jaccard_duplicates).
+    100% recall — catches pairs MinHash bands probabilistically miss —
+    without the O(n²) cross join: candidates only need to collide on a
+    doc's globally-RAREST shingles (the AllPairs prefix theorem), so
+    bucket sizes stay bounded even under heavy boilerplate. The DuckDB
+    oracle scores every shared-shingle pair, pinning completeness."""
+    return D.ngram_jaccard_duplicates(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # q33 — brute-force cosine top-k (exact ANN baseline).
 # ---------------------------------------------------------------------------
 

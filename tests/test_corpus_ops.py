@@ -235,6 +235,42 @@ def test_simhash_hamming_probe_equals_all_pairs(spark):
     # operator genuinely catches what equal-fp grouping misses
 
 
+def test_ngram_jaccard_prefix_filter_equals_all_pairs(spark):
+    """The prefix-filter set-similarity join must recover EXACTLY the
+    brute-force all-pairs Jaccard>=t set (the AllPairs prefix theorem
+    makes 100% recall structural — this is the exact tier, so ANY
+    missed pair is a correctness bug, not a recall trade-off)."""
+    from medallion_data_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in D.ngram_jaccard_duplicates(docs, threshold=0.4).collect()}
+    pair_list = list(got)
+    assert len(pair_list) == len(set(pair_list))  # one row per pair
+
+    shingled = (
+        docs.withColumn("_toks", X.words(F.col("text")))
+        .filter(F.size("_toks") >= 3)
+        .select("doc_id",
+                F.array_distinct(
+                    X.shingles_from_tokens(F.col("_toks"), 3)).alias("ds"))
+        .collect()
+    )
+    sets = {r.doc_id: set(r.ds) for r in shingled if r.ds}
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            j = round(inter / uni, 6) if uni else None
+            if j is not None and j >= 0.4:
+                expect[(a, b)] = j
+    assert got == expect
+    # near-dups (not just exact dups) exist, so the test has teeth
+    assert any(j < 1.0 for j in expect.values())
+
+
 def test_embedding_lsh_pairs_sound_and_recalls(spark):
     """Banded sign-LSH near-dup pairs: every reported pair must be a
     true pair (cosine >= threshold, exact within-bucket scoring = no
