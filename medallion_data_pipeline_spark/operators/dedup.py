@@ -293,6 +293,86 @@ def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
+                                text_col: str = "text", id_col: str = "doc_id",
+                                k: int = 3, num_hashes: int = 16, bands: int = 4,
+                                threshold: float = 0.4, min_tokens: int = 3,
+                                persist_intermediate: bool = True) -> DataFrame:
+    """Flag near-duplicates in an INCOMING batch against an existing
+    corpus (and against earlier docs of the same batch) — the daily
+    shape of a production training-data pipeline: yesterday's 100 TB
+    corpus is already deduped; today's 1 TB batch must be checked
+    against it WITHOUT re-pairing the corpus with itself.
+
+    Returns one row per flagged new doc: (doc_id, dup_of, jaccard) —
+    its best match (highest exact k-shingle Jaccard >= ``threshold``,
+    ties to the lowest matching id) among corpus docs and lower-id
+    batch docs. Unflagged new docs are the keepers.
+
+    Scale shape: the corpus side contributes only its (id, band_key)
+    MinHash-LSH index — at scale a maintained TABLE, appended as
+    batches are accepted, never recomputed — and the band equi-join is
+    driven by the NEW side's keys, so per-batch cost is proportional
+    to batch size plus band collisions, never |corpus|² nor even a
+    corpus re-scan once the index is materialized. Corpus-vs-corpus
+    pairs are structurally excluded (the probe side is new docs only);
+    new-vs-new pairs keep the id_a < id_b convention so exactly one of
+    two identical incoming docs is flagged.
+    """
+    from pyspark.sql.window import Window as W
+
+    def _bands(docs: DataFrame) -> DataFrame:
+        staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)
+        return (
+            staged.withColumn("_xs", X.shingle_ints(F.col("shingles")))
+            .withColumn("_sig", X.minhash_sig_from_ints(F.col("_xs"), num_hashes))
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands))
+                .alias("band_key"),
+            )
+        )
+
+    # at scale: read this from the maintained corpus-index table
+    corpus_index = _bands(corpus).withColumn("is_corpus", F.lit(True))
+    new_bands = _bands(new_docs)
+    if persist_intermediate:
+        new_bands = new_bands.persist()
+
+    a = corpus_index.unionByName(
+        new_bands.withColumn("is_corpus", F.lit(False))
+    ).alias("a")
+    b = new_bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.is_corpus") | (F.col("a.doc") < F.col("b.doc")))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verify needs shingles of the matched corpus docs
+    # too; at scale this is a narrow (id, shingles) lookup join against
+    # the stored silver docs, touched only for colliding ids
+    all_docs = corpus.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    scored = jaccard_pairs(all_docs, cands, text_col, id_col, k, threshold)
+    w = W.partitionBy("id_b").orderBy(F.desc("jaccard"), F.asc("id_a"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
 def simhash_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    bits: int = 16) -> DataFrame:
     """SimHash-equal buckets: doc count per fingerprint. Equal

@@ -193,6 +193,74 @@ def dedup_simhash_hamming(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q31b — incremental dedup: new batch vs existing corpus.
+# ---------------------------------------------------------------------------
+
+def _incremental_dedup_oracle(k: int = 3, num_hashes: int = 16,
+                              bands: int = 4, min_tokens: int = 3,
+                              threshold: float = 0.4) -> str:
+    sig = _sql_minhash_sig("xs", num_hashes)
+    band_keys = _sql_band_keys(sig, bands)
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {_sql_shingles("text", k)} AS shingles
+    FROM documents
+    WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
+), ints AS (
+    SELECT doc_id, shingles, {_SQL_SHINGLE_INTS.format("shingles")} AS xs
+    FROM sh
+), banded AS (
+    SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key
+    FROM ints
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band_key = b.band_key
+    WHERE b.doc_id % 10 = 0
+      AND a.doc_id <> b.doc_id
+      AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+), dsets AS (
+    SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+), scored AS (
+    SELECT id_a, id_b,
+           len(list_filter(da.ds, x -> list_contains(db.ds, x))) AS inter,
+           len(da.ds) + len(db.ds)
+             - len(list_filter(da.ds, x -> list_contains(db.ds, x))) AS uni
+    FROM cand
+    JOIN dsets da ON cand.id_a = da.doc_id
+    JOIN dsets db ON cand.id_b = db.doc_id
+), thr AS (
+    SELECT id_a, id_b,
+           ROUND(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni END, 6) AS jaccard
+    FROM scored
+    WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni END >= {threshold}
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
+                                 ORDER BY jaccard DESC, id_a) AS rn
+    FROM thr
+)
+SELECT id_b AS doc_id, id_a AS dup_of, jaccard
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_incremental", oracle=_incremental_dedup_oracle())
+def dedup_incremental(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (operators/dedup.py::
+    incremental_near_duplicates): docs with doc_id%10==0 stand in for
+    an incoming batch checked against the rest as the accepted corpus.
+    The corpus contributes only its MinHash band-key index (a
+    maintained table at scale, never recomputed) and the band join is
+    probe-driven by the new side — per-batch cost tracks batch size
+    plus collisions, with corpus-vs-corpus pairs structurally
+    excluded. Each flagged doc reports its best match (max exact
+    Jaccard, ties to lowest id)."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_near_duplicates(corpus, new)
+
+
+# ---------------------------------------------------------------------------
 # q32c — EXACT n-gram Jaccard dedup via prefix-filtering (AllPairs).
 # ---------------------------------------------------------------------------
 

@@ -271,6 +271,34 @@ def test_ngram_jaccard_prefix_filter_equals_all_pairs(spark):
     assert any(j < 1.0 for j in expect.values())
 
 
+def test_incremental_dedup_matches_full_pair_set(spark):
+    """Batch-vs-corpus dedup must agree with the full symmetric MinHash
+    pair set: a new doc is flagged iff it has a qualifying partner
+    (corpus doc, or lower-id batch doc), and its reported best match is
+    the max-Jaccard / min-id partner. Band collisions are symmetric, so
+    restricting the probe side to the batch loses no pair."""
+    from medallion_data_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {r.doc_id: (r.dup_of, r.jaccard)
+           for r in D.incremental_near_duplicates(corpus, new).collect()}
+
+    full = D.minhash_near_duplicates(docs, threshold=0.4).collect()
+    matches = {}
+    for r in full:
+        for b, a in ((r.id_b, r.id_a), (r.id_a, r.id_b)):
+            if b % 10 == 0 and (a % 10 != 0 or a < b):
+                matches.setdefault(b, []).append((r.jaccard, a))
+    expect = {b: (min(cs, key=lambda x: (-x[0], x[1]))[1],
+                  max(cs)[0])
+              for b, cs in matches.items()}
+    assert got == {b: (a, j) for b, (a, j) in expect.items()}
+    # the batch genuinely hits the corpus, not just itself
+    assert any(a % 10 != 0 for a, _ in got.values())
+
+
 def test_embedding_lsh_pairs_sound_and_recalls(spark):
     """Banded sign-LSH near-dup pairs: every reported pair must be a
     true pair (cosine >= threshold, exact within-bucket scoring = no
