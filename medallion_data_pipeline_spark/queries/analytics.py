@@ -448,6 +448,68 @@ def approx_sketches(spark, sf_dir):
     )
 
 
+_SKETCH_BOUNDS_SQL = """
+SELECT COUNT(DISTINCT l_orderkey)       AS exact_distinct_orders,
+       COUNT(DISTINCT l_extendedprice)  AS exact_distinct_prices,
+       TRUE AS orders_within_bound,
+       TRUE AS prices_within_bound,
+       TRUE AS q50_within_rank_bound
+FROM lineitem
+"""
+
+
+@register("approx_sketches_bounds", oracle=_SKETCH_BOUNDS_SQL)
+def approx_sketches_bounds(spark, sf_dir):
+    """The approx tier made oracle-gated: raw sketch estimates are
+    engine-specific (HLL++ vs DuckDB's sketch differ bit-for-bit), but
+    their ERROR CONTRACTS are exact, SQL-expressible facts — so this
+    query emits the exact ground truths plus booleans asserting each
+    estimate honors its documented bound, and the oracle pins the
+    booleans TRUE against independently-computed exact values.
+
+    Bounds checked (both deterministic for a fixed input, so the gate
+    is stable, not flaky):
+    - approx_count_distinct(rsd=0.01): relative error within 5 rsd
+      (the standard-deviation parameter; 5 sigma is far beyond any
+      observed HLL++ deviation, while a broken sketch misses by much
+      more).
+    - percentile_approx(accuracy=10000): rank error <= n/accuracy, so
+      the q50 estimate must lie between the exact (0.5 - eps) and
+      (0.5 + eps) percentiles with eps = 2/accuracy (2x the guarantee
+      for float-boundary slack).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    eps = 2.0 / 10000
+    # Three independent single-row aggs cross-joined, NOT one agg:
+    # combining two count_distincts with sketch/percentile aggregates
+    # forces an Expand x3 plus an ObjectHashAggregate keyed on BOTH
+    # distinct columns (measured 205 s at sf0.1). Separated, each
+    # distinct is the two-phase partial-distinct shape and the sketch
+    # agg is a plain partial->final; the cross joins are 1-row.
+    d_o = (li.select("l_orderkey").distinct()
+           .agg(F.count(F.lit(1)).alias("exact_distinct_orders")))
+    d_p = (li.select("l_extendedprice").distinct()
+           .agg(F.count(F.lit(1)).alias("exact_distinct_prices")))
+    sk = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ad_o"),
+        F.approx_count_distinct("l_extendedprice", rsd=0.01).alias("ad_p"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("aq50"),
+        F.expr(f"percentile(l_extendedprice, {0.5 - eps})").alias("lo50"),
+        F.expr(f"percentile(l_extendedprice, {0.5 + eps})").alias("hi50"),
+    )
+    tol = 0.05  # 5 * rsd
+    return d_o.crossJoin(d_p).crossJoin(sk).select(
+        "exact_distinct_orders",
+        "exact_distinct_prices",
+        (F.abs(F.col("ad_o") - F.col("exact_distinct_orders"))
+         <= tol * F.col("exact_distinct_orders")).alias("orders_within_bound"),
+        (F.abs(F.col("ad_p") - F.col("exact_distinct_prices"))
+         <= tol * F.col("exact_distinct_prices")).alias("prices_within_bound"),
+        ((F.col("aq50") >= F.col("lo50")) & (F.col("aq50") <= F.col("hi50")))
+        .alias("q50_within_rank_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-surface batch: GROUPING SETS, correlated EXISTS, exact money
 # percentiles, sorted listagg — ANSI surface the Query-Runner exposes
