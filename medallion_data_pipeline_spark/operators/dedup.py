@@ -293,11 +293,33 @@ def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def band_index(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
+               bands: int = 4, min_tokens: int = 3) -> DataFrame:
+    """The (doc, band_key) MinHash-LSH index rows for ``docs`` — the
+    exact frame ``incremental_near_duplicates`` probes. Materialize
+    this for accepted docs as batches land (a maintained parquet/Delta
+    table appended per batch, never recomputed) and pass it back via
+    ``corpus_index=`` so incremental dedup's corpus-side cost is an
+    index scan, not a corpus re-shingle."""
+    staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)
+    return (
+        staged.withColumn("_xs", X.shingle_ints(F.col("shingles")))
+        .withColumn("_sig", X.minhash_sig_from_ints(F.col("_xs"), num_hashes))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands))
+            .alias("band_key"),
+        )
+    )
+
+
 def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
                                 text_col: str = "text", id_col: str = "doc_id",
                                 k: int = 3, num_hashes: int = 16, bands: int = 4,
                                 threshold: float = 0.4, min_tokens: int = 3,
-                                persist_intermediate: bool = True) -> DataFrame:
+                                persist_intermediate: bool = True,
+                                corpus_index: DataFrame | None = None) -> DataFrame:
     """Flag near-duplicates in an INCOMING batch against an existing
     corpus (and against earlier docs of the same batch) — the daily
     shape of a production training-data pipeline: yesterday's 100 TB
@@ -318,23 +340,23 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
     pairs are structurally excluded (the probe side is new docs only);
     new-vs-new pairs keep the id_a < id_b convention so exactly one of
     two identical incoming docs is flagged.
+
+    ``corpus_index``: pass the maintained (doc, band_key) table built
+    by ``band_index`` to skip re-shingling the corpus; when omitted the
+    index is computed from ``corpus`` (correctness-identical — same
+    deterministic hash family — just pays the corpus scan).
     """
     from pyspark.sql.window import Window as W
 
     def _bands(docs: DataFrame) -> DataFrame:
-        staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)
-        return (
-            staged.withColumn("_xs", X.shingle_ints(F.col("shingles")))
-            .withColumn("_sig", X.minhash_sig_from_ints(F.col("_xs"), num_hashes))
-            .select(
-                F.col(id_col).alias("doc"),
-                F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands))
-                .alias("band_key"),
-            )
-        )
+        return band_index(docs, text_col, id_col, k, num_hashes, bands,
+                          min_tokens)
 
-    # at scale: read this from the maintained corpus-index table
-    corpus_index = _bands(corpus).withColumn("is_corpus", F.lit(True))
+    if corpus_index is None:
+        # at scale: read this from the maintained corpus-index table
+        corpus_index = _bands(corpus)
+    corpus_index = corpus_index.select("doc", "band_key").withColumn(
+        "is_corpus", F.lit(True))
     new_bands = _bands(new_docs)
     if persist_intermediate:
         new_bands = new_bands.persist()

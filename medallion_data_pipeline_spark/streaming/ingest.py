@@ -62,3 +62,94 @@ def run_csv_ingest(spark: SparkSession, csv_dir: str, warehouse: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
+                      k: int = 3, num_hashes: int = 16, bands: int = 4):
+    """foreachBatch sink for CONTINUOUS corpus construction with
+    incremental near-dup filtering — the streaming form of
+    ``operators.dedup.incremental_near_duplicates``: each micro-batch
+    of documents is probed against the maintained (doc, band_key)
+    MinHash index of everything accepted so far; survivors are appended
+    to the corpus AND their band rows to the index, so the next batch
+    probes an index that already includes them. Per-batch cost is
+    batch size + band collisions — the corpus is never re-shingled.
+
+    Maintained tables under ``warehouse``:
+      - ``silver/documents``       accepted docs (doc_id, text)
+      - ``silver/doc_band_index``  their (doc, band_key) rows
+
+    Idempotent over at-least-once replay: a doc_id already in the
+    corpus is dropped before probing, so a replayed batch appends
+    nothing. At 100 TB both appends become transactional writes to a
+    Delta/Iceberg table (one commit per batch); the probe join and the
+    accept/append logic are unchanged.
+    """
+    from ..operators.dedup import band_index, incremental_near_duplicates
+
+    docs_path = os.path.join(warehouse, "silver", "documents")
+    idx_path = os.path.join(warehouse, "silver", "doc_band_index")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        have_corpus = os.path.isdir(docs_path)
+        if have_corpus:
+            corpus = spark.read.parquet(docs_path)
+            # replay guard: already-accepted ids are no-ops
+            batch = batch.join(corpus.select("doc_id"), "doc_id", "left_anti")
+        batch = batch.persist()
+        try:
+            if have_corpus:
+                idx = spark.read.parquet(idx_path)
+                flagged = incremental_near_duplicates(
+                    corpus, batch, k=k, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold, corpus_index=idx,
+                ).select("doc_id")
+            else:
+                # first batch: only within-batch dedup (empty corpus)
+                empty = batch.limit(0)
+                flagged = incremental_near_duplicates(
+                    empty, batch, k=k, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold,
+                ).select("doc_id")
+            # Eager lineage truncation BEFORE the appends: keepers'
+            # plan reads docs_path (replay guard + verify join), and
+            # appending to that path invalidates any cached plan over
+            # it — the second write would silently recompute against a
+            # file list that now contains this batch's own output.
+            # localCheckpoint pins the batch-sized result first (the
+            # same self-read guard merge_sink solves with staging+
+            # rename; a Delta/Iceberg MERGE removes the need entirely).
+            keepers = (batch.join(flagged, "doc_id", "left_anti")
+                       .localCheckpoint(eager=True))
+            keepers.write.mode("append").parquet(docs_path)
+            band_index(keepers, k=k, num_hashes=num_hashes, bands=bands) \
+                .write.mode("append").parquet(idx_path)
+        finally:
+            batch.unpersist()
+
+    return _sink
+
+
+def run_dedup_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
+                     checkpoint_dir: str, threshold: float = 0.4,
+                     max_files_per_trigger: int = 1) -> None:
+    """Drain a landing directory of document parquet files through the
+    incremental-dedup sink, synchronously (batch-drain form of the
+    always-on stream)."""
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(dedup_ingest_sink(warehouse, threshold))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -258,6 +258,67 @@ def test_streaming_bronze_csv_ingest(spark, tmp_path):
     assert got == {1: "Acme Corp", 2: "Beta Holdings", 3: "Gamma Inc"}
 
 
+def test_streaming_incremental_dedup_ingest(spark, tmp_path):
+    """Continuous corpus construction: each micro-batch is near-dup
+    filtered against the maintained band index of everything accepted
+    so far — cross-batch dups and within-batch dups are rejected, the
+    index grows only with keepers, and a full replay (same landing
+    files, fresh checkpoint) appends nothing."""
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    distinct1 = "completely different legal boilerplate about contract law"
+    distinct2 = "astronomy lecture notes covering stellar fusion processes"
+    rows1 = [
+        (1, base),
+        (2, base + " bank"),           # near-dup of 1 (within batch 1)
+        (3, distinct1),
+    ]
+    rows2 = [
+        (4, base + " delta"),          # near-dup of 1 (cross-batch, via index)
+        (5, distinct2),
+        (6, distinct2 + " appendix"),  # near-dup of 5 (within batch 2)
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    now = time.time()
+    # distinct mtimes: the file source orders batches by modification
+    # time, and online dedup is first-seen-wins, so arrival order is
+    # part of the test's contract
+    for age, (fname, rows) in enumerate((("b1.parquet", rows1),
+                                         ("b2.parquet", rows2))):
+        ids, texts = zip(*rows)
+        path = str(land / fname)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            path)
+        os.utime(path, (now - 60 + age * 10, now - 60 + age * 10))
+
+    wh = str(tmp_path / "wh")
+    SI.run_dedup_ingest(spark, str(land), wh, str(tmp_path / "cp1"))
+
+    docs = spark.read.parquet(f"{wh}/silver/documents")
+    accepted = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert accepted == {1, 3, 5}
+
+    # the index holds exactly the keepers' band rows
+    idx = spark.read.parquet(f"{wh}/silver/doc_band_index")
+    assert {r.doc for r in idx.select("doc").distinct().collect()} == {1, 3, 5}
+
+    # full replay with a fresh checkpoint: accepted ids are dropped by
+    # the replay guard, rejected ids are re-flagged -> no growth
+    SI.run_dedup_ingest(spark, str(land), wh, str(tmp_path / "cp2"))
+    docs2 = spark.read.parquet(f"{wh}/silver/documents")
+    assert docs2.count() == 3
+    assert spark.read.parquet(f"{wh}/silver/doc_band_index").count() == idx.count()
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Stream-static broadcast join: every micro-batch row is enriched
     with the dimension attributes; rows with no dim match survive
