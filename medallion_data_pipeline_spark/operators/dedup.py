@@ -468,3 +468,64 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
     )
+
+
+def exact_segment_dedup(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", seg_tokens: int = 10) -> DataFrame:
+    """Duplicate-span removal (the C4 / Dolma exact paragraph-dedup
+    shape, reference has no counterpart — LLM-pipeline extension).
+
+    Each document's token stream is cut into consecutive
+    ``seg_tokens``-wide segments; a segment seen in more than one place
+    survives only at its FIRST global occurrence (lowest (doc, seg_idx)
+    — the deterministic dual of "keep the first crawl hit"). Returns
+    one row per document with segment counts and an md5 digest of the
+    reassembled (deduplicated) text, so the rewrite itself is verified,
+    not just the drop counts.
+
+    Scale shape: explode to one row per segment, ONE shuffle on the
+    md5 segment hash (row_number over tiny per-hash groups — group
+    width = global copies of one span, naturally small; a boilerplate
+    mega-span is one hot key handled by AQE skew splitting on the
+    preceding exchange), then ONE shuffle back on the doc id for
+    reassembly. Work is linear in corpus tokens; nothing is quadratic
+    and nothing collects to the driver.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions import text as X
+
+    toks = X.words(F.col(text_col))
+    nseg = F.ceil(F.size("_toks") / F.lit(seg_tokens)).cast("int")
+    seg = (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i * seg_tokens + 1, seg_tokens)),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+        .withColumn("seg_hash", F.md5("seg"))
+    )
+    w = W.partitionBy("seg_hash").orderBy(F.col(id_col).asc(), F.col("seg_idx").asc())
+    flagged = seg.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int"))
+    kept_structs = F.sort_array(
+        F.collect_list(F.when(F.col("keep") == 1,
+                              F.struct(F.col("seg_idx"), F.col("seg")))))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("n_dup_segments"),
+            F.sum(F.when(F.col("keep") == 1, F.length("seg"))
+                  .otherwise(F.lit(0))).alias("kept_chars"),
+            F.md5(F.concat_ws(" ", F.transform(kept_structs, lambda s: s.seg)))
+            .alias("dedup_digest"),
+        )
+    )

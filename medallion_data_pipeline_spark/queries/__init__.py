@@ -69,7 +69,10 @@ PRIORITY: tuple[str, ...] = (
     "correlation_pairs", "quantile_bins_broadcast", "ranking_functions",
     "grouping_sets_revenue", "rolling_7day_range_window",
     "pivot_status_by_region",
-    "cube_priority_status", "rollup_customer_balance",
+    # (cube_priority_status moved past the prefix — grouping_sets +
+    # rollup already cover the multi-dim agg class; its slot goes to
+    # the span-level dedup tier)
+    "dedup_exact_segments", "rollup_customer_balance",
     # event-stream operators
     "sessionize_events", "asof_last_click", "range_join_followups",
     "funnel_view_click_purchase", "events_tumbling_hour",

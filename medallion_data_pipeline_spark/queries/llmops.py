@@ -1863,3 +1863,216 @@ def knn_cosine_ivf_probe2(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.knn_ivf_probe(emb, queries, k=5, nprobe=2)
+
+
+# --- dedup_exact_segments --------------------------------------------------
+# C4/Dolma-style duplicate-SPAN removal: consecutive 10-token segments,
+# first global occurrence wins, document reassembled from survivors and
+# certified by an md5 digest (the rewrite is checked, not just counts).
+
+_SEG_W = 10
+
+_SEGMENT_DEDUP_SQL = """
+WITH tok AS (
+    SELECT doc_id, {words} AS toks FROM documents
+), nz AS (
+    SELECT doc_id, toks FROM tok WHERE len(toks) > 0
+), seg AS (
+    SELECT doc_id,
+           unnest(range(CAST(ceil(len(toks) / {w}.0) AS BIGINT))) AS seg_idx,
+           toks
+    FROM nz
+), cut AS (
+    SELECT doc_id, seg_idx,
+           array_to_string(toks[(seg_idx * {w} + 1):(seg_idx * {w} + {w})], ' ') AS seg
+    FROM seg
+), flagged AS (
+    SELECT doc_id, seg_idx, seg,
+           CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM cut
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dup_segments,
+       CAST(SUM(CASE WHEN keep = 1 THEN len(seg) ELSE 0 END) AS BIGINT) AS kept_chars,
+       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY seg_idx), ''))
+           AS dedup_digest
+FROM flagged
+GROUP BY doc_id
+""".format(words=_SQL_WORDS.format("text"), w=_SEG_W)
+
+
+@register("dedup_exact_segments", oracle=_SEGMENT_DEDUP_SQL, bench=True)
+def dedup_exact_segments(spark, sf_dir):
+    """Exact duplicate-span removal (C4 "three-sentence span" / Dolma
+    paragraph dedup, adapted to token segments): cut every document
+    into consecutive 10-token segments, keep each distinct segment only
+    at its first global (doc_id, seg_idx) occurrence, and reassemble.
+    The md5 digest of the reassembled text certifies the rewrite
+    against the oracle. Two shuffles total (segment hash, then doc id);
+    linear in corpus tokens — the 100 TB boilerplate-removal shape."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_segment_dedup(docs, seg_tokens=_SEG_W)
+
+
+# --- quality_quantile_filter ------------------------------------------------
+# Per-language quantile-threshold quality filtering: the corpus-curation
+# step "drop the worst quartile of each language" with the threshold
+# computed EXACTLY from a distinct-value histogram (quality_score is
+# 2-dp, so the cumulative window runs over <= ~20 rows per language —
+# never over the documents themselves; the 100 TB shape).
+
+_QQF_SQL = f"""
+WITH qa AS ({_TEXT_ANALYSIS_SQL}),
+scored AS (
+    SELECT d.doc_id, d.lang, qa.quality
+    FROM documents d JOIN qa ON d.doc_id = qa.doc_id
+), hist AS (
+    SELECT lang, quality, COUNT(*) AS c FROM scored GROUP BY lang, quality
+), cum AS (
+    SELECT lang, quality,
+           SUM(c) OVER (PARTITION BY lang ORDER BY quality ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_c,
+           SUM(c) OVER (PARTITION BY lang) AS tot_c
+    FROM hist
+), thr AS (
+    SELECT lang, MIN(quality) AS threshold
+    FROM cum WHERE cum_c * 4 >= tot_c GROUP BY lang
+)
+SELECT s.lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN s.quality >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(t.threshold AS DOUBLE) AS threshold,
+       ROUND(CAST(SUM(CASE WHEN s.quality >= t.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS kept_share,
+       md5(coalesce(string_agg(CASE WHEN s.quality >= t.threshold
+                                    THEN CAST(s.doc_id AS VARCHAR) END,
+                               ',' ORDER BY s.doc_id), '')) AS kept_digest
+FROM scored s JOIN thr t ON s.lang = t.lang
+GROUP BY s.lang, t.threshold
+"""
+
+
+@register("quality_quantile_filter", oracle=_QQF_SQL)
+def quality_quantile_filter(spark, sf_dir):
+    """Per-language p25 quality gate: keep each language's top three
+    quality quartiles, with the threshold derived exactly from a
+    (lang, quality) histogram — the cumulative window scans distinct
+    2-dp score values (<= ~20/language), never documents, so the plan
+    is scan -> small agg -> broadcast threshold join at any corpus
+    size. The kept-set md5 digest certifies the actual filter output,
+    not just counts. Integer predicate (cum*4 >= tot) avoids any
+    floating-point quantile interpolation that could diverge between
+    engines."""
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents").withColumnRenamed("lang", "src_lang")
+    scored = X.with_text_features(docs, "text").select(
+        "doc_id", F.col("src_lang").alias("lang"), "quality")
+    hist = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "lang", "quality",
+        F.sum("c").over(
+            W.partitionBy("lang").orderBy(F.col("quality").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_c"),
+        F.sum("c").over(W.partitionBy("lang")).alias("tot_c"),
+    )
+    thr = (
+        cum.filter(F.col("cum_c") * 4 >= F.col("tot_c"))
+        .groupBy("lang").agg(F.min("quality").alias("threshold"))
+    )
+    s = scored.join(F.broadcast(thr), "lang")
+    kept = (F.col("quality") >= F.col("threshold")).cast("int")
+    kept_ids = F.sort_array(
+        F.collect_list(F.when(kept == 1, F.col("doc_id"))))
+    return s.groupBy("lang", "threshold").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6)
+        .alias("kept_share"),
+        F.md5(F.concat_ws(",", F.transform(kept_ids, lambda x: x.cast("string"))))
+        .alias("kept_digest"),
+    ).select("lang", "n_total", "n_kept",
+             F.col("threshold").cast("double").alias("threshold"),
+             "kept_share", "kept_digest")
+
+
+# --- length_bucket_batches --------------------------------------------------
+# Inference/training micro-batching: group documents into fixed-size
+# batches WITHIN a token-length band so sequences in a batch pad to a
+# similar max length (the standard length-bucketing trick that cuts
+# padding waste). Batch assignment is a pure function of
+# (length band, md5 shard, doc_id order) — no RNG, so the oracle
+# replays it exactly.
+
+_LBB_BAND = 32      # token-length band width
+_LBB_SHARDS = 16    # md5 shards bounding any single ordering partition
+_LBB_BATCH = 8      # sequences per batch
+
+_LBB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, len({_SQL_WORDS.format("text")}) AS n_tokens FROM documents
+), keyed AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens // {_LBB_BAND} AS BIGINT) AS bucket,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_LBB_SHARDS} AS shard
+    FROM toks
+), numbered AS (
+    SELECT doc_id, n_tokens, bucket, shard,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+                // {_LBB_BATCH} AS BIGINT) AS batch_idx
+    FROM keyed
+)
+SELECT bucket, shard, batch_idx,
+       COUNT(*) AS n_docs,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                   / (COUNT(*) * MAX(n_tokens)), 6) AS padding_waste,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS member_digest
+FROM numbered
+GROUP BY bucket, shard, batch_idx
+"""
+
+
+@register("length_bucket_batches", oracle=_LBB_SQL)
+def length_bucket_batches(spark, sf_dir):
+    """Deterministic length-bucketed batching: documents are banded by
+    token length (32-token bands), split into 16 md5 shards, and
+    numbered into 8-sequence batches within each (band, shard). The
+    padding_waste column quantifies what the bucketing saves (pad-to-
+    max within a batch). Scale shape: the only ordering window runs
+    inside a (band, shard) cell — shard count grows with the corpus,
+    so no partition ever exceeds ~|corpus| / (bands*shards); everything
+    else is one groupBy. The standard alternative at extreme scale is
+    a two-pass zipWithIndex (per-partition counts + offsets); the
+    sharded window keeps the whole plan declarative instead."""
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.size(X.words(F.col("text"))).alias("n_tokens"),
+    ).select(
+        "doc_id", "n_tokens",
+        F.floor(F.col("n_tokens") / _LBB_BAND).alias("bucket"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("long") % _LBB_SHARDS).alias("shard"),
+    )
+    w = W.partitionBy("bucket", "shard").orderBy("doc_id")
+    numbered = keyed.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / _LBB_BATCH))
+    ids = F.sort_array(F.collect_list("doc_id"))
+    return numbered.groupBy("bucket", "shard", "batch_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.lit(1.0) - F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tokens")), 6)
+        .alias("padding_waste"),
+        F.md5(F.concat_ws(",", F.transform(ids, lambda x: x.cast("string"))))
+        .alias("member_digest"),
+    )

@@ -344,3 +344,50 @@ def test_embedding_lsh_ids_only_path_equals_default(spark):
               for r in S.embedding_lsh_pairs(
                   emb, threshold=0.42, carry_vectors=False).collect()}
     assert wide == narrow and len(wide) > 0
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    """A span shared by two docs survives only in the earlier doc; the
+    reassembled digest equals md5 of the surviving segments in order."""
+    import hashlib
+
+    from medallion_data_pipeline_spark.operators.dedup import exact_segment_dedup
+
+    w = 3
+    seg_a = "alpha beta gamma"          # appears in doc 1 then doc 2
+    seg_b = "delta epsilon zeta"        # unique to doc 1
+    seg_c = "eta theta iota"            # unique to doc 2
+    docs = spark.createDataFrame(
+        [(1, f"{seg_a} {seg_b}"), (2, f"{seg_c} {seg_a}"),
+         (3, seg_a)],                   # doc 3: entirely duplicated
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           exact_segment_dedup(docs, seg_tokens=w).collect()}
+
+    assert out[1]["n_dup_segments"] == 0
+    assert out[1]["dedup_digest"] == hashlib.md5(
+        f"{seg_a} {seg_b}".encode()).hexdigest()
+    # doc 2's copy of seg_a is dropped (doc 1 owns the first occurrence)
+    assert out[2]["n_dup_segments"] == 1
+    assert out[2]["dedup_digest"] == hashlib.md5(seg_c.encode()).hexdigest()
+    assert out[2]["kept_chars"] == len(seg_c)
+    # doc 3 is reduced to the empty string
+    assert out[3]["n_dup_segments"] == 1
+    assert out[3]["kept_chars"] == 0
+    assert out[3]["dedup_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_dedup_tail_segment_is_partial(spark):
+    """len(toks) not divisible by w: the tail segment is the remainder,
+    and identical tails still dedup across docs."""
+    from medallion_data_pipeline_spark.operators.dedup import exact_segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z d e")],  # w=3: tails "d e" both
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           exact_segment_dedup(docs, seg_tokens=3).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 0
+    assert out[2]["n_segments"] == 2 and out[2]["n_dup_segments"] == 1
