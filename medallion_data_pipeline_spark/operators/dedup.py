@@ -424,7 +424,8 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", bits: int = 16,
-                          max_distance: int = 1) -> DataFrame:
+                          max_distance: int = 1,
+                          persist_intermediate: bool = True) -> DataFrame:
     """Near-dup pairs at Hamming distance <= ``max_distance`` between
     SimHash fingerprints — the bit-flip bucket expansion that
     equal-fingerprint grouping misses.
@@ -452,6 +453,12 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
             masks.append(m)
 
     fp = simhash_fingerprints(docs, text_col, id_col, bits)
+    if persist_intermediate:
+        # fp feeds BOTH join sides; unpersisted, the per-token md5 +
+        # bit-vote scan runs twice (measured ~2x end-to-end at sf0.1 —
+        # same rationale as minhash_near_duplicates). At 100 TB use
+        # DISK_ONLY or a materialized fingerprint table.
+        fp = fp.persist()
     probe = fp.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"),
         F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("mask"),
