@@ -314,14 +314,14 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                          F.round("cos_raw", 6).alias("cosine"))
 
 
-def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Distributed k-means (Lloyd), fully deterministic and therefore
-    oracle-replayable: seeds = the k lowest-id vectors, a fixed number
-    of iterations, argmin ties broken toward the lower cell index, and
-    element-wise centroid means computed as exact DECIMAL sums rounded
-    to 6 dp (order-independent across partitions — a plain double AVG
-    would hash-diverge between engines).
+def lloyd_assignments(emb: DataFrame, k: int = 4, iters: int = 2,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Final per-vector cell assignments from a deterministic Lloyd
+    run: seeds = the k lowest-id vectors, a fixed number of iterations,
+    argmin ties broken toward the lower cell index, and element-wise
+    centroid means computed as exact DECIMAL sums rounded to 6 dp
+    (order-independent across partitions — a plain double AVG would
+    hash-diverge between engines).
 
     Per iteration: one scan with a codegen'd argmin over k broadcast
     centroid literals (no shuffle), then a (cell, pos) aggregation —
@@ -329,8 +329,9 @@ def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
     loop moves k*dim doubles per round; the data never re-shuffles, so
     the pattern holds at 100 TB (each pass is a map + tiny agg).
 
-    Returns per-cell stats: size, decimal-exact inertia, and an md5
-    digest of the ordered member ids certifying the exact clustering.
+    Returns (id, dv, cell, d2) — d2 is the squared distance to the
+    final centroid. Shared by :func:`lloyd_kmeans_stats` (per-cell
+    stats) and :func:`semantic_dedup_cells` (SemDeDup bucketing).
     """
     v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
     cents = [(i, c) for i, c in
@@ -368,7 +369,15 @@ def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
         cents = [(cell, [d[p] for p in sorted(d)])
                  for cell, d in sorted(new.items())]
 
-    final = assign(v, cents)
+    return assign(v, cents)
+
+
+def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-cell stats over :func:`lloyd_assignments`: size,
+    decimal-exact inertia, and an md5 digest of the ordered member ids
+    certifying the exact clustering."""
+    final = lloyd_assignments(emb, k, iters, id_col, vec_col)
     final = final.withColumn(
         "d2_6", F.round("d2", 6).cast("decimal(18,6)"))
     return final.groupBy("cell").agg(
@@ -432,3 +441,41 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "rank", "neighbor_id",
                 F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
+                         threshold: float = 0.42,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
+    k-means cells bound the candidate space, exact cosine runs only
+    WITHIN a cell. The standard embedding-dedup shape for web-scale
+    corpora — clustering cost is linear (see lloyd_assignments), and
+    in-cell pair scoring is sum over cells of |cell|², kept small by
+    growing k with n (the paper uses k ~ sqrt(n)).
+
+    Like IVF search, pairs that straddle a cell boundary are missed by
+    construction — the recall knob is k (smaller k = bigger cells =
+    higher recall, more in-cell work); the banded sign-LSH dedup
+    (embedding_lsh_pairs) is the multi-table alternative when recall
+    must be tunable without re-clustering.
+
+    Deterministic end-to-end (lowest-id seeds, decimal-exact centroid
+    means, tie-broken argmin), so an SQL oracle can replay the exact
+    cell assignment AND the in-cell pair set.
+    """
+    a = lloyd_assignments(emb, k, iters, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), "dv", "cell",
+    ).withColumn("nrm", V.norm(F.col("dv")))
+    l, r = a.alias("l"), a.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.cell") == F.col("r.cell"))
+               & (F.col("l.vid") < F.col("r.vid")))
+        .select(
+            F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"),
+            F.col("l.cell").alias("cell"),
+            _paired_cosine("l.dv", "r.dv", "l.nrm", "r.nrm").alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cell",
+                        F.round("cos_raw", 6).alias("cosine"))

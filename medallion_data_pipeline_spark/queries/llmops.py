@@ -2076,3 +2076,54 @@ def length_bucket_batches(spark, sf_dir):
         F.md5(F.concat_ws(",", F.transform(ids, lambda x: x.cast("string"))))
         .alias("member_digest"),
     )
+
+
+# --- dedup_semantic_cells ----------------------------------------------------
+# SemDeDup (Abbas et al. 2023, public): k-means cells bound the
+# candidate space, exact cosine only within a cell. The oracle replays
+# the identical deterministic Lloyd run (same CTE chain as
+# kmeans_embedding_cells) and the in-cell pair predicate, so BOTH the
+# clustering and the dedup pair set are hash-gated.
+
+_SEMANTIC_DOT = ("list_sum(list_transform(range(1, len(a.dv) + 1), "
+                 "i -> a.dv[i] * b.dv[i]))")
+_SEMANTIC_COS = (f"{_SEMANTIC_DOT} / (a.nrm * b.nrm)")
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), dims AS (
+    SELECT unnest(range(1, (SELECT max(len(dv)) FROM v) + 1)) AS pos
+), c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, dv AS cv
+    FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 4)
+), {_km_assign_sql('v', 'c0', 'a1')},
+{_km_mean_sql('a1', 'm1', 'c1')},
+{_km_assign_sql('v', 'c1', 'a2')},
+{_km_mean_sql('a2', 'm2', 'c2')},
+{_km_assign_sql('v', 'c2', 'af2')},
+n AS (
+    SELECT vec_id, dv, cell,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
+    FROM af2
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+       ROUND({_SEMANTIC_COS}, 6) AS cosine
+FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_SEMANTIC_COS} >= 0.42
+"""
+
+
+@register("dedup_semantic_cells", oracle=_SEMANTIC_DEDUP_SQL)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup-style semantic dedup
+    (operators/similarity.py::semantic_dedup_cells): 2-iteration
+    deterministic Lloyd k-means (k=4) buckets the corpus, exact cosine
+    >= 0.42 runs only within a cell — in-cell work is sum(|cell|²),
+    bounded by growing k with n (the paper's k ~ sqrt(n)). Recall
+    cross-check: dedup_embedding_cosine (exact all-pairs) at small SF;
+    tunable-recall sibling: dedup_embedding_lsh (banded sign-LSH). The
+    oracle replays the Lloyd chain AND the in-cell pair predicate."""
+    return S.semantic_dedup_cells(
+        t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.42)

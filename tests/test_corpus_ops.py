@@ -391,3 +391,43 @@ def test_segment_dedup_tail_segment_is_partial(spark):
            exact_segment_dedup(docs, seg_tokens=3).collect()}
     assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 0
     assert out[2]["n_segments"] == 2 and out[2]["n_dup_segments"] == 1
+
+
+def test_semantic_dedup_cells_sound_and_partitioned(spark):
+    """SemDeDup in-cell pairs: every reported pair is a true pair with
+    the exact cosine, both members share the reported k-means cell, and
+    recall vs exact all-pairs clears a floor (missed pairs can only be
+    cell-straddlers)."""
+    import math
+
+    from medallion_data_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = S.semantic_dedup_cells(emb, k=4, iters=2, threshold=0.42).collect()
+    got = {(r.id_a, r.id_b): r.cosine for r in rows}
+
+    cells = {r.vec_id: r.cell
+             for r in S.lloyd_assignments(emb, k=4, iters=2).collect()}
+    for r in rows:
+        assert cells[r.id_a] == r.cell and cells[r.id_b] == r.cell
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    ids = sorted(vecs)
+    exact = {
+        (a, b): cos(vecs[a], vecs[b])
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if cos(vecs[a], vecs[b]) >= 0.42
+    }
+    assert set(got) <= set(exact)          # soundness: no false pairs
+    for p, c in got.items():
+        assert abs(c - exact[p]) < 1e-5    # exact scoring within cells
+    # every miss straddles two cells (the documented recall mechanism)
+    for (a, b) in set(exact) - set(got):
+        assert cells[a] != cells[b]
+    assert len(got) / len(exact) >= 0.3    # k=4 coarse-cell floor
