@@ -486,9 +486,10 @@ def exact_segment_dedup(docs: DataFrame, text_col: str = "text",
     ``seg_tokens``-wide segments; a segment seen in more than one place
     survives only at its FIRST global occurrence (lowest (doc, seg_idx)
     — the deterministic dual of "keep the first crawl hit"). Returns
-    one row per document with segment counts and an md5 digest of the
-    reassembled (deduplicated) text, so the rewrite itself is verified,
-    not just the drop counts.
+    one row per document with segment counts, kept_chars (summed
+    length of surviving segments, separator-exclusive), and an md5
+    digest of the reassembled (deduplicated) text, so the rewrite
+    itself is verified, not just the drop counts.
 
     Scale shape: explode to one row per segment, ONE shuffle on the
     md5 segment hash (row_number over tiny per-hash groups — group

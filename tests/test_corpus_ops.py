@@ -431,3 +431,82 @@ def test_semantic_dedup_cells_sound_and_partitioned(spark):
     for (a, b) in set(exact) - set(got):
         assert cells[a] != cells[b]
     assert len(got) / len(exact) >= 0.3    # k=4 coarse-cell floor
+
+
+def test_segment_dedup_global_uniqueness_property(spark):
+    """Property (hypothesis): over ANY corpus, after segment dedup each
+    distinct segment string survives exactly once corpus-wide, segment
+    counts are conserved, and kept_chars equals the summed length of
+    the surviving segments (separator-exclusive, matching the oracle's
+    SUM(len(seg)))."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from medallion_data_pipeline_spark.operators.dedup import exact_segment_dedup
+
+    w = 3
+    token = st.sampled_from(list("abcdef"))  # tiny vocab -> heavy collisions
+    doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=8)
+
+    @given(texts=corpus)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        rows = exact_segment_dedup(df, seg_tokens=w).collect()
+
+        # replay the semantics in plain Python
+        seen: set[str] = set()
+        expect = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            segs = [" ".join(toks[j:j + w]) for j in range(0, len(toks), w)]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            expect[i] = (len(segs), len(segs) - len(kept), " ".join(kept))
+
+        assert len(rows) == len(expect)
+        import hashlib
+        for r in rows:
+            n_seg, n_dup, kept_text = expect[r["doc_id"]]
+            assert r["n_segments"] == n_seg
+            assert r["n_dup_segments"] == n_dup
+            n_kept = n_seg - n_dup
+            assert r["kept_chars"] == len(kept_text) - max(n_kept - 1, 0)
+            assert r["dedup_digest"] == hashlib.md5(kept_text.encode()).hexdigest()
+
+    run()
+
+
+def test_quality_quantile_filter_threshold_property(spark):
+    """The per-language threshold is the exact p25 of the 2-dp score
+    histogram: strictly fewer than 25% of a language's docs score BELOW
+    the threshold, and dropping the threshold one distinct value down
+    would break that."""
+    from medallion_data_pipeline_spark.queries.llmops import quality_quantile_filter
+    from medallion_data_pipeline_spark.functions import text as X
+
+    sf = "/root/testdata/sf0.01"
+    out = {r["lang"]: r for r in quality_quantile_filter(spark, sf).collect()}
+
+    docs = load_table(spark, sf, "documents").withColumnRenamed("lang", "src_lang")
+    scored = X.with_text_features(docs, "text").select(
+        F.col("src_lang").alias("lang"), "quality").collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append(r["quality"])
+
+    for lang, row in out.items():
+        qs = sorted(by_lang[lang])
+        thr = row["threshold"]
+        below = sum(1 for q in qs if q < thr)
+        at_or_below = sum(1 for q in qs if q <= thr)
+        assert below * 4 < len(qs)            # < 25% strictly below
+        assert at_or_below * 4 >= len(qs)     # thr itself reaches p25
+        assert row["n_kept"] == len(qs) - below
+        assert row["n_total"] == len(qs)
