@@ -166,6 +166,22 @@ def main() -> None:
     for k, v in stage_best.items():
         timings[k] = round(v, 3)
 
+    # End-to-end corpus curation (gate -> exact dedup -> minhash
+    # near-dedup -> cluster-aware split -> packing) over the sf
+    # documents table — the LLM-data dual of the medallion pipeline.
+    from medallion_data_pipeline_spark.plans import corpus as corpus_plan
+
+    best = float("inf")
+    for _rep in range(2):
+        cw = tempfile.mkdtemp(prefix="mdp_bench_corpus_")
+        try:
+            t0 = time.time()
+            corpus_plan.run_corpus_pipeline(spark, sf_dir, cw)
+            best = min(best, time.time() - t0)
+        finally:
+            shutil.rmtree(cw, ignore_errors=True)
+    timings["pipeline_corpus_curation"] = round(best, 3)
+
     # Methodologically homogeneous headline: `value`/`total_queries` sum
     # only the min-of-N measurements; the one-shot layout_ingest cost is
     # reported separately (it is real, but mixing a one-time re-layout

@@ -228,3 +228,40 @@ def test_scheduler_drives_real_pipeline(spark, tmp_path):
     assert hist[0]["status"] == "success" and hist[0]["stage"] == "full"
     import os
     assert os.path.isdir(os.path.join(wh, "gold"))
+
+
+def test_corpus_pipeline_layers_and_leakage(spark, tmp_path):
+    """End-to-end corpus curation (plans/corpus.py): stage counts only
+    shrink, the landed corpus partitions into the three splits, packing
+    bins are per-(split, lang) contiguous, and NO minhash near-dup pair
+    straddles two splits (the leakage invariant the cluster-aware split
+    exists for)."""
+    from medallion_data_pipeline_spark.operators.dedup import minhash_near_duplicates
+    from medallion_data_pipeline_spark.plans.corpus import run_corpus_pipeline
+
+    out = str(tmp_path / "corpus")
+    results = run_corpus_pipeline(spark, "/root/testdata/sf0.01", out)
+
+    assert [r.stage for r in results] == [
+        "quality_gate", "exact_dedup", "near_dedup", "split_and_pack"]
+    for r in results:
+        assert r.rows_out <= r.rows_in
+    assert results[-1].rows_out > 0
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    rows = corpus.select("doc_id", "split", "lang", "bin").collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+
+    # bins contiguous from 0 within each (split, lang)
+    by_sl = {}
+    for r in rows:
+        by_sl.setdefault((r.split, r.lang), set()).add(r.bin)
+    for bins in by_sl.values():
+        assert bins == set(range(len(bins)))
+
+    # leakage: near-dup pairs among survivors share a split
+    splits = {r.doc_id: r.split for r in rows}
+    pairs = minhash_near_duplicates(
+        corpus.select("doc_id", "text"), threshold=0.4).collect()
+    for p in pairs:
+        assert splits[p.id_a] == splits[p.id_b], (p.id_a, p.id_b)
