@@ -65,7 +65,10 @@ PRIORITY: tuple[str, ...] = (
     "clean_status_parity", "rejection_split", "quality_scores",
     "string_functions_parity", "date_functions_parity",
     # analytics / windows / multi-dim aggregation
-    "null_dup_profile", "describe_extendedprice",
+    # (describe_extendedprice moved past the prefix — profiling is
+    # covered by null_dup_profile + correlation_pairs; its slot goes to
+    # the PQ compressed-search tier)
+    "null_dup_profile", "knn_cosine_pq_rerank",
     "correlation_pairs", "quantile_bins_broadcast", "ranking_functions",
     "grouping_sets_revenue", "rolling_7day_range_window",
     "pivot_status_by_region",
