@@ -171,7 +171,10 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     gated = spark.read.parquet(os.path.join(out_dir, "filtered"))
 
     t0 = time.time()
-    exact = drop_exact_duplicates(gated)
+    # persisted: feeds its own count plus both sides of the near-dup
+    # stage (pair generation and the anti-join) — unpersisted, the
+    # fingerprint semi-join would re-run per consumer
+    exact = drop_exact_duplicates(gated).persist()
     n = _stage("exact_dedup", n, exact, None, t0)
 
     t0 = time.time()
@@ -184,6 +187,7 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     packed = pack_contexts(split, context_tokens=context_tokens)
     _stage("split_and_pack", n, packed, "corpus", t0, partition_by=["split"])
     survivors.unpersist()
+    exact.unpersist()
     return results
 
 
