@@ -491,16 +491,16 @@ def exact_segment_dedup(docs: DataFrame, text_col: str = "text",
     digest of the reassembled (deduplicated) text, so the rewrite
     itself is verified, not just the drop counts.
 
-    Scale shape: explode to one row per segment, ONE shuffle on the
-    md5 segment hash (row_number over tiny per-hash groups — group
-    width = global copies of one span, naturally small; a boilerplate
-    mega-span is one hot key handled by AQE skew splitting on the
-    preceding exchange), then ONE shuffle back on the doc id for
-    reassembly. Work is linear in corpus tokens; nothing is quadratic
-    and nothing collects to the driver.
+    Scale shape: explode to one row per segment; the first occurrence
+    per segment hash is a groupBy MIN(struct(doc, seg_idx)) — NOT a
+    row_number window, deliberately: partial (map-side) aggregation
+    absorbs a boilerplate mega-span repeated 10^9 times into per-task
+    partial minima, where a window would funnel every copy into one
+    unsplittable partition. The keeper map joins back on the hash
+    (same shuffle key), then ONE shuffle on doc id reassembles. Work
+    is linear in corpus tokens; nothing is quadratic and nothing
+    collects to the driver.
     """
-    from pyspark.sql.window import Window as W
-
     from ..functions import text as X
 
     toks = X.words(F.col(text_col))
@@ -520,9 +520,12 @@ def exact_segment_dedup(docs: DataFrame, text_col: str = "text",
         )
         .withColumn("seg_hash", F.md5("seg"))
     )
-    w = W.partitionBy("seg_hash").orderBy(F.col(id_col).asc(), F.col("seg_idx").asc())
-    flagged = seg.withColumn(
-        "keep", (F.row_number().over(w) == 1).cast("int"))
+    keepers = seg.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"),
+                       F.col("seg_idx").alias("kidx"))).alias("keeper"))
+    flagged = seg.join(keepers, "seg_hash").withColumn(
+        "keep", ((F.col("keeper.kid") == F.col(id_col))
+                 & (F.col("keeper.kidx") == F.col("seg_idx"))).cast("int"))
     kept_structs = F.sort_array(
         F.collect_list(F.when(F.col("keep") == 1,
                               F.struct(F.col("seg_idx"), F.col("seg")))))
