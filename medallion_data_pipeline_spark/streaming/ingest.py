@@ -65,7 +65,8 @@ def run_csv_ingest(spark: SparkSession, csv_dir: str, warehouse: str,
 
 
 def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
-                      k: int = 3, num_hashes: int = 16, bands: int = 4):
+                      k: int = 3, num_hashes: int = 16, bands: int = 4,
+                      quality_gate: bool = False):
     """foreachBatch sink for CONTINUOUS corpus construction with
     incremental near-dup filtering — the streaming form of
     ``operators.dedup.incremental_near_duplicates``: each micro-batch
@@ -84,8 +85,15 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
     nothing. At 100 TB both appends become transactional writes to a
     Delta/Iceberg table (one commit per batch); the probe join and the
     accept/append logic are unchanged.
+
+    ``quality_gate=True`` applies the batch corpus pipeline's
+    Gopher/C4 gate (plans/corpus.py::quality_gate) BEFORE the replay
+    guard and dedup probe — the streaming form of the curation
+    pipeline's cheap-filters-first staging rule: rejected docs never
+    touch the index.
     """
     from ..operators.dedup import band_index, incremental_near_duplicates
+    from ..plans.corpus import quality_gate as _gate
 
     docs_path = os.path.join(warehouse, "silver", "documents")
     idx_path = os.path.join(warehouse, "silver", "doc_band_index")
@@ -93,6 +101,8 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        if quality_gate:
+            batch = _gate(batch)
         have_corpus = os.path.isdir(docs_path)
         if have_corpus:
             corpus = spark.read.parquet(docs_path)
@@ -134,7 +144,8 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
 
 def run_dedup_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
                      checkpoint_dir: str, threshold: float = 0.4,
-                     max_files_per_trigger: int = 1) -> None:
+                     max_files_per_trigger: int = 1,
+                     quality_gate: bool = False) -> None:
     """Drain a landing directory of document parquet files through the
     incremental-dedup sink, synchronously (batch-drain form of the
     always-on stream)."""
@@ -146,7 +157,8 @@ def run_dedup_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
     q = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(dedup_ingest_sink(warehouse, threshold))
+        .foreachBatch(dedup_ingest_sink(warehouse, threshold,
+                                        quality_gate=quality_gate))
         .start()
     )
     try:

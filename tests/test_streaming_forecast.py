@@ -537,3 +537,44 @@ def test_global_model_real_lightgbm():
     name, predict = FC.fit_global_model(panel, model="lightgbm")
     assert name == "lightgbm"
     assert isinstance(predict([1.0, 2.0, 3.0, 3.0, 4.0, 1.0]), float)
+
+
+def test_streaming_ingest_quality_gate(spark, tmp_path):
+    """quality_gate=True applies the corpus pipeline's Gopher gate
+    before the dedup probe: rejected docs land nowhere (corpus OR
+    index), gated keepers still dedup across batches."""
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    words = ("the quick brown fox and the lazy dog walk over that "
+             "green hill while some birds from this forest watch them "
+             "with great interest during one warm morning in early "
+             "spring weather today").split()
+    good = " ".join(words)                      # 33 words, stopword-rich
+    short = "tiny doc"                          # fails the 30-word floor
+    near = good + " indeed"                     # near-dup of good
+
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for age, (fname, rows) in enumerate((
+            ("b1.parquet", [(1, good), (2, short)]),
+            ("b2.parquet", [(3, near)]))):
+        ids, texts = zip(*rows)
+        path = str(land / fname)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}), path)
+        os.utime(path, (now - 60 + age * 10, now - 60 + age * 10))
+
+    wh = str(tmp_path / "wh")
+    SI.run_dedup_ingest(spark, str(land), wh, str(tmp_path / "cp"),
+                        quality_gate=True)
+    docs = spark.read.parquet(f"{wh}/silver/documents")
+    assert {r.doc_id for r in docs.collect()} == {1}  # 2 gated, 3 deduped
+    idx = spark.read.parquet(f"{wh}/silver/doc_band_index")
+    assert {r.doc for r in idx.select("doc").distinct().collect()} == {1}
