@@ -77,13 +77,66 @@ PRODUCT_STATUS_MAP = {
 }
 
 
+#: Exact character-class body of Python's ``\s`` over ``str`` (re module;
+#: verified empirically over all of U+0000..U+10FFFF): \t-\r, the C0
+#: separators \x1c-\x1f plus space, NEL, NBSP, OGHAM SPACE MARK, the
+#:  -  spaces, LINE/PARAGRAPH SEPARATOR, NNBSP, MMSP, and
+#: IDEOGRAPHIC SPACE. The reference cleaners run Python ``str.strip()``
+#: / ``str.split()`` / ``re \s`` (silver_builder.py:36-57), all of which
+#: use this set. Java's default ``\s`` is ASCII-only and Java's
+#: ``(?U)\s`` (= \p{IsWhite_Space}) misses \x1c-\x1f, so exact parity
+#: needs this explicit class.
+PY_WS = (
+    "\\u0009-\\u000D\\u001C-\\u0020\\u0085\\u00A0\\u1680"
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+)
+
+#: Codepoints that are ``\w`` under Python's Unicode 14.0 database but
+#: unassigned (hence not \p{L}/\p{N}) under Java 17's Unicode 13.0 —
+#: Arabic Extended-B, Vithkuqi, Cypro-Minoan, Tangsa, Toto, etc. The
+#: exact 525-codepoint delta, computed by scanning every codepoint
+#: through both engines; appended so the class matches Python bit-exactly
+#: despite the JVM's older Unicode table.
+_PY_WORD_U14_EXTRA = (
+    "\\u0870-\\u0887\\u0889-\\u088E\\u08B5\\u08C8\\u08C9\\u0C5D\\u0CDD"
+    "\\u170D\\u171F\\u1B4C\\u2C2F\\u2C5F\\u9FFD-\\u9FFF\\uA7C0\\uA7C1"
+    "\\uA7D0\\uA7D1\\uA7D3\\uA7D5-\\uA7D9\\uA7F2-\\uA7F4"
+    "\\x{10570}-\\x{1057A}\\x{1057C}-\\x{1058A}\\x{1058C}-\\x{10592}"
+    "\\x{10594}\\x{10595}\\x{10597}-\\x{105A1}\\x{105A3}-\\x{105B1}"
+    "\\x{105B3}-\\x{105B9}\\x{105BB}\\x{105BC}\\x{10780}-\\x{10785}"
+    "\\x{10787}-\\x{107B0}\\x{107B2}-\\x{107BA}\\x{10F70}-\\x{10F81}"
+    "\\x{11071}\\x{11072}\\x{11075}\\x{11740}-\\x{11746}"
+    "\\x{11AB0}-\\x{11ABF}\\x{12F90}-\\x{12FF0}\\x{16A70}-\\x{16ABE}"
+    "\\x{16AC0}-\\x{16AC9}\\x{1AFF0}-\\x{1AFF3}\\x{1AFF5}-\\x{1AFFB}"
+    "\\x{1AFFD}\\x{1AFFE}\\x{1B11F}-\\x{1B122}\\x{1DF00}-\\x{1DF1E}"
+    "\\x{1E290}-\\x{1E2AD}\\x{1E7E0}-\\x{1E7E6}\\x{1E7E8}-\\x{1E7EB}"
+    "\\x{1E7ED}\\x{1E7EE}\\x{1E7F0}-\\x{1E7FE}\\x{2A6DE}\\x{2A6DF}"
+    "\\x{2B735}-\\x{2B738}"
+)
+
+#: Python's ``\w`` over ``str`` is exactly ``[\p{L}\p{N}_]`` in Unicode
+#: terms (verified over the full codepoint range); Java's \p{L}/\p{N}
+#: are Unicode general-category classes regardless of flags. The extra
+#: ranges paper over the JVM's Unicode-13-vs-14 table skew.
+PY_WORD = "\\p{L}\\p{N}_" + _PY_WORD_U14_EXTRA
+
+
 def _col(col: Column | str) -> Column:
     """Accept a Column or a column name, like pyspark.sql.functions do."""
     return F.col(col) if isinstance(col, str) else col
 
 
+def py_strip(col: Column) -> Column:
+    """Python ``str.strip()`` as a column expression (Unicode whitespace,
+    not Spark ``trim``'s ASCII-space-only semantics)."""
+    return F.regexp_replace(_col(col), f"^[{PY_WS}]+|[{PY_WS}]+$", "")
+
+
 def _as_trimmed_string(col: Column | str) -> Column:
-    return F.trim(_col(col).cast("string"))
+    # Python-strip, NOT F.trim: the reference's shared first step is
+    # ``str(value).strip()`` which strips Unicode whitespace ('\x85',
+    # NBSP, ...), so sentinel detection must agree on those edges.
+    return py_strip(_col(col).cast("string"))
 
 
 def nullify_sentinels(col: Column) -> Column:
@@ -104,14 +157,22 @@ def clean_text_field(col: Column) -> Column:
     non-word characters; empty-after-cleaning -> NULL.
     """
     s = nullify_sentinels(col)
-    collapsed = F.regexp_replace(s, r"\s+", " ")
+    # ' '.join(value_str.split()): any Unicode-whitespace run -> one
+    # ASCII space (edges are already Python-stripped by
+    # nullify_sentinels, matching the reference's str.strip()-first
+    # order).
+    collapsed = F.regexp_replace(s, f"[{PY_WS}]+", " ")
     # Python str.isupper(): no lowercase cased chars AND >=1 cased char.
     # Expressed as (x == upper(x)) & (x != lower(x)); digits-only strings
     # fail the second conjunct, matching Python.
     is_upper = (collapsed == F.upper(collapsed)) & (collapsed != F.lower(collapsed))
     is_lower = (collapsed == F.lower(collapsed)) & (collapsed != F.upper(collapsed))
     cased = F.when(is_upper | is_lower, F.initcap(collapsed)).otherwise(collapsed)
-    stripped = F.trim(F.regexp_replace(cased, r"^[^\w\s]+|[^\w\s]+$", ""))
+    # Reference edge-strip regex ^[^\w\s]+|[^\w\s]+$ under Python
+    # semantics: \w == [\p{L}\p{N}_], \s == PY_WS (both verified exact).
+    stripped = py_strip(
+        F.regexp_replace(cased, f"^[^{PY_WORD}{PY_WS}]+|[^{PY_WORD}{PY_WS}]+$", "")
+    )
     return F.when(stripped == "", F.lit(None).cast("string")).otherwise(stripped)
 
 
@@ -280,6 +341,8 @@ def with_parsed_category(df, source_col: str,
     df = df.withColumn("_cat_sep", sep_pat)
 
     parts = F.split(cleaned, F.col("_cat_sep"), 2)
+    # F.trim (ASCII) is safe here: the parts come from clean_text_field
+    # output, whose whitespace is already collapsed to ASCII spaces.
     df = df.withColumn("_cat_main_raw", F.trim(parts.getItem(0)))
     df = df.withColumn("_cat_sub_raw",
                        F.when(F.size(parts) >= 2, F.trim(parts.getItem(1))))

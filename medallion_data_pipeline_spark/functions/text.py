@@ -37,7 +37,17 @@ LANG_MARKERS = {
 
 def normalize_text(col: Column) -> Column:
     """lowercase + collapse whitespace + trim — the canonical form used
-    by fingerprints and shingles."""
+    by fingerprints and shingles.
+
+    Whitespace audit (no reference dual for the corpus tier — this is a
+    deliberate, stated choice): tokenization uses Java's ASCII ``\\s``
+    on purpose, because the DuckDB oracle duals (queries/llmops.py
+    ``_SQL_NORM``, token stats) use RE2's ``\\s``, which is also
+    ASCII-only — so Spark and oracle agree by construction. Corpus
+    fingerprints/shingles only need a *consistent* canonical form, not
+    Python-``str.split`` parity; the silver cleaners, which DO owe the
+    reference Python semantics, use cleaning.PY_WS instead.
+    """
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
@@ -53,9 +63,14 @@ def token_count_ws(col: Column) -> Column:
 
 
 # one proto-token = a word-char run or a single non-space punct char
-# (shared by the expression and pandas_udf implementations; note Python
-# re treats \w as Unicode vs Java's ASCII — identical on this corpus,
-# and the parity unit test would catch a divergence)
+# (shared by the expression and pandas_udf implementations). \w/\s
+# audit: Java regex and DuckDB's RE2 both treat bare \w and \s as
+# ASCII, so the expression path and the SQL oracle agree by
+# construction; the pandas_udf dual compiles with re.ASCII to match
+# (Python's default \w is Unicode — 'café' would otherwise count 1
+# token in pandas vs 2 in the JVM). Deliberate ASCII choice for the
+# corpus tier; the silver cleaners use cleaning.PY_WS/PY_WORD where
+# Python parity is owed to the reference.
 BPE_ISH_PATTERN = r"\w+|[^\w\s]"
 
 
@@ -374,7 +389,10 @@ def simhash_from_hashes(hashed_toks: Column, bits: int = 16) -> Column:
 
 PII_PATTERNS = {
     # order matters: emails first (may contain digits), SSN (3-2-4)
-    # before phone (3-3-4) so neither masks inside the other's token
+    # before phone (3-3-4) so neither masks inside the other's token.
+    # \w/\s audit: these patterns use only \d and explicit ASCII
+    # classes; Java and RE2 both read bare \d as [0-9], so the Spark
+    # path and the DuckDB oracle agree without flags.
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "SSN": r"\d{3}-\d{2}-\d{4}",
     "PHONE": r"\d{3}[-.]\d{3}[-.]\d{4}",
@@ -408,9 +426,13 @@ def token_count_bpe_pandas(col: Column) -> Column:
 
     Parity with the expression version is pinned by a unit test.
     """
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
-    pattern = BPE_ISH_PATTERN
+    # re.ASCII: match the JVM expression path and the RE2 oracle, whose
+    # bare \w/\s are ASCII (see BPE_ISH_PATTERN audit note).
+    pattern = re.compile(BPE_ISH_PATTERN, re.ASCII)
 
     @pandas_udf("int")
     def _count(texts: pd.Series) -> pd.Series:

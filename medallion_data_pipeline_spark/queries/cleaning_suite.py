@@ -19,10 +19,35 @@ from ._util import t
 
 _SENTINELS_SQL = "('NULL','N/A','NOT AVAILABLE','TBD','UNKNOWN','','NONE','NIL')"
 
+#: RE2 dual of cleaning.PY_WS — Python str's whitespace set, written with
+#: RE2 \x{...} escapes (DuckDB's regexp engine; its bare \s is ASCII).
+_RE2_WS = (
+    "\\x09-\\x0d\\x1c-\\x20\\x{85}\\x{a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}"
+)
+#: RE2 dual of cleaning.PY_WORD (RE2's bare \w is ASCII-only; Python's
+#: \w is exactly Unicode L∪N∪'_').
+_RE2_WORD = "\\pL\\pN_"
+
+
+def _sql_py_strip(expr: str) -> str:
+    """Python str.strip() in DuckDB SQL (Unicode whitespace)."""
+    return f"regexp_replace({expr}, '^[{_RE2_WS}]+|[{_RE2_WS}]+$', '', 'g')"
+
 
 def _sql_sentinel_null(expr: str) -> str:
     return (f"CASE WHEN {expr} IS NULL OR upper(trim({expr})) IN {_SENTINELS_SQL} "
             f"THEN NULL ELSE trim({expr}) END")
+
+
+def _sql_sentinel_null_py(expr: str) -> str:
+    """Sentinel nulling with Python-strip semantics — required when the
+    fixture rows carry Unicode whitespace (NEL/NBSP/LS) that ASCII
+    ``trim`` would leave in place, diverging from the reference's
+    ``str(value).strip()`` (silver_builder.py:42-44)."""
+    stripped = _sql_py_strip(expr)
+    return (f"CASE WHEN {expr} IS NULL OR upper({stripped}) IN {_SENTINELS_SQL} "
+            f"THEN NULL ELSE {stripped} END")
 
 
 # ---------------------------------------------------------------------------
@@ -135,17 +160,21 @@ _INITCAP = ("array_to_string(list_transform(string_split({0}, ' '), "
 _CLEAN_TEXT_SQL = """
 WITH dirty AS (
     SELECT c_custkey,
-           CASE c_custkey % 4
+           CASE c_custkey % 8
              WHEN 0 THEN '  ' || upper(c_mktsegment) || '!! '
              WHEN 1 THEN lower(c_name) || '   ' || lower(c_mktsegment)
              WHEN 2 THEN '***' || c_name || '***'
-             ELSE 'NONE'
+             WHEN 3 THEN 'NONE'
+             WHEN 4 THEN ' ' || upper(c_mktsegment) || '!!   '
+             WHEN 5 THEN lower(c_mktsegment) || ' 　' || lower(c_name)
+             WHEN 6 THEN ' NULL'
+             ELSE chr(13) || chr(133) || CAST(c_custkey % 10 AS VARCHAR)
            END AS raw
     FROM customer
 ), base AS (
     SELECT c_custkey, {snull} AS s FROM dirty
 ), collapsed AS (
-    SELECT c_custkey, regexp_replace(s, '\\s+', ' ', 'g') AS c FROM base
+    SELECT c_custkey, regexp_replace(s, '[{ws}]+', ' ', 'g') AS c FROM base
 ), cased AS (
     SELECT c_custkey,
            CASE WHEN (c = upper(c) AND c <> lower(c)) OR (c = lower(c) AND c <> upper(c))
@@ -154,25 +183,38 @@ WITH dirty AS (
     FROM collapsed
 ), stripped AS (
     SELECT c_custkey,
-           trim(regexp_replace(x, '^[^\\w\\s]+|[^\\w\\s]+$', '', 'g')) AS y
+           {strip} AS y
     FROM cased
 )
 SELECT c_custkey, CASE WHEN y = '' THEN NULL ELSE y END AS cleaned_text
 FROM stripped
-""".format(snull=_sql_sentinel_null("raw"), initcap=_INITCAP.format("c"))
+""".format(snull=_sql_sentinel_null_py("raw"), initcap=_INITCAP.format("c"),
+           ws=_RE2_WS,
+           strip=_sql_py_strip(
+               f"regexp_replace(x, '^[^{_RE2_WORD}{_RE2_WS}]+"
+               f"|[^{_RE2_WORD}{_RE2_WS}]+$', '', 'g')"))
 
 
 @register("clean_text_parity", oracle=_CLEAN_TEXT_SQL)
 def clean_text_parity(spark, sf_dir):
     """clean_text_field over shouting/whispering/punct-wrapped strings
-    (reference silver_builder.py:36-57)."""
+    (reference silver_builder.py:36-57), plus Unicode-whitespace rows
+    (NEL/NBSP/LS/ideographic space) that pin the Python-``\\s`` parity
+    semantics of PY_WS/PY_WORD — the '\\r\\x850' -> '0' shape that
+    ASCII ``\\s`` + ``trim`` got wrong."""
     c = t(spark, sf_dir, "customer")
-    k = F.col("c_custkey") % 4
+    k = F.col("c_custkey") % 8
     raw = (
         F.when(k == 0, F.concat(F.lit("  "), F.upper("c_mktsegment"), F.lit("!! ")))
         .when(k == 1, F.concat(F.lower("c_name"), F.lit("   "), F.lower("c_mktsegment")))
         .when(k == 2, F.concat(F.lit("***"), F.col("c_name"), F.lit("***")))
-        .otherwise(F.lit("NONE"))
+        .when(k == 3, F.lit("NONE"))
+        .when(k == 4, F.concat(F.lit(" "), F.upper("c_mktsegment"),
+                               F.lit("!!   ")))
+        .when(k == 5, F.concat(F.lower("c_mktsegment"), F.lit(" 　"),
+                               F.lower("c_name")))
+        .when(k == 6, F.lit(" NULL"))
+        .otherwise(F.concat(F.lit("\r"), (F.col("c_custkey") % 10).cast("string")))
     )
     return c.select("c_custkey", C.clean_text_field(raw).alias("cleaned_text"))
 

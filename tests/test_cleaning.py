@@ -44,6 +44,28 @@ def test_clean_text_field(spark):
     assert out == expected
 
 
+def test_clean_text_unicode_whitespace_parity(spark):
+    """Regression for the round-4 Hypothesis find: the reference runs
+    Python ``str.strip()`` / ``\\s`` (silver_builder.py:36-57), which
+    treat NEL (\\x85), NBSP (\\xa0), the C0 separators \\x1c-\\x1f, LS
+    (\\u2028), and ideographic space (\\u3000) as whitespace; Java's
+    ASCII ``\\s`` + ``F.trim`` did not. Expected values are hand-traced
+    through the reference algorithm."""
+    cases = {
+        "\r\x850": "0",                     # the original Hypothesis counterexample
+        "\xa0NULL\x85": None,               # sentinel detected after Unicode strip
+        "\x1c a": "A",                      # C0 file-separator is Python whitespace
+        "a.\x1c": "A",                      # trailing C0 stripped, then edge '.'
+        "x　\xa0y": "X Y",              # interior Unicode ws collapses to ' '
+        "AUTO MOBILE": "Auto Mobile",  # LS collapses; mono-case titles
+        "\xbd": "\xbd",                     # ½ is Python \w (No) — survives edge strip
+        "***\x85***": None,                 # whitespace-only after edge strip -> NULL
+        "\x85": None,
+    }
+    out = _run(spark, C.clean_text_field, list(cases))
+    assert out == list(cases.values())
+
+
 def test_clean_email(spark):
     cases = {
         " A@B.COM ": "a@b.com",
