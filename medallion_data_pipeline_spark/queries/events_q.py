@@ -638,18 +638,45 @@ FROM islands GROUP BY island_len
 """
 
 
+#: ids per block for the distributed islands row_number — 2^20 ids/block
+#: keeps the per-block partition ~1M rows (dense worst case) while the
+#: block-count side frame stays ~1M rows even at 10^12 events.
+_ISLANDS_BLOCK = 1 << 20
+
+
 @register("event_id_islands", oracle=_ISLANDS_SQL)
 def event_id_islands(spark, sf_dir):
     """Gaps-and-islands: consecutive event_id runs within the click
     stream (id - row_number() is constant per run). Histogram of
-    island lengths. The global row_number is the known single-partition
-    step — at scale, range-partition by id block and offset per-block
-    row numbers by the cumulative block counts (same pattern as
-    quantile_bins_broadcast's scale note)."""
-    e = t(spark, sf_dir, "events").filter(
-        F.col("event_type") == "click").select("event_id")
-    w = W.orderBy("event_id")
-    c = e.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+    island lengths.
+
+    Distributed row_number via the block-offset pattern (the same scale
+    path as quantile_bins_broadcast): bucket ids into fixed ranges,
+    row_number WITHIN each block (partitioned window — parallel), then
+    add the broadcast cumulative count of rows in all earlier blocks.
+    blk ordering == event_id ordering because blocks are id ranges, so
+    rn is exactly the global row_number and islands spanning block
+    boundaries still share one grp value. The only unpartitioned window
+    runs over the per-block counts frame — one row per 2^20-id block
+    (~1M rows at 10^12 events), bounded by construction, never over
+    events."""
+    e = (t(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "click")
+         .select("event_id")
+         .withColumn("blk", F.floor(F.col("event_id") / _ISLANDS_BLOCK)))
+    counts = e.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "blk",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    wl = W.partitionBy("blk").orderBy("event_id")
+    c = (e.join(F.broadcast(offsets), "blk")
+         .withColumn("rn", F.row_number().over(wl) + F.col("offset"))
+         .withColumn("grp", F.col("event_id") - F.col("rn")))
     islands = c.groupBy("grp").agg(
         F.count(F.lit(1)).alias("island_len"),
         F.min("event_id").alias("island_start"))
