@@ -780,12 +780,17 @@ def knn_cosine_ivf(spark, sf_dir):
 # Spark side is ITERATIVE min-label propagation (operators/graph.py);
 # the oracle replays it as a recursive CTE — an iterative distributed
 # algorithm that is still exactly oracle-gated.
+#
+# The pairs/edges2 CTEs carry AS MATERIALIZED: without the hint DuckDB
+# inlines the whole minhash-pipeline subquery into every iteration of
+# the recursive union (measured 60s -> 21s at sf0.1 for identical
+# rows). Oracle-side only; the Spark plan is untouched.
 # ---------------------------------------------------------------------------
 
 _CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
     {_minhash_oracle()}
-), edges2 AS (
+), edges2 AS MATERIALIZED (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
@@ -892,9 +897,9 @@ def pii_redaction(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _KEEP_BEST_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
     {_minhash_oracle()}
-), edges2 AS (
+), edges2 AS MATERIALIZED (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
@@ -957,9 +962,9 @@ def dedup_keep_best(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _CLUSTER_SPLIT_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
     {_minhash_oracle()}
-), edges2 AS (
+), edges2 AS MATERIALIZED (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
