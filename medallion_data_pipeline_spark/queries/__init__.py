@@ -61,9 +61,13 @@ PRIORITY: tuple[str, ...] = (
     "dashboard_wide", "top_customers_per_region", "reconcile_layers",
     "q3_shipping_priority", "q5_local_supplier_volume", "orders_page",
     # silver cleaning library parity
+    # (string_functions_parity moved past the prefix — string
+    # expressions are already exercised by clean_text_parity plus the
+    # whole text tier; its slot goes to the category parser, the one
+    # cleaner family that previously had no oracle-gated entry)
     "clean_numeric_parity", "clean_date_parity", "clean_text_parity",
     "clean_status_parity", "rejection_split", "quality_scores",
-    "string_functions_parity", "date_functions_parity",
+    "clean_category_parity", "date_functions_parity",
     # analytics / windows / multi-dim aggregation
     # (describe_extendedprice moved past the prefix — profiling is
     # covered by null_dup_profile + correlation_pairs; its slot goes to

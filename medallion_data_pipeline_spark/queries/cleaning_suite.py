@@ -270,6 +270,145 @@ def clean_status_parity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — category parsing parity (F8): the one cleaner family that had no
+# oracle dual. Exercises the 8-separator precedence, both typo maps
+# (substring first-match, dict order), the ' Parts' suffix re-append,
+# the sentinel and no-separator fallbacks — against a DuckDB replay of
+# the engine semantics (reference silver_builder.py:206-278). The
+# fixture stays ASCII, so the ASCII clean_text dual coincides with the
+# Python-class one.
+# ---------------------------------------------------------------------------
+
+def _sql_clean_text_stages(expr: str, prefix: str) -> str:
+    """clean_text_field as lateral-alias SELECT stages; final value is
+    ``{prefix}_cleaned``. ASCII dual (fixture contract: no Unicode)."""
+    return f"""
+           {_sql_sentinel_null(expr)} AS {prefix}_s,
+           regexp_replace({prefix}_s, '\\s+', ' ', 'g') AS {prefix}_c,
+           CASE WHEN ({prefix}_c = upper({prefix}_c) AND {prefix}_c <> lower({prefix}_c))
+                  OR ({prefix}_c = lower({prefix}_c) AND {prefix}_c <> upper({prefix}_c))
+                THEN {_INITCAP.format(prefix + '_c')}
+                ELSE {prefix}_c END AS {prefix}_x,
+           trim(regexp_replace({prefix}_x, '^[^\\w\\s]+|[^\\w\\s]+$', '', 'g')) AS {prefix}_y,
+           CASE WHEN {prefix}_y = '' THEN NULL ELSE {prefix}_y END AS {prefix}_cleaned"""
+
+
+_WORD_CAP = _INITCAP.format("lower({0})")
+
+_CLEAN_CATEGORY_SQL = """
+WITH dirty AS (
+    SELECT p_partkey,
+           CASE p_partkey % 8
+             WHEN 0 THEN 'Automotive > Tires'
+             WHEN 1 THEN '  autmootive - battreis  '
+             WHEN 2 THEN 'safety|high vis'
+             WHEN 3 THEN 'automotive parts / filters'
+             WHEN 4 THEN 'N/A'
+             WHEN 5 THEN lower(p_type)
+             WHEN 6 THEN '***ASFETY > body parts***'
+             ELSE 'a>b-c'
+           END AS raw
+    FROM part
+), base AS (
+    SELECT p_partkey, {raw_stages}
+    FROM dirty
+), sep AS (
+    SELECT p_partkey, raw_cleaned AS c,
+           CASE WHEN contains(raw_cleaned, ' > ') THEN ' > '
+                WHEN contains(raw_cleaned, '>') THEN '>'
+                WHEN contains(raw_cleaned, ' - ') THEN ' - '
+                WHEN contains(raw_cleaned, '-') THEN '-'
+                WHEN contains(raw_cleaned, ' | ') THEN ' | '
+                WHEN contains(raw_cleaned, '|') THEN '|'
+                WHEN contains(raw_cleaned, ' / ') THEN ' / '
+                WHEN contains(raw_cleaned, '/') THEN '/' END AS sp
+    FROM base
+), split_raw AS (
+    SELECT p_partkey, c, sp,
+           trim(CASE WHEN sp IS NOT NULL
+                     THEN substr(c, 1, strpos(c, sp) - 1) END) AS m_raw,
+           trim(CASE WHEN sp IS NOT NULL
+                     THEN substr(c, strpos(c, sp) + len(sp)) END) AS s_raw
+    FROM sep
+), okd AS (
+    SELECT *, sp IS NOT NULL AND m_raw <> '' AND s_raw IS NOT NULL
+              AND s_raw <> '' AS is_ok,
+           {m_stages},
+           {s_stages}
+    FROM split_raw
+), cleaned2 AS (
+    SELECT p_partkey, c, is_ok,
+           COALESCE(m_cleaned, 'Uncategorized') AS m_clean,
+           COALESCE(s_cleaned, 'General') AS s_clean,
+           contains(lower(c), 'parts') AS mentions_parts
+    FROM okd
+), fixed AS (
+    SELECT p_partkey, c, is_ok,
+           CASE WHEN contains(lower(m_clean), 'autmootive')
+                  OR contains(lower(m_clean), 'automotiev')
+                  OR contains(lower(m_clean), 'automotive')
+                THEN CASE WHEN mentions_parts THEN 'Automotive Parts'
+                          ELSE 'Automotive' END
+                WHEN contains(lower(m_clean), 'asafety')
+                  OR contains(lower(m_clean), 'asfety')
+                  OR contains(lower(m_clean), 'safety')
+                THEN CASE WHEN mentions_parts THEN 'Safety Parts'
+                          ELSE 'Safety' END
+                ELSE {m_cap} END AS m_fixed,
+           CASE WHEN contains(lower(s_clean), 'battreies')
+                  OR contains(lower(s_clean), 'battreis')
+                  OR contains(lower(s_clean), 'batteries') THEN 'Batteries'
+                WHEN contains(lower(s_clean), 'high vis') THEN 'High Visibility'
+                WHEN contains(lower(s_clean), 'tires') THEN 'Tires'
+                WHEN contains(lower(s_clean), 'filters') THEN 'Filters'
+                WHEN contains(lower(s_clean), 'body parts') THEN 'Body Parts'
+                ELSE {s_cap} END AS s_fixed
+    FROM cleaned2
+)
+SELECT p_partkey,
+       CASE WHEN c IS NULL THEN 'Uncategorized'
+            WHEN NOT is_ok THEN {c_cap}
+            ELSE m_fixed END AS main_category,
+       CASE WHEN c IS NULL OR NOT is_ok THEN 'General'
+            ELSE s_fixed END AS sub_category
+FROM fixed
+""".format(
+    raw_stages=_sql_clean_text_stages("raw", "raw"),
+    m_stages=_sql_clean_text_stages("m_raw", "m"),
+    s_stages=_sql_clean_text_stages("s_raw", "s"),
+    m_cap=_WORD_CAP.format("m_clean"),
+    s_cap=_WORD_CAP.format("s_clean"),
+    c_cap=_WORD_CAP.format("c"),
+)
+
+
+@register("clean_category_parity", oracle=_CLEAN_CATEGORY_SQL)
+def clean_category_parity(spark, sf_dir):
+    """with_parsed_category over manufactured dirty categories
+    (reference parse_category_field, silver_builder.py:206-278):
+    separator precedence ('>' family before '-' before '|' before
+    '/'), typo canonicalization on both levels, ' Parts' suffix
+    re-append when the raw string mentions parts, sentinel ->
+    ('Uncategorized', 'General'), no-separator -> word-capitalized
+    main + 'General'."""
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 8
+    raw = (
+        F.when(k == 0, F.lit("Automotive > Tires"))
+        .when(k == 1, F.lit("  autmootive - battreis  "))
+        .when(k == 2, F.lit("safety|high vis"))
+        .when(k == 3, F.lit("automotive parts / filters"))
+        .when(k == 4, F.lit("N/A"))
+        .when(k == 5, F.lower("p_type"))
+        .when(k == 6, F.lit("***ASFETY > body parts***"))
+        .otherwise(F.lit("a>b-c"))
+    )
+    df = p.select("p_partkey", raw.alias("raw_category"))
+    df = C.with_parsed_category(df, "raw_category")
+    return df.select("p_partkey", "main_category", "sub_category")
+
+
+# ---------------------------------------------------------------------------
 # q24 — rejection split (P7): validate-or-reject with first-failing
 # reason, both branches produced from one pass.
 # ---------------------------------------------------------------------------
