@@ -441,6 +441,14 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
     the all-pairs SQL oracle). At 100 TB the probe fan-out is a fixed
     x17 row multiplier on a narrow (id, key) projection — linear, not
     quadratic; raise ``bits`` to keep buckets sparse as n grows.
+
+    Cache lifetime: the persisted fingerprint frame lives until the
+    session ends (same idiom as minhash_near_duplicates' staged
+    shingles). Long-lived sessions making many independent calls
+    should either pass ``persist_intermediate=False`` or call
+    ``spark.catalog.clearCache()`` between batches; the cache is not
+    unpersisted here because the returned (lazy) DataFrame still
+    references it.
     """
     from itertools import combinations
 

@@ -486,12 +486,16 @@ def _staged_argmin(df: DataFrame, dv_name: str, cent_pairs,
 
 def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64) -> list[list[list[float]]]:
+             dim: int = 64) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks: the vector is split into ``m``
     contiguous subspaces and each gets an independent deterministic
     Lloyd codebook (lowest-id seeds, ``iters`` iterations,
     decimal-exact means rounded to 6 dp — the same oracle-replayable
-    recipe as lloyd_assignments). Returns m codebooks of k centroids.
+    recipe as lloyd_assignments). Returns m codebooks of LABELED
+    (cell_id, centroid) pairs — labels are preserved through Lloyd
+    updates (not re-enumerated) so that if a cell ever empties, code
+    ids stay aligned with the SQL oracle's label-preserving
+    mean-update CTE, exactly as lloyd_assignments does.
 
     Training cost per subspace = iters scans + a k×subdim aggregation;
     the driver holds only m*k*subdim floats. This is the IVF-PQ
@@ -521,24 +525,26 @@ def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 1,
                 new.setdefault(r.cell, {})[r.pos] = r.cx
             cents = [(cell_id, [d[p] for p in sorted(d)])
                      for cell_id, d in sorted(new.items())]
-        books.append([c for _, c in cents])
+        books.append(cents)
     return books
 
 
-def pq_assign_long(emb: DataFrame, codebooks: list[list[list[float]]],
+def pq_assign_long(emb: DataFrame, codebooks: list[list[tuple[int, list[float]]]],
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Long-form PQ code assignment: one row per (vector, subspace)
     with the nearest-centroid code and the quantization error d2.
-    Map-only (argmin over broadcast centroid literals) — no shuffle."""
+    Map-only (argmin over broadcast centroid literals) — no shuffle.
+    Codes are the codebooks' own cell labels (pq_train preserves them
+    through Lloyd updates), never re-enumerated positions."""
     m = len(codebooks)
-    subdim = len(codebooks[0][0])
+    subdim = len(codebooks[0][0][1])
     v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
     parts = []
     for s, book in enumerate(codebooks):
         sub = v.select(F.col(id_col),
                        F.slice("dv", s * subdim + 1, subdim).alias("dv"))
         parts.append(
-            _staged_argmin(sub, "dv", list(enumerate(book)))
+            _staged_argmin(sub, "dv", book)
             .select(F.col(id_col), F.lit(s).alias("subspace"),
                     F.col("cell").alias("code"), "d2"))
     out = parts[0]
@@ -589,7 +595,7 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the SQL oracle replays training AND scoring exactly.
     """
     books = pq_train(corpus, m, n_codes, iters, id_col, vec_col, dim)
-    subdim = len(books[0][0])
+    subdim = len(books[0][0][1])
     codes = pq_assign_long(corpus, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "subspace", "code")
 
@@ -600,7 +606,7 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     lut_rows = []
     for s, book in enumerate(books):
         qs = F.slice("qv", s * subdim + 1, subdim)
-        for code, cent in enumerate(book):
+        for code, cent in book:
             cvec = F.array(*[F.lit(float(x)) for x in cent])
             qdot = V.dot(qs, cvec)
             cn2 = float(sum(x * x for x in cent))

@@ -129,13 +129,29 @@ def pack_contexts(docs: DataFrame, context_tokens: int = 512,
     """Assign each document to a packed context bin per (split, lang):
     stream docs in id order, cut a new bin when the running token sum
     crosses the boundary (the sequence_packing recipe, keyed by split
-    as well so bins never cross split boundaries)."""
+    as well so bins never cross split boundaries).
+
+    Bin ids are DENSE (0..n_bins-1 per partition, no holes): a raw
+    floor(prefix_sum/context) bin skips indices whenever one document
+    is longer than ``context_tokens``, so the bin id is instead the
+    running count of boundary crossings. All three windows share one
+    (split, lang, id) sort — a single shuffle."""
     d = docs.withColumn("_tok", F.size(X.words(F.col(text_col))))
-    w = (W.partitionBy("split", "lang").orderBy(id_col)
-         .rowsBetween(W.unboundedPreceding, -1))
+    wf = W.partitionBy("split", "lang").orderBy(id_col)
+    w = wf.rowsBetween(W.unboundedPreceding, -1)
     cum_before = F.coalesce(F.sum("_tok").over(w), F.lit(0))
+    d = d.withColumn("_rawbin", F.floor(cum_before / context_tokens))
+    crossed = F.when(
+        F.lag("_rawbin").over(wf).isNull()
+        | (F.col("_rawbin") == F.lag("_rawbin").over(wf)),
+        F.lit(0),
+    ).otherwise(F.lit(1))
     return (
-        d.withColumn("bin", F.floor(cum_before / context_tokens).cast("long"))
+        d.withColumn(
+            "bin",
+            F.sum(crossed).over(wf.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"))
+        .drop("_rawbin")
         .withColumnRenamed("_tok", "n_tokens")
     )
 

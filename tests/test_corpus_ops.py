@@ -527,12 +527,16 @@ def test_pq_codes_are_argmin_and_rerank_is_exact(spark):
     codes = S.pq_assign_long(emb, books).collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype="float64")
             for r in emb.collect()}
-    subdim = len(books[0][0])
+    subdim = len(books[0][0][1])
     for r in codes:
         sub = vecs[r.vec_id][r.subspace * subdim:(r.subspace + 1) * subdim]
-        dists = [float(((sub - np.array(c)) ** 2).sum()) for c in books[r.subspace]]
-        assert r.code == int(np.argmin(dists))
-        assert abs(r.d2 - min(dists)) < 1e-9
+        # codebooks are labeled (cell_id, centroid) pairs; the assigned
+        # code must be the label of the argmin cell (ties -> lowest id)
+        dists = {cid: float(((sub - np.array(c)) ** 2).sum())
+                 for cid, c in books[r.subspace]}
+        best = min(dists, key=lambda cid: (dists[cid], cid))
+        assert r.code == best
+        assert abs(r.d2 - dists[best]) < 1e-9
 
     q = emb.filter(F.col("vec_id") % 50 == 0)
     rer = {(r.query_id, r.neighbor_id): r.cosine

@@ -230,6 +230,27 @@ def test_scheduler_drives_real_pipeline(spark, tmp_path):
     assert os.path.isdir(os.path.join(wh, "gold"))
 
 
+def test_pack_contexts_bins_stay_dense_with_long_docs(spark):
+    """A document longer than the context size must not leave holes in
+    the bin sequence: bins are a running count of boundary crossings,
+    not floor(prefix/context) — which would skip indices after a long
+    doc."""
+    from medallion_data_pipeline_spark.plans.corpus import pack_contexts
+
+    rows = [(1, "a " * 50, "en", "train"),      # 50 tok
+            (2, "b " * 2000, "en", "train"),    # 2000 tok — 3.9x context
+            (3, "c " * 50, "en", "train"),
+            (4, "d " * 50, "en", "train"),
+            (5, "e " * 600, "en", "train")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, split string")
+    out = pack_contexts(df, context_tokens=512).orderBy("doc_id").collect()
+    bins = [r.bin for r in out]
+    assert bins == sorted(bins)
+    assert set(bins) == set(range(max(bins) + 1)), bins  # dense, no holes
+    # doc 3 opens the bin right after doc 2's (not bin 4 as raw floor would)
+    assert bins[2] == bins[1] + 1
+
+
 def test_corpus_pipeline_layers_and_leakage(spark, tmp_path):
     """End-to-end corpus curation (plans/corpus.py): stage counts only
     shrink, the landed corpus partitions into the three splits, packing
