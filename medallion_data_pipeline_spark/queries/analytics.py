@@ -245,18 +245,42 @@ FROM tiled GROUP BY tile
 @register("quartile_bins", oracle=_QUARTILE_BINS_SQL)
 def quartile_bins(spark, sf_dir):
     """Quantile binning (reference pd.cut Low/Medium/High,
-    eda/supply_chain_eda.py:554-558) via ntile over a TOTAL order
-    (unique tiebreak) so bucket assignment is engine-independent.
+    eda/supply_chain_eda.py:554-558) with EXACT ntile(4) semantics over
+    a TOTAL order (unique tiebreak) — but distributed: no
+    single-partition sort over orders.
 
-    SCALE NOTE: a global-window ntile forces a single-partition sort —
-    fine here (chosen for bit-exact oracle parity), but at 100 TB use
-    the threshold-broadcast form instead: approxQuantile/percentile the
-    cut points in one agg, broadcast them, bin with when() chains
-    (fully parallel, one pass)."""
-    o = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    The block-offset pattern (same as event_id_islands): price-range
+    blocks give a partitioned row_number whose block-cumulative offset
+    reconstructs the global rank, and the ntile arithmetic (first
+    N mod 4 tiles get one extra row) is applied to (rank, N) directly.
+    The only unpartitioned window runs over the per-block counts frame
+    (one row per 512-price block), never over orders. Bit-identical to
+    the oracle's ntile because rank and N are exact."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    d = o.withColumn(
+        "blk", F.floor(F.col("o_totalprice") / F.lit(512.0)).cast("long"))
+    counts = d.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = W.orderBy("blk")
+    offsets = counts.select(
+        "blk",
+        F.coalesce(
+            F.sum("cnt").over(wb.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n_total"),
+    )
+    wl = W.partitionBy("blk").orderBy("o_totalprice", "o_orderkey")
+    rn = F.row_number().over(wl) + F.col("offset")
+    # ntile(4): q = N div 4, r = N mod 4; tiles 1..r hold q+1 rows.
+    q = F.floor(F.col("n_total") / 4)
+    r = F.col("n_total") % 4
+    thresh = r * (q + 1)
+    tile = F.when(rn <= thresh, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - thresh) / q))
     return (
-        o.withColumn("tile", F.ntile(4).over(w))
+        d.join(F.broadcast(offsets), "blk")
+        .withColumn("tile", tile.cast("int"))
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

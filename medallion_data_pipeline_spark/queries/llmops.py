@@ -2333,3 +2333,156 @@ def knn_cosine_pq_rerank(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.knn_pq_rerank(emb, queries, k=5, shortlist=_PQ_SHORTLIST,
                            m=_PQ_M, n_codes=_PQ_K, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# q — kNN label-vote classification: the standard embedding-space
+# eval ("would a 5-NN classifier recover the label?") used to sanity
+# check embedding quality before training on retrieval-filtered data.
+# Majority vote over the exact top-5 cosine neighbors, deterministic
+# tie-break (higher count, then smaller label).
+# ---------------------------------------------------------------------------
+
+_KNN_LABEL_VOTE_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, label AS true_label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+    SELECT vec_id AS neighbor_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+), scored AS (
+    SELECT query_id, true_label, neighbor_id, label,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos_raw
+    FROM q, c
+    WHERE query_id <> neighbor_id
+), top5 AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+), votes AS (
+    SELECT query_id, true_label, label, COUNT(*) AS n_votes
+    FROM top5 GROUP BY query_id, true_label, label
+), winner AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY n_votes DESC, label) AS vr
+        FROM votes)
+    WHERE vr = 1
+)
+SELECT query_id, true_label, label AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(label = true_label AS BOOLEAN) AS correct
+FROM winner
+"""
+
+
+@register("knn_label_vote", oracle=_KNN_LABEL_VOTE_SQL)
+def knn_label_vote(spark, sf_dir):
+    """5-NN majority-vote label prediction per query vector (exact
+    cosine neighbors via the broadcast-query brute-force kernel), with
+    deterministic tie-break (most votes, then smallest label). The
+    per-query vote aggregation is grouped on (query, label) — grain
+    bounded by k x |labels|, never the corpus."""
+    from pyspark.sql.window import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    top5 = S.knn_bruteforce(emb, queries, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    tagged = (
+        top5
+        .join(F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
+                          .withColumnRenamed("label", "true_label")), "query_id")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    votes = tagged.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"))
+    wv = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q — domain mixture weights with an epoch cap: the static data-mixing
+# recipe (weight ∝ share^0.5 as in multilingual rebalancing, then cap
+# repetition at 5 epochs — the "don't repeat small domains forever"
+# rule) resolved in ONE pass over per-source aggregates. Differs from
+# temperature_resample: keyed on source, and reports the post-cap
+# EFFECTIVE token budget each domain contributes to a 2x-corpus
+# training run.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_MIX_SQL = """
+WITH s AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({words})) AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+), shares AS (
+    SELECT *, CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS share,
+           CAST(ROUND(sqrt(CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()), 6)
+                AS DECIMAL(12,6)) AS sw
+    FROM s
+), weighted AS (
+    SELECT *, CAST(sw AS DOUBLE) / CAST(SUM(sw) OVER () AS DOUBLE) AS weight,
+           2.0 * SUM(tokens) OVER () AS target_tokens
+    FROM shares
+), capped AS (
+    SELECT *, LEAST(5.0, target_tokens * weight / tokens) AS epochs
+    FROM weighted
+)
+SELECT source, n_docs, tokens,
+       ROUND(share, 6) AS token_share,
+       ROUND(weight, 6) AS sample_weight,
+       ROUND(epochs, 6) AS epochs,
+       CAST(ROUND(epochs * tokens, 0) AS BIGINT) AS effective_tokens
+FROM capped
+""".format(words=_SQL_WORDS.format("text"))
+
+
+@register("domain_mixture_weights", oracle=_DOMAIN_MIX_SQL)
+def domain_mixture_weights(spark, sf_dir):
+    """Per-source mixing weights for a 2x-corpus token budget:
+    sqrt-temperature weights (IEEE sqrt — bit-exact on every engine),
+    per-domain epochs capped at 5, and the post-cap effective token
+    contribution. Heavy work is one scan + per-source agg; every
+    window below it runs on the |sources| frame."""
+    from pyspark.sql.window import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(X.words(F.col("text"))).alias("n_words"))
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("tokens"))
+    w = W.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    s = (s.withColumn("share", share)
+         .withColumn("sw", F.round(F.sqrt(F.col("share")), 6).cast(_D6)))
+    weight = F.col("sw").cast("double") / F.sum("sw").over(w).cast("double")
+    s = (s.withColumn("weight", weight)
+         .withColumn("target_tokens",
+                     F.lit(2.0) * F.sum("tokens").over(w).cast("double")))
+    epochs = F.least(
+        F.lit(5.0),
+        F.col("target_tokens") * F.col("weight") / F.col("tokens"))
+    return s.select(
+        "source", "n_docs", "tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(weight, 6).alias("sample_weight"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(epochs * F.col("tokens"), 0).cast("long")
+        .alias("effective_tokens"),
+    )
