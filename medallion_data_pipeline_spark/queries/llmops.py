@@ -84,24 +84,30 @@ def dedup_exact(spark, sf_dir):
 
 def _minhash_oracle(k: int = 3, num_hashes: int = 16, bands: int = 4,
                     min_tokens: int = 3, threshold: float = 0.4) -> str:
+    """ANSI-SQL replay of the minhash near-dup pipeline (shared by
+    every cluster-backed oracle). The CTEs are MATERIALIZED: DuckDB
+    otherwise inlines `banded` into both sides of the candidate
+    self-join and `sh` into both the signature and Jaccard paths,
+    recomputing the shingling/minhash work up to 4x (measured 20s ->
+    5s at sf0.1, identical rows)."""
     sig = _sql_minhash_sig("xs", num_hashes)
     band_keys = _sql_band_keys(sig, bands)
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
     SELECT doc_id, {_sql_shingles("text", k)} AS shingles
     FROM documents
     WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
-), ints AS (
+), ints AS MATERIALIZED (
     SELECT doc_id, shingles, {_SQL_SHINGLE_INTS.format("shingles")} AS xs
     FROM sh
-), banded AS (
+), banded AS MATERIALIZED (
     SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key
     FROM ints
 ), cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-), dsets AS (
+), dsets AS MATERIALIZED (
     SELECT doc_id, list_distinct(shingles) AS ds FROM sh
 ), scored AS (
     SELECT id_a, id_b,
@@ -202,14 +208,14 @@ def _incremental_dedup_oracle(k: int = 3, num_hashes: int = 16,
     sig = _sql_minhash_sig("xs", num_hashes)
     band_keys = _sql_band_keys(sig, bands)
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
     SELECT doc_id, {_sql_shingles("text", k)} AS shingles
     FROM documents
     WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
-), ints AS (
+), ints AS MATERIALIZED (
     SELECT doc_id, shingles, {_SQL_SHINGLE_INTS.format("shingles")} AS xs
     FROM sh
-), banded AS (
+), banded AS MATERIALIZED (
     SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key
     FROM ints
 ), cand AS (
@@ -218,7 +224,7 @@ WITH sh AS (
     WHERE b.doc_id % 10 = 0
       AND a.doc_id <> b.doc_id
       AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
-), dsets AS (
+), dsets AS MATERIALIZED (
     SELECT doc_id, list_distinct(shingles) AS ds FROM sh
 ), scored AS (
     SELECT id_a, id_b,
@@ -272,11 +278,11 @@ def _ngram_jaccard_oracle(k: int = 3, threshold: float = 0.4,
     pair set from its prefix-filter candidates (100% recall is the
     whole point of the exact tier vs MinHash's probabilistic bands)."""
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
     SELECT doc_id, list_distinct({_sql_shingles("text", k)}) AS ds
     FROM documents
     WHERE len({_SQL_WORDS.format("text")}) >= {min_tokens}
-), ex AS (
+), ex AS MATERIALIZED (
     SELECT doc_id, len(ds) AS n, unnest(ds) AS g FROM sh
     WHERE len(ds) >= 1
 ), inter AS (
@@ -626,22 +632,31 @@ def _emb_lsh_oracle(threshold: float = 0.42, n_planes: int = _EMB_LSH_PLANES,
         for t in range(n_tables)
     )
     return f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
     FROM embeddings
-), keyed AS (
+), keyed AS MATERIALIZED (
 {tables}
-), scored AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_sum(list_transform(range(1, {dim + 1}), i -> a.dv[i] * b.dv[i]))
-             / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
-                * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) AS cos_raw
+), pairs AS MATERIALIZED (
+    -- dedupe colliding pairs BEFORE scoring: the cosine is identical
+    -- for every table a pair collides in (the Spark side's MAX is over
+    -- equal values), so score each pair once instead of up to
+    -- n_tables times. MATERIALIZED keyed also stops DuckDB inlining
+    -- the 8-table x 4-plane projection into both self-join sides.
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
     FROM keyed a JOIN keyed b
       ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+    SELECT id_a, id_b,
+           list_sum(list_transform(range(1, {dim + 1}), i -> va.dv[i] * vb.dv[i]))
+             / (sqrt(list_sum(list_transform(va.dv, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb.dv, x -> x * x)))) AS cos_raw
+    FROM pairs
+    JOIN v va ON pairs.id_a = va.vec_id
+    JOIN v vb ON pairs.id_b = vb.vec_id
 )
-SELECT id_a, id_b, ROUND(MAX(cos_raw), 6) AS cosine
+SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
 FROM scored WHERE cos_raw >= {threshold}
-GROUP BY id_a, id_b
 """
 
 
