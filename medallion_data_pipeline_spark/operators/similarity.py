@@ -240,16 +240,23 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     more sharply). At 100 TB, grow n_planes with log2(n) to keep buckets
     bounded, and raise n_tables to buy recall back.
 
-    Shuffle-width knob: with ``carry_vectors=True`` (default, right for
-    modest dims) the exploded rows carry the vector (dim doubles) x
-    n_tables through the bucket join and pairs dedupe AFTER scoring
-    (groupBy+max, map-side combine). With ``carry_vectors=False`` —
-    the large-dim shape (1024-dim embeddings would otherwise push
-    ~8 KB x n_tables per row through the exchange) — only (id, table,
-    bucket) triples are exploded and joined; candidate PAIRS are
-    deduped pre-score (dropDuplicates on two longs), then the vectors
-    join back once per side and each surviving pair is scored exactly
-    once. Same result by construction (both paths are tested equal).
+    Shuffle-width knob: with ``carry_vectors=True`` the exploded rows
+    carry the vector (dim doubles) x n_tables through the bucket join
+    and pairs dedupe AFTER scoring (groupBy+max, map-side combine).
+    With ``carry_vectors=False`` only (id, table, bucket) triples are
+    exploded and joined; candidate PAIRS are deduped pre-score
+    (dropDuplicates on two longs), then the vectors join back once per
+    side and each surviving pair is scored exactly once. Same result
+    by construction (both paths are tested equal).
+
+    Which to pick: ``False`` wins whenever pairs collide in more than
+    ~1 table on average (the cosine fold is then paid per collision
+    instead of per pair — measured 12.2s vs 4.9s warm at sf0.1 with
+    the 4x8 default, avg multiplicity ~2) AND always at large dim
+    (1024-dim pushes ~8 KB x n_tables per row through the exchange).
+    ``True`` only pays off when buckets are so sparse that collisions
+    are near-unique (high n_planes) and dim is small, where skipping
+    the two vector re-joins saves more than duplicate scoring costs.
     """
     dv = _as_double(F.col(vec_col))
     keys = F.array(*[
