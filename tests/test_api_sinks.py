@@ -103,3 +103,74 @@ def test_custom_python_datasource_generates_deterministic_events(spark):
          .option("n_rows", 500).option("n_partitions", 4).load()
          .agg(F.sum("value"), F.sum("user_id")).collect()[0])
     assert tuple(a) == tuple(b)
+
+
+# --- Google Sheets source (sources/sheets.py) ------------------------------
+# The sandbox has no external network, so the v4 REST protocol path is
+# exercised against a local HTTP server speaking the same JSON shape
+# the reference consumed via googleapiclient (values grid, headers in
+# row 0, ragged short rows).
+
+def _sheets_server(grids):
+    """Start a localhost HTTP server mapping range name -> values grid."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            # /v4/spreadsheets/{id}/values/{range}
+            path = urllib.parse.unquote(self.path.split("?")[0])
+            rng = path.rsplit("/values/", 1)[-1]
+            body = _json.dumps(
+                {"values": grids[rng]} if rng in grids else {}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_sheets_source_fetch_pad_and_land(spark, tmp_path):
+    """read_sheet/ingest_sheets against a local v4-shaped server:
+    headers from row 0, short rows padded with '' (reference
+    data_loader.py:74-77), long rows truncated to header width, empty
+    ranges skipped, and the fetched tables land as bronze parquet."""
+    from medallion_data_pipeline_spark.sources import sheets
+
+    grids = {
+        "Suppliers!A:D": [
+            ["supplier_id", "name", "email", "phone"],
+            ["1", "Acme", "a@x.io", "555-123-4567"],
+            ["2", "Bolt"],                       # short row -> padded
+            ["3", "Cog", "c@x.io", "555", "EXTRA"],  # long row -> truncated
+        ],
+        "Products!A:G": [],                      # empty range -> skipped
+    }
+    srv, base = _sheets_server(grids)
+    try:
+        df = sheets.read_sheet(spark, "sheet-1", "Suppliers!A:D",
+                               base_url=base)
+        rows = {r.supplier_id: r for r in df.collect()}
+        assert df.columns == ["supplier_id", "name", "email", "phone"]
+        assert rows["2"].email == "" and rows["2"].phone == ""
+        assert rows["3"].phone == "555" and len(rows["3"]) == 4
+
+        wh = str(tmp_path / "wh")
+        counts = sheets.ingest_sheets(
+            spark, "sheet-1", wh,
+            ranges={"suppliers": "Suppliers!A:D", "products": "Products!A:G"},
+            base_url=base)
+        assert counts == {"suppliers": 3}
+        landed = spark.read.parquet(os.path.join(wh, "bronze", "suppliers"))
+        assert landed.count() == 3
+    finally:
+        srv.shutdown()
