@@ -1,0 +1,83 @@
+"""Property-based tests for the similarity kernel and the tokenizer.
+
+- ``knn_bruteforce`` against a Python mirror on random INTEGER-valued
+  embeddings: integer components keep every dot product and squared
+  norm exact in IEEE doubles regardless of summation order, so the
+  engine's sequential fold and the mirror's math produce bit-identical
+  cosines and the (rank, neighbor) assertion is deterministic — no
+  tolerance fudging that could mask a real scoring bug.
+- ``token_count_bpe_ish`` (JVM regex) against Python ``re.ASCII``
+  counting with the shared pattern — pins the cross-engine ASCII-\\w
+  contract stated in functions/text.py.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.functions.text import BPE_ISH_PATTERN
+from medallion_data_pipeline_spark.operators import similarity as S
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+_DIM = 6
+
+vectors = st.lists(
+    st.lists(st.integers(min_value=-9, max_value=9),
+             min_size=_DIM, max_size=_DIM),
+    min_size=3, max_size=10,
+)
+
+
+@given(vecs=vectors)
+@settings(**_SETTINGS)
+def test_knn_bruteforce_matches_python_mirror(spark, vecs):
+    # drop zero vectors: cosine is undefined there and the operator
+    # NULL-guards them out of scoring
+    vecs = [v for v in vecs if any(v)] or [[1] * _DIM]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    k = 2
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in S.knn_bruteforce(df, df, k=k).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+
+    norms = [math.sqrt(float(sum(x * x for x in v))) for v in vecs]
+    for q, qv in enumerate(vecs):
+        scored = []
+        for n, nv in enumerate(vecs):
+            if n == q:
+                continue
+            cos = float(sum(a * b for a, b in zip(qv, nv))) / (norms[q] * norms[n])
+            scored.append((-cos, n))
+        scored.sort()
+        expected = [(rank + 1, n) for rank, (_, n) in enumerate(scored[:k])]
+        assert sorted(got.get(q, [])) == expected, (q, qv)
+
+
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(codec="ascii"), max_size=30),
+    min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_bpe_ish_token_count_matches_python_ascii(spark, texts):
+    from medallion_data_pipeline_spark.functions.text import token_count_bpe_ish
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.n for r in df.select(token_count_bpe_ish(F.col("text")).alias("n")).collect()]
+    pat = re.compile(BPE_ISH_PATTERN, re.ASCII)
+    ascii_ws = " \t\n\r\f\v"  # Java/RE2 \s; NOT Python str.split()'s set,
+    #                           which also eats \x1c-\x1f (Unicode rules)
+    for t, n in zip(texts, got):
+        norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip(ascii_ws)
+        assert n == len(pat.findall(norm)), repr(t)
