@@ -74,6 +74,11 @@ def main() -> int:
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
+        # each query is a stand-alone unit: drop caches persisted by the
+        # previous query (minhash/simhash staged frames etc.) so a full
+        # sequential run measures each query cold rather than degrading
+        # under 115 queries' accumulated cached partitions
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
