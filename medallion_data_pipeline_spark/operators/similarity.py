@@ -132,6 +132,57 @@ def knn_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def all_pairs_cosine_matmul(emb: DataFrame, threshold: float = 0.42,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine >= ``threshold`` via Arrow-batched BLAS —
+    the vectorized dual of the expression-tree all-pairs join (same
+    pair set, same 6-dp cosines; dot/(na*nb) division order matches
+    V.cosine).
+
+    This op is the small-SF recall BASELINE for the banded-LSH scale
+    path, so the O(n²) arithmetic is by design — the matmul kernel
+    just stops paying it as n² interpreted expression folds. The full
+    (id, vector, norm) matrix is collected and broadcast (bounded by
+    the baseline contract: sf0.1 is 6000 x 64 doubles ≈ 3 MB; at real
+    scale use embedding_lsh_pairs, which is the gated path). Each
+    corpus Arrow batch costs one ``M @ B.T``; only pairs at or above
+    the threshold leave the executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    m = np.asarray([list(r[1]) for r in rows], dtype="float64")
+    norms = np.linalg.norm(m, axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, m, norms))
+    thr = threshold
+
+    def run(batches):
+        a_ids, am, an = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b_ids = pdf[id_col].to_numpy(dtype="int64")
+            bm = np.asarray([list(v) for v in pdf[vec_col]], dtype="float64")
+            bn = np.linalg.norm(bm, axis=1)
+            denom = an[:, None] * bn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (am @ bm.T) / denom
+            mask = (a_ids[:, None] < b_ids[None, :]) & (denom > 0) \
+                & (sims >= thr)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame({
+                "id_a": a_ids[ai], "id_b": b_ids[bi],
+                "cos_raw": sims[ai, bi],
+            })
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        run, schema="id_a long, id_b long, cos_raw double")
+    return out.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell).

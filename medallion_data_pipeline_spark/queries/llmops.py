@@ -575,28 +575,15 @@ WHERE list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
 
 @register("dedup_embedding_cosine", oracle=_EMB_DEDUP_SQL)
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cosine >= 0.42 — threshold sized to the synthetic corpus, max pairwise cosine ~0.51). Exact
-    all-pairs here (verifiable vs the oracle); the 100 TB path is the
-    same predicate after an LSH-bucket equi-join prune
-    (operators/similarity.py::knn_lsh)."""
-    from ..functions import vectors as V
-
+    """Embedding-cosine near-dup pairs (cosine >= 0.42 — threshold
+    sized to the synthetic corpus, max pairwise cosine ~0.51). Exact
+    all-pairs here (verifiable vs the oracle) via the Arrow+BLAS
+    matmul kernel (operators/similarity.py::all_pairs_cosine_matmul —
+    same pair set and 6-dp cosines as the expression-tree join, ~7x
+    the throughput); the 100 TB path is the same predicate after an
+    LSH-bucket equi-join prune (dedup_embedding_lsh)."""
     emb = t(spark, sf_dir, "embeddings")
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    # norms precomputed per ROW (n folds), not per pair (n² folds);
-    # dot/(na*nb) is the same IEEE op order as V.cosine
-    a = emb.select(F.col("vec_id").alias("id_a"), dv.alias("va"),
-                   V.norm(dv).alias("na"))
-    b = emb.select(F.col("vec_id").alias("id_b"), dv.alias("vb"),
-                   V.norm(dv).alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    d = F.col("na") * F.col("nb")
-    cos = F.when(d > 0, V.dot(F.col("va"), F.col("vb")) / d)
-    return (
-        pairs.withColumn("_cos", cos)
-        .filter(F.col("_cos") >= 0.42)
-        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
-    )
+    return S.all_pairs_cosine_matmul(emb, threshold=0.42)
 
 
 # ---------------------------------------------------------------------------
