@@ -548,3 +548,103 @@ def exact_segment_dedup(docs: DataFrame, text_col: str = "text",
             .alias("dedup_digest"),
         )
     )
+
+
+def duplicate_span_intervals(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", w: int = 8) -> DataFrame:
+    """Arbitrary-alignment duplicated-substring detection — the
+    stride-1 upgrade of :func:`exact_segment_dedup` (which cuts
+    DISJOINT segments and so misses a duplicated passage that straddles
+    a segment boundary). Every ``w``-token window is hashed; a window
+    whose hash occurs anywhere earlier (first occurrence = global
+    MIN(struct(doc, pos)), the same deterministic keep-first-crawl-hit
+    rule) marks its token interval [pos, pos+w-1] as duplicated; a
+    document's overlapping duplicate intervals are then MERGED
+    (gaps-and-islands on interval starts) into maximal spans — the
+    fixed-minimum-width approximation of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any duplicated run of >= w aligned tokens is
+    caught regardless of offset.
+
+    Returns one row per document (>= w tokens) with its token count,
+    merged duplicate-span count, duplicated/kept token counts, and an
+    md5 digest of the merged "start-end" span list — certifying the
+    exact intervals, not just totals.
+
+    Scale shape: one row per token position (explode, ~|tokens| rows);
+    first-occurrence is a groupBy MIN with map-side combine (a
+    boilerplate mega-window collapses to per-task partial minima, same
+    rationale as exact_segment_dedup); interval merging windows are
+    partitioned BY DOCUMENT (bounded by doc length), never global.
+    Work is linear in corpus tokens.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions import text as X
+
+    staged = (
+        docs.withColumn("_toks", X.words(F.col(text_col)))
+        .filter(F.size("_toks") >= w)
+        .select(F.col(id_col), F.col("_toks"), F.size("_toks").alias("n_tokens"))
+    )
+    win = (
+        staged.select(
+            F.col(id_col), "n_tokens",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (w - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, w)))
+                        .alias("h")),
+                )
+            ).alias("e"),
+        )
+        .select(F.col(id_col), "n_tokens", F.col("e.pos").alias("pos"),
+                F.col("e.h").alias("h"))
+    )
+    first = win.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"),
+                       F.col("pos").alias("kpos"))).alias("keeper"))
+    dups = (
+        win.join(first, "h")
+        .filter(~((F.col("keeper.kid") == F.col(id_col))
+                  & (F.col("keeper.kpos") == F.col("pos"))))
+        .select(F.col(id_col), "n_tokens",
+                F.col("pos").alias("start"),
+                (F.col("pos") + (w - 1)).alias("end"))
+    )
+    wd = W.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(wd.rowsBetween(W.unboundedPreceding, -1))
+    flagged = dups.withColumn(
+        "new_span",
+        F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end), 1)
+        .otherwise(0))
+    spans = (
+        flagged.withColumn(
+            "span_id",
+            F.sum("new_span").over(wd.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy(id_col, "n_tokens", "span_id")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+    )
+    span_structs = F.sort_array(F.collect_list(F.struct("s", "e")))
+    per_doc = spans.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.md5(F.concat_ws(",", F.transform(
+            span_structs,
+            lambda x: F.concat_ws("-", x.s.cast("string"), x.e.cast("string")))))
+        .alias("span_digest"),
+    )
+    return (
+        staged.select(id_col, "n_tokens")
+        .join(per_doc.drop("n_tokens"), id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+            .alias("kept_tokens"),
+            F.coalesce("span_digest", F.md5(F.lit(""))).alias("span_digest"),
+        )
+    )

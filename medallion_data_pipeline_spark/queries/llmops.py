@@ -2494,3 +2494,80 @@ def domain_mixture_weights(spark, sf_dir):
         F.round(epochs * F.col("tokens"), 0).cast("long")
         .alias("effective_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — arbitrary-alignment duplicated-substring spans: the stride-1
+# upgrade of dedup_exact_segments (disjoint segments miss passages
+# that straddle a boundary). Fixed-minimum-width approximation of
+# suffix-array substring dedup (Lee et al. 2022): hash every w-token
+# window, keep first global occurrence, merge each doc's overlapping
+# duplicate intervals into maximal spans. Digest certifies the exact
+# merged intervals.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+# packed (doc_id, pos) orders identically to Spark's MIN(struct): pos is
+# bounded far below the 10^6 multiplier on this corpus (longest doc
+# ~10^3 tokens); widen the multiplier with document length at scale.
+_SPAN_INTERVALS_SQL = f"""
+WITH s AS MATERIALIZED (
+    SELECT doc_id, toks, len(toks) AS n_tokens
+    FROM (SELECT doc_id, {_SQL_WORDS.format("text")} AS toks FROM documents)
+    WHERE len(toks) >= {_SPAN_W}
+), win AS MATERIALIZED (
+    SELECT doc_id, n_tokens, pos,
+           md5(array_to_string(toks[pos:pos + {_SPAN_W - 1}], ' ')) AS h
+    FROM (SELECT doc_id, toks, n_tokens,
+                 unnest(range(1, n_tokens - {_SPAN_W - 2})) AS pos
+          FROM s)
+), first_occ AS MATERIALIZED (
+    SELECT h, MIN(doc_id * 1000000 + pos) AS kkey FROM win GROUP BY h
+), dups AS (
+    SELECT w.doc_id, w.pos AS st, w.pos + {_SPAN_W - 1} AS en
+    FROM win w JOIN first_occ f ON w.h = f.h
+    WHERE w.doc_id * 1000000 + w.pos <> f.kkey
+), flagged AS (
+    SELECT doc_id, st, en,
+           CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_span
+    FROM dups
+), spans0 AS (
+    SELECT doc_id, st, en,
+           SUM(new_span) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+    FROM flagged
+), spans AS (
+    SELECT doc_id, span_id, MIN(st) AS st, MAX(en) AS en
+    FROM spans0 GROUP BY doc_id, span_id
+), per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+           md5(string_agg(CAST(st AS VARCHAR) || '-' || CAST(en AS VARCHAR),
+                          ',' ORDER BY st)) AS span_digest
+    FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS INT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CAST(s.n_tokens AS BIGINT) - COALESCE(p.dup_tokens, 0) AS kept_tokens,
+       COALESCE(p.span_digest, md5('')) AS span_digest
+FROM s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+"""
+
+
+@register("dedup_span_intervals", oracle=_SPAN_INTERVALS_SQL)
+def dedup_span_intervals(spark, sf_dir):
+    """Merged duplicate-span intervals per document at w=8
+    (operators/dedup.py::duplicate_span_intervals): catches duplicated
+    passages at ANY alignment, which the disjoint-segment pass cannot;
+    the span digest pins the exact merged intervals against the
+    oracle's window-function replay."""
+    return D.duplicate_span_intervals(
+        t(spark, sf_dir, "documents"), w=_SPAN_W)

@@ -108,3 +108,25 @@ def test_exact_duplicates_match_text_grouping(spark, texts):
         expected[fp] = (len(ids), min(ids))
     got = {r.fingerprint: (r.n_docs, r.keep_id) for r in rows}
     assert got == expected
+
+
+def test_span_intervals_catch_straddling_duplicates(spark):
+    """The reason duplicate_span_intervals exists: a duplicated passage
+    that straddles a disjoint-segment boundary is invisible to
+    exact_segment_dedup (every 10-token segment hash differs) but is
+    caught at stride 1 and merged into one maximal span."""
+    a_toks = [f"a{i}" for i in range(20)]
+    copied = a_toks[3:15]                      # 12 consecutive tokens of A
+    b_toks = [f"b{i}" for i in range(7)] + copied + [f"c{i}" for i in range(7)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+        "doc_id long, text string")
+
+    seg = {r.doc_id: r for r in D.exact_segment_dedup(df, seg_tokens=10).collect()}
+    assert seg[2].n_dup_segments == 0          # misaligned -> invisible
+
+    spans = {r.doc_id: r for r in D.duplicate_span_intervals(df, w=8).collect()}
+    assert spans[1].n_dup_spans == 0           # A is the first occurrence
+    assert spans[2].n_dup_spans == 1           # one merged maximal span
+    assert spans[2].dup_tokens == 12           # the full copied run
+    assert spans[2].kept_tokens == len(b_toks) - 12
