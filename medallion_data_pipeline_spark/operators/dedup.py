@@ -635,16 +635,27 @@ def duplicate_span_intervals(docs: DataFrame, text_col: str = "text",
             span_structs,
             lambda x: F.concat_ws("-", x.s.cast("string"), x.e.cast("string")))))
         .alias("span_digest"),
+        span_structs.alias("_spans"),
     )
-    return (
-        staged.select(id_col, "n_tokens")
-        .join(per_doc.drop("n_tokens"), id_col, "left")
-        .select(
-            id_col, "n_tokens",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
-            (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
-            .alias("kept_tokens"),
-            F.coalesce("span_digest", F.md5(F.lit(""))).alias("span_digest"),
-        )
+    # rewrite certification: reassemble the KEPT tokens (positions not
+    # covered by any merged span — the spans array is bounded by doc
+    # length, so the per-token exists() stays row-local) and digest the
+    # result, so the rewrite itself is verified, not just the counts.
+    joined = staged.join(per_doc.drop("n_tokens"), id_col, "left")
+    spans_arr = F.coalesce("_spans", F.array().cast("array<struct<s:int,e:int>>"))
+    covered = lambda p: F.exists(  # noqa: E731
+        spans_arr, lambda sp: (p >= sp.s) & (p <= sp.e))
+    kept_toks = F.filter(
+        F.transform(F.sequence(F.lit(1), F.col("n_tokens").cast("long")),
+                    lambda p: F.when(~covered(p),
+                                     F.element_at("_toks", p.cast("int")))),
+        lambda x: x.isNotNull())
+    return joined.select(
+        id_col, "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+        .alias("kept_tokens"),
+        F.coalesce("span_digest", F.md5(F.lit(""))).alias("span_digest"),
+        F.md5(F.concat_ws(" ", kept_toks)).alias("kept_digest"),
     )

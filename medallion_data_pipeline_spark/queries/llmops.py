@@ -2549,7 +2549,8 @@ WITH s AS MATERIALIZED (
            CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
            CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
            md5(string_agg(CAST(st AS VARCHAR) || '-' || CAST(en AS VARCHAR),
-                          ',' ORDER BY st)) AS span_digest
+                          ',' ORDER BY st)) AS span_digest,
+           list({{'s': st, 'e': en}} ORDER BY st) AS spans_arr
     FROM spans GROUP BY doc_id
 )
 SELECT s.doc_id,
@@ -2557,7 +2558,18 @@ SELECT s.doc_id,
        COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(p.dup_tokens, 0) AS dup_tokens,
        CAST(s.n_tokens AS BIGINT) - COALESCE(p.dup_tokens, 0) AS kept_tokens,
-       COALESCE(p.span_digest, md5('')) AS span_digest
+       COALESCE(p.span_digest, md5('')) AS span_digest,
+       CASE WHEN p.doc_id IS NULL THEN md5(array_to_string(s.toks, ' '))
+            -- DuckDB array_to_string([]) is NULL where Spark
+            -- concat_ws is '' — coalesce for the fully-duplicated case
+            ELSE md5(COALESCE(array_to_string(
+              list_filter(
+                list_transform(range(1, s.n_tokens + 1),
+                  p2 -> CASE WHEN len(list_filter(p.spans_arr,
+                               sp -> p2 >= sp.s AND p2 <= sp.e)) = 0
+                        THEN list_extract(s.toks, p2) END),
+                x -> x IS NOT NULL), ' '), ''))
+       END AS kept_digest
 FROM s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
 """
 

@@ -130,3 +130,8 @@ def test_span_intervals_catch_straddling_duplicates(spark):
     assert spans[2].n_dup_spans == 1           # one merged maximal span
     assert spans[2].dup_tokens == 12           # the full copied run
     assert spans[2].kept_tokens == len(b_toks) - 12
+    # the rewrite itself is certified: kept text = tokens outside the span
+    import hashlib
+    expected_kept = " ".join(b_toks[:7] + b_toks[19:])
+    assert spans[2].kept_digest == hashlib.md5(expected_kept.encode()).hexdigest()
+    assert spans[1].kept_digest == hashlib.md5(" ".join(a_toks).encode()).hexdigest()
