@@ -1,6 +1,6 @@
 """Document deduplication operators for training-data pipelines.
 
-Four tiers, each a pure DataFrame composition (no Python in the hot
+Five tiers, each a pure DataFrame composition (no Python in the hot
 path), designed around the shuffle pattern that survives 100 TB:
 
 - exact:      md5-fingerprint groupBy (one shuffle on the 32-hex key)
@@ -12,6 +12,10 @@ path), designed around the shuffle pattern that survives 100 TB:
 - simhash:    single fingerprint groupBy; Hamming-adjacent buckets
               optional via bit-flip expansion
 - ngram Jaccard: exact verification on candidate pairs only
+- span-level: disjoint-segment rewrite (exact_segment_dedup) and
+              stride-1 arbitrary-alignment duplicate-span intervals
+              (duplicate_span_intervals), both first-occurrence-wins
+              and digest-certified
 
 All hashing is md5-based (portable to any SQL oracle, reproducible
 across engines) — deliberately NOT xxhash64, which is faster but
