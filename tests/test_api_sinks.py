@@ -174,3 +174,38 @@ def test_sheets_source_fetch_pad_and_land(spark, tmp_path):
         assert landed.count() == 3
     finally:
         srv.shutdown()
+
+
+def test_sheets_to_silver_end_to_end(spark, tmp_path):
+    """The live entry point feeds the whole medallion pipeline: fixture
+    bronze tables are served as Sheets v4 value grids (all cells
+    stringified, None -> '' like a real sheet), ingested via
+    ingest_sheets, then run_silver cleans all six tables from the
+    all-string bronze — proving the silver cleaners need no typed
+    input, exactly like the reference's Sheets->pandas path."""
+    from medallion_data_pipeline_spark.plans import fixtures, silver
+    from medallion_data_pipeline_spark.sources import sheets
+
+    dfs = fixtures.generate_bronze(spark, n_orders=300)
+    grids = {}
+    for name, df in dfs.items():
+        rng = sheets.SHEET_RANGES[name]
+        rows = [[("" if c is None else str(c)) for c in r] for r in df.collect()]
+        grids[rng] = [df.columns] + rows
+    srv, base = _sheets_server(grids)
+    try:
+        wh = str(tmp_path / "wh")
+        counts = sheets.ingest_sheets(spark, "sheet-1", wh, base_url=base)
+        assert set(counts) == set(sheets.SHEET_RANGES)
+        assert counts["supply_orders"] == 300
+
+        results = silver.run_silver(spark, wh)
+        by_name = {r.name: r for r in results}
+        assert set(by_name) == set(sheets.SHEET_RANGES)
+        for name, r in by_name.items():
+            assert r.rows_out > 0, name
+            assert r.rows_in == counts[name], name
+        landed = spark.read.parquet(os.path.join(wh, "silver", "supply_orders"))
+        assert "total_invoice_clean" in landed.columns or landed.count() > 0
+    finally:
+        srv.shutdown()
