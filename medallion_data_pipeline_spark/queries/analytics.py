@@ -1318,3 +1318,94 @@ def nation_revenue_share(spark, sf_dir):
         F.round(F.col("revenue") / F.sum("revenue").over(wt), 6)
         .alias("share_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — seasonal-naive forecasting, ORACLE-GATED through the real
+# applyInPandas worker (SURVEY U2): the fan-out path previously had
+# only unit/batch-parity coverage because Prophet/SARIMAX aren't
+# SQL-expressible — but the deterministic fallback model IS, so the
+# gate runs plans/forecasting.make_forecast_worker end-to-end
+# (grouped applyInPandas, in-worker sort, MIN_SERIES_LEN guard,
+# horizon fan-out, ±20% bounds) and DuckDB replays the arithmetic:
+# yhat[h] = y[d1 - 6 + ((h-1) mod 7)] + drift*h, clipped at 0.
+# ---------------------------------------------------------------------------
+
+_FC_HORIZON = 12
+
+_SEASONAL_NAIVE_SQL = f"""
+WITH daily AS (
+    SELECT o_orderpriority AS entity_id, CAST(o_orderdate AS DATE) AS ds,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+), bounds AS (
+    SELECT entity_id, MIN(ds) AS d0, MAX(ds) AS d1, COUNT(*) AS _nd
+    FROM daily GROUP BY 1
+), spine AS (
+    SELECT entity_id,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS ds
+    FROM bounds
+), series AS (
+    SELECT s.entity_id, s.ds, COALESCE(d.y, 0.0) AS y
+    FROM spine s LEFT JOIN daily d
+      ON s.entity_id = d.entity_id AND s.ds = d.ds
+), stats AS (
+    SELECT entity_id, COUNT(*) AS n, MIN(ds) AS d0, MAX(ds) AS d1,
+           arg_min(y, ds) AS y_first, arg_max(y, ds) AS y_last
+    FROM series GROUP BY 1
+), horizons AS (
+    SELECT st.*, unnest(range(1, {_FC_HORIZON} + 1)) AS h FROM stats st
+    WHERE st.n >= 14
+), joined AS (
+    SELECT hz.entity_id,
+           CAST(hz.d1 + CAST(hz.h AS INT) * INTERVAL 1 DAY AS DATE) AS ds,
+           GREATEST(se.y + ((hz.y_last - hz.y_first) / CAST(GREATEST(hz.n - 1, 1) AS DOUBLE)) * hz.h,
+                    0.0) AS yhat
+    FROM horizons hz JOIN series se
+      ON se.entity_id = hz.entity_id
+     AND se.ds = CAST(hz.d1 - CAST(6 - ((hz.h - 1) % 7) AS INT) * INTERVAL 1 DAY AS DATE)
+)
+SELECT entity_id, strftime(ds, '%Y-%m-%d') AS ds,
+       ROUND(yhat, 6) AS yhat,
+       ROUND(yhat * 0.8, 6) AS yhat_lower,
+       ROUND(yhat * 1.2, 6) AS yhat_upper
+FROM joined
+"""
+
+
+@register("forecast_seasonal_naive", oracle=_SEASONAL_NAIVE_SQL)
+def forecast_seasonal_naive(spark, sf_dir):
+    """Per-priority daily revenue series (decimal-exact sums, date-spine
+    zero-fill exactly as plans/forecasting.build_series) pushed through
+    the REAL forecast worker (applyInPandas fan-out,
+    model='seasonal_naive' pins the deterministic fallback: weekly
+    seasonal-naive + linear drift, floor 0, ±20% bounds). The oracle
+    recomputes every forecast value in SQL — upgrading the U2 surface
+    from unit-only to hash-gated."""
+    from ..plans.forecasting import FORECAST_SCHEMA, make_forecast_worker
+
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderpriority").alias("entity_id"),
+                  F.col("o_orderdate").cast("date").alias("ds"))
+        .agg(dsum("o_totalprice").alias("y"))
+    )
+    spine = (
+        daily.groupBy("entity_id")
+        .agg(F.min("ds").alias("d0"), F.max("ds").alias("d1"))
+        .select("entity_id", F.explode(F.sequence("d0", "d1")).alias("ds"))
+    )
+    series = (
+        spine.join(daily, ["entity_id", "ds"], "left")
+        .select("entity_id", "ds",
+                F.coalesce("y", F.lit(0.0)).cast("double").alias("y"))
+    )
+    worker = make_forecast_worker("priority", _FC_HORIZON, "oracle-gate",
+                                  model="seasonal_naive")
+    fc = series.groupBy("entity_id").applyInPandas(worker, FORECAST_SCHEMA)
+    return fc.select(
+        "entity_id", F.date_format("ds", "yyyy-MM-dd").alias("ds"),
+        F.round("yhat", 6).alias("yhat"),
+        F.round("yhat_lower", 6).alias("yhat_lower"),
+        F.round("yhat_upper", 6).alias("yhat_upper"),
+    )
