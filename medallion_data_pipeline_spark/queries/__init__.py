@@ -72,8 +72,14 @@ PRIORITY: tuple[str, ...] = (
     # (describe_extendedprice moved past the prefix — profiling is
     # covered by null_dup_profile + correlation_pairs; its slot goes to
     # the PQ compressed-search tier)
+    # (ranking_functions moved past the prefix — the rank-family
+    # windows are already exercised by top_customers_per_region and
+    # orders_page's total ordering; its slot goes to
+    # forecast_seasonal_naive, which hash-gates the applyInPandas
+    # forecast worker itself — the U2 surface previously covered only
+    # by unit tests)
     "null_dup_profile", "knn_cosine_pq_rerank",
-    "correlation_pairs", "quantile_bins_broadcast", "ranking_functions",
+    "correlation_pairs", "quantile_bins_broadcast", "forecast_seasonal_naive",
     "grouping_sets_revenue", "rolling_7day_range_window",
     "pivot_status_by_region",
     # (cube_priority_status moved past the prefix — grouping_sets +
