@@ -370,21 +370,32 @@ def knn_cosine_matmul(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _lsh_oracle(n_planes: int = 8, seed: int = 7, dim: int = 64, k: int = 5) -> str:
+    """Hyperplane vectors are hoisted into a VALUES CTE and cross-joined
+    (one dot product per (vector, plane) row) instead of inlined as
+    per-plane array literals in the projection expression — DuckDB
+    rebuilds an inline literal list per ROW, which made the bucket
+    computation 99% of the oracle wall (measured 12.6s -> 0.1s at
+    sf0.1, identical rows)."""
     from ..functions.vectors import _plane_component
 
-    bucket_terms = []
+    plane_rows = []
     for pl in range(n_planes):
         comps = ", ".join(repr(_plane_component(seed, pl, j)) for j in range(dim))
-        proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
-                f"i -> dv[i] * ([{comps}])[i]))")
-        bucket_terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
-    bucket = " + ".join(bucket_terms)
+        plane_rows.append(f"({1 << pl}, [{comps}])")
+    values = ",\n".join(plane_rows)
     return f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
     FROM embeddings
-), bkt AS (
-    SELECT vec_id, dv, CAST({bucket} AS BIGINT) AS bucket FROM v
+), planes AS MATERIALIZED (
+    SELECT * FROM (VALUES {values}) AS t(bit, pv)
+), bkt AS MATERIALIZED (
+    SELECT v.vec_id, any_value(v.dv) AS dv,
+           CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                        i -> v.dv[i] * p.pv[i])) > 0
+                    THEN p.bit ELSE 0 END) AS BIGINT) AS bucket
+    FROM v CROSS JOIN planes p
+    GROUP BY v.vec_id
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            list_sum(list_transform(range(1, {dim + 1}), i -> q.dv[i] * c.dv[i]))
@@ -604,26 +615,29 @@ def _emb_lsh_oracle(threshold: float = 0.42, n_planes: int = _EMB_LSH_PLANES,
                     dim: int = 64) -> str:
     from ..functions.vectors import _plane_component
 
-    def bucket_expr(table_seed: int) -> str:
-        terms = []
+    # hyperplanes hoisted into a VALUES CTE (one row per (table, plane))
+    # and cross-joined — inline per-row literal lists made the bucket
+    # computation dominate the oracle wall (see _lsh_oracle).
+    plane_rows = []
+    for t_i in range(n_tables):
         for pl in range(n_planes):
-            comps = ", ".join(repr(_plane_component(table_seed, pl, j))
+            comps = ", ".join(repr(_plane_component(seed + t_i, pl, j))
                               for j in range(dim))
-            proj = (f"list_sum(list_transform(range(1, {dim + 1}), "
-                    f"i -> dv[i] * ([{comps}])[i]))")
-            terms.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
-        return " + ".join(terms)
-
-    tables = "\nUNION ALL\n".join(
-        f"SELECT vec_id, dv, {t} AS tbl, CAST({bucket_expr(seed + t)} AS BIGINT) AS bucket FROM v"
-        for t in range(n_tables)
-    )
+            plane_rows.append(f"({t_i}, {1 << pl}, [{comps}])")
+    values = ",\n".join(plane_rows)
     return f"""
 WITH v AS MATERIALIZED (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
     FROM embeddings
+), planes AS MATERIALIZED (
+    SELECT * FROM (VALUES {values}) AS t(tbl, bit, pv)
 ), keyed AS MATERIALIZED (
-{tables}
+    SELECT v.vec_id, p.tbl,
+           CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                        i -> v.dv[i] * p.pv[i])) > 0
+                    THEN p.bit ELSE 0 END) AS BIGINT) AS bucket
+    FROM v CROSS JOIN planes p
+    GROUP BY v.vec_id, p.tbl
 ), pairs AS MATERIALIZED (
     -- dedupe colliding pairs BEFORE scoring: the cosine is identical
     -- for every table a pair collides in (the Spark side's MAX is over
