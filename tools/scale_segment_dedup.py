@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Scaling measurement for exact_segment_dedup (duplicate-span removal).
+"""Scaling measurement for the span-dedup tier (exact_segment_dedup +
+duplicate_span_intervals).
 
 Grows the sf0.1 documents table by whole-corpus replication (replica
 docs keep their text verbatim, so every span of a replicated doc
@@ -21,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from medallion_data_pipeline_spark.operators.dedup import exact_segment_dedup
+from medallion_data_pipeline_spark.operators.dedup import (
+    duplicate_span_intervals,
+    exact_segment_dedup,
+)
 from medallion_data_pipeline_spark.session import get_spark
 from medallion_data_pipeline_spark.sources.testdata import load_table
 
@@ -51,9 +55,19 @@ def main() -> None:
                 F.sum("n_dup_segments").alias("d"),
                 F.sum("n_segments").alias("s")).collect()[0]
             walls.append(time.time() - t0)
+        walls_sp = []
+        for _ in range(3):
+            t0 = time.time()
+            sp = duplicate_span_intervals(corpus)
+            sp_tot = sp.agg(
+                F.sum("dup_tokens").alias("d"),
+                F.sum("n_tokens").alias("t")).collect()[0]
+            walls_sp.append(time.time() - t0)
         corpus.unpersist()
         print(f"docs={n} dup_segments={total_dropped['d']}/{total_dropped['s']} "
-              f"wall_min3={min(walls):.1f}s")
+              f"wall_min3={min(walls):.1f}s | span_intervals "
+              f"dup_tokens={sp_tot['d']}/{sp_tot['t']} "
+              f"wall_min3={min(walls_sp):.1f}s")
 
 
 if __name__ == "__main__":
