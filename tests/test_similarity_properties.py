@@ -81,3 +81,32 @@ def test_bpe_ish_token_count_matches_python_ascii(spark, texts):
     for t, n in zip(texts, got):
         norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip(ascii_ws)
         assert n == len(pat.findall(norm)), repr(t)
+
+
+def test_all_pairs_matmul_matches_numpy_brute_force(spark):
+    """The BLAS all-pairs kernel returns exactly the numpy brute-force
+    pair set at the threshold, with matching 6-dp cosines — pinning
+    the mapInPandas batching, the id_a < id_b triangle mask, and the
+    zero-norm guard against an independent implementation."""
+    import numpy as np
+
+    from medallion_data_pipeline_spark.operators.similarity import (
+        all_pairs_cosine_matmul,
+    )
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in all_pairs_cosine_matmul(emb, threshold=0.42).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.asarray([list(r.embedding) for r in rows], dtype="float64")
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / (norms[:, None] * norms[None, :])
+    expected = {}
+    for a in range(len(ids)):
+        for b in range(len(ids)):
+            if ids[a] < ids[b] and sims[a, b] >= 0.42:
+                expected[(int(ids[a]), int(ids[b]))] = round(float(sims[a, b]), 6)
+    assert got == expected and len(got) > 0
