@@ -136,9 +136,14 @@ def all_pairs_cosine_matmul(emb: DataFrame, threshold: float = 0.42,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine >= ``threshold`` via Arrow-batched BLAS —
-    the vectorized dual of the expression-tree all-pairs join (same
-    pair set, same 6-dp cosines; dot/(na*nb) division order matches
-    V.cosine).
+    the vectorized dual of the expression-tree all-pairs join. The
+    division order (dot/(na*nb)) matches V.cosine, but BLAS may
+    reassociate the dot-product summation vs a sequential fold, so
+    6-dp/threshold agreement with the expression path is *verified
+    empirically on the gated corpora* (property-pinned against numpy
+    brute force in tests), not bit-guaranteed by construction — a
+    cosine landing exactly on a rounding/threshold boundary could in
+    principle flip on other data.
 
     This op is the small-SF recall BASELINE for the banded-LSH scale
     path, so the O(n²) arithmetic is by design — the matmul kernel

@@ -273,11 +273,14 @@ def quartile_bins(spark, sf_dir):
     wl = W.partitionBy("blk").orderBy("o_totalprice", "o_orderkey")
     rn = F.row_number().over(wl) + F.col("offset")
     # ntile(4): q = N div 4, r = N mod 4; tiles 1..r hold q+1 rows.
+    # When N < 4, q = 0 but thresh = N so EVERY row takes the when-
+    # branch; greatest(q, 1) still guards the dead else against a
+    # divide-by-zero NULL under non-ANSI evaluation.
     q = F.floor(F.col("n_total") / 4)
     r = F.col("n_total") % 4
     thresh = r * (q + 1)
     tile = F.when(rn <= thresh, F.ceil(rn / (q + 1))).otherwise(
-        r + F.ceil((rn - thresh) / q))
+        r + F.ceil((rn - thresh) / F.greatest(q, F.lit(1))))
     return (
         d.join(F.broadcast(offsets), "blk")
         .withColumn("tile", tile.cast("int"))

@@ -2522,16 +2522,21 @@ def domain_mixture_weights(spark, sf_dir):
 
 _SPAN_W = 8
 
-# packed (doc_id, pos) orders identically to Spark's MIN(struct): pos is
-# bounded far below the 10^6 multiplier on this corpus (longest doc
-# ~10^3 tokens); widen the multiplier with document length at scale.
+# packed (doc_id, pos) orders identically to Spark's MIN(struct) ONLY
+# while pos < the 10^6 multiplier — the win CTE ENFORCES that with an
+# error() guard (any 1e6-token document fails the oracle loudly instead
+# of silently diverging); widen the multiplier with document length at
+# scale.
 _SPAN_INTERVALS_SQL = f"""
 WITH s AS MATERIALIZED (
     SELECT doc_id, toks, len(toks) AS n_tokens
     FROM (SELECT doc_id, {_SQL_WORDS.format("text")} AS toks FROM documents)
     WHERE len(toks) >= {_SPAN_W}
 ), win AS MATERIALIZED (
-    SELECT doc_id, n_tokens, pos,
+    SELECT doc_id, n_tokens,
+           CASE WHEN pos >= 1000000 THEN error(
+                'span oracle: pos >= 1e6 breaks the packed tie-break')
+                ELSE pos END AS pos,
            md5(array_to_string(toks[pos:pos + {_SPAN_W - 1}], ' ')) AS h
     FROM (SELECT doc_id, toks, n_tokens,
                  unnest(range(1, n_tokens - {_SPAN_W - 2})) AS pos

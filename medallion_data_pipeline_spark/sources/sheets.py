@@ -76,10 +76,13 @@ def fetch_sheet_values(spreadsheet_id: str, range_name: str,
 
 
 def values_to_rows(values: list[list[str]]) -> tuple[list[str], list[list[str]]]:
-    """Header row + data rows padded to header width with '' —
-    reference data_loader.py:70-77 verbatim semantics (short rows are
-    padded; LONG rows are left as-is and the extra cells are dropped
-    by the fixed-width DataFrame construction, matching pandas)."""
+    """Header row + data rows padded to header width with '' (short
+    rows: reference data_loader.py:70-77 verbatim semantics). LONG
+    rows are TRUNCATED to header width — a deliberate leniency over
+    the reference, whose ``pd.DataFrame(data, columns=headers)``
+    *raises* on rows wider than the header rather than dropping the
+    extra cells; here a ragged export degrades to a clean fixed-width
+    grid instead of failing the whole ingest."""
     if not values:
         return [], []
     headers = [str(h) for h in values[0]]
