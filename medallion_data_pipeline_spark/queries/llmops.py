@@ -298,7 +298,7 @@ WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) >= {threshold}
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
+@register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle(), bench=True)
 def dedup_ngram_jaccard(spark, sf_dir):
     """EXACT 3-gram Jaccard >= 0.4 near-dup pairs via a prefix-filter
     set-similarity join (operators/dedup.py::ngram_jaccard_duplicates).
@@ -661,7 +661,7 @@ FROM scored WHERE cos_raw >= {threshold}
 """
 
 
-@register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+@register("dedup_embedding_lsh", oracle=_emb_lsh_oracle(), bench=True)
 def dedup_embedding_lsh(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.42) with banded
     sign-LSH candidate pruning (operators/similarity.py::
@@ -1065,7 +1065,7 @@ GROUP BY c.doc_id
 """
 
 
-@register("contamination_check", oracle=_CONTAMINATION_SQL)
+@register("contamination_check", oracle=_CONTAMINATION_SQL, bench=True)
 def contamination_check(spark, sf_dir):
     """Documents contaminated by eval-set 4-grams, with the shared-gram
     count. Scale shape: explode both sides to (gram) and equi-join on
@@ -2142,7 +2142,7 @@ WHERE {_SEMANTIC_COS} >= 0.42
 """
 
 
-@register("dedup_semantic_cells", oracle=_SEMANTIC_DEDUP_SQL)
+@register("dedup_semantic_cells", oracle=_SEMANTIC_DEDUP_SQL, bench=True)
 def dedup_semantic_cells(spark, sf_dir):
     """SemDeDup-style semantic dedup
     (operators/similarity.py::semantic_dedup_cells): 2-iteration
@@ -2293,7 +2293,7 @@ FROM ranked WHERE rank <= 5
 """
 
 
-@register("knn_cosine_pq_adc", oracle=_PQ_ADC_SQL)
+@register("knn_cosine_pq_adc", oracle=_PQ_ADC_SQL, bench=True)
 def knn_cosine_pq_adc(spark, sf_dir):
     """PQ asymmetric-distance top-5 (operators/similarity.py::
     knn_pq_adc): the corpus carries only (id, subspace, code) through
@@ -2593,7 +2593,7 @@ FROM s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
 """
 
 
-@register("dedup_span_intervals", oracle=_SPAN_INTERVALS_SQL)
+@register("dedup_span_intervals", oracle=_SPAN_INTERVALS_SQL, bench=True)
 def dedup_span_intervals(spark, sf_dir):
     """Merged duplicate-span intervals per document at w=8
     (operators/dedup.py::duplicate_span_intervals): catches duplicated

@@ -79,10 +79,12 @@ def values_to_rows(values: list[list[str]]) -> tuple[list[str], list[list[str]]]
     """Header row + data rows padded to header width with '' (short
     rows: reference data_loader.py:70-77 verbatim semantics). LONG
     rows are TRUNCATED to header width — a deliberate leniency over
-    the reference, whose ``pd.DataFrame(data, columns=headers)``
-    *raises* on rows wider than the header rather than dropping the
-    extra cells; here a ragged export degrades to a clean fixed-width
-    grid instead of failing the whole ingest."""
+    the reference, whose ``pd.DataFrame(data, columns=headers)`` raises
+    on rows wider than the header; that error is swallowed by the
+    surrounding try/except (data_loader.py:83-85), so the reference
+    silently degrades the WHOLE range to an empty DataFrame. Here a
+    ragged export keeps every row (minus the overflow cells) instead
+    of losing the range."""
     if not values:
         return [], []
     headers = [str(h) for h in values[0]]

@@ -213,3 +213,37 @@ def test_multimodal_decode_pil_real():
     out = M.resize_pil(png, (4, 4))
     assert out is not None and Image.open(io.BytesIO(out)).size == (4, 4)
     assert M.resize_pil(b"not an image") is None
+
+
+def test_quartile_bins_small_n_matches_ntile(spark, tmp_path):
+    """quartile_bins' block-offset ntile arithmetic at every N in 1..7 —
+    pins the N<4 branch analysis (q=0 ⇒ thresh=N ⇒ when-branch always
+    taken; the greatest(q,1) guard only de-NULLs a dead else) against
+    the real ntile(4) over the same total order."""
+    from pyspark.sql import Window
+
+    from medallion_data_pipeline_spark.queries.analytics import quartile_bins
+
+    for n in range(1, 8):
+        rows = [(i + 1, float(100 * i + 7)) for i in range(n)]
+        df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+        sf_dir = str(tmp_path / f"n{n}")
+        df.write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+
+        got = {
+            r["tile"]: (r["n_orders"], r["min_price"], r["max_price"])
+            for r in quartile_bins(spark, sf_dir).collect()
+        }
+        exp_rows = (
+            df.withColumn(
+                "tile",
+                F.ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")))
+            .groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price"))
+            .collect()
+        )
+        exp = {r["tile"]: (r["n_orders"], r["min_price"], r["max_price"])
+               for r in exp_rows}
+        assert got == exp, f"N={n}: {got} != {exp}"
