@@ -292,6 +292,94 @@ def make_autoregressive_worker(model, horizon: int, run_id: str, level: str):
     return worker
 
 
+def backtest_forecast(series: DataFrame, horizon: int = 30,
+                      level: str = "backtest",
+                      model: str = "seasonal_naive") -> DataFrame:
+    """Hold-out backtest of the per-entity forecast fan-out: the final
+    ``horizon`` days of every entity's series are withheld, the REAL
+    applyInPandas worker (:func:`make_forecast_worker`) forecasts them
+    from the prefix, and per-entity accuracy metrics are computed
+    forecast-vs-actual.
+
+    The reference *claims* "Forecast Accuracy: 85%+ for 30-day demand
+    predictions" (README.md:364) but contains no code computing it —
+    this operator closes that gap: ``accuracy_pct`` is the claim's
+    standard definition, 100·(1 − MAPE), floored at 0.
+
+    Per entity (entities whose train prefix has >= MIN_SERIES_LEN
+    days): n_train, n_eval, mape (zero-actual days excluded), smape,
+    bias (mean signed error), accuracy_pct, interval_coverage
+    (fraction of actuals inside [yhat_lower, yhat_upper]).
+
+    Determinism contract: per-day error terms are rounded to 8dp and
+    summed as DECIMAL(18,8) — exact, order-independent — then divided
+    in double and rounded to 6dp, so a SQL oracle replaying the same
+    arithmetic hash-matches regardless of either engine's summation
+    order.
+
+    Scale shape: the cutoff frame is one row per entity (join on the
+    already-shuffled entity key; AQE broadcasts it while it stays
+    small); the worker fan-out and the forecast-vs-actual join both
+    shuffle on entity_id only — the same single-key pattern as
+    run_forecasts. Nothing collects to the driver.
+    """
+    cut = series.groupBy("entity_id").agg(
+        F.date_sub(F.max("ds"), horizon).alias("_cut"))
+    with_cut = series.join(cut, "entity_id")
+    train = with_cut.filter(F.col("ds") <= F.col("_cut")).drop("_cut")
+    actual = with_cut.filter(F.col("ds") > F.col("_cut")).drop("_cut")
+
+    worker = make_forecast_worker(level, horizon, "backtest", model=model)
+    fc = train.groupBy("entity_id").applyInPandas(worker, FORECAST_SCHEMA)
+    n_train = train.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_train"))
+
+    j = (
+        fc.select("entity_id", "ds", "yhat", "yhat_lower", "yhat_upper")
+        .join(actual, ["entity_id", "ds"])
+        .join(n_train, "entity_id")
+    )
+    ae = F.abs(F.col("yhat") - F.col("y"))
+    d18_8 = "decimal(18,8)"
+    ape = F.when(F.abs("y") > 0, F.round(ae / F.abs("y"), 8).cast(d18_8))
+    sm_den = F.abs("y") + F.abs("yhat")
+    smape_t = F.when(
+        sm_den > 0, F.round(F.lit(2.0) * ae / sm_den, 8).cast(d18_8))
+    bias_t = F.round(F.col("yhat") - F.col("y"), 8).cast(d18_8)
+    hit = F.when(
+        (F.col("y") >= F.col("yhat_lower"))
+        & (F.col("y") <= F.col("yhat_upper")), 1).otherwise(0)
+
+    agg = j.groupBy("entity_id").agg(
+        F.first("n_train").alias("n_train"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(ape).alias("_ape_sum"),
+        F.count(ape).alias("_ape_n"),
+        F.sum(smape_t).alias("_sm_sum"),
+        F.count(smape_t).alias("_sm_n"),
+        F.sum(bias_t).alias("_bias_sum"),
+        F.sum(hit).alias("_hits"),
+    )
+    mape = F.round(
+        F.when(F.col("_ape_n") > 0,
+               F.col("_ape_sum").cast("double") / F.col("_ape_n")), 6)
+    smape = F.round(
+        F.when(F.col("_sm_n") > 0,
+               F.col("_sm_sum").cast("double") / F.col("_sm_n")), 6)
+    return agg.select(
+        "entity_id", "n_train", "n_eval",
+        mape.alias("mape"),
+        smape.alias("smape"),
+        F.round(F.col("_bias_sum").cast("double") / F.col("n_eval"), 6)
+        .alias("bias"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(100.0) * (F.lit(1.0) - mape)), 2)
+        .alias("accuracy_pct"),
+        F.round(F.col("_hits").cast("double") / F.col("n_eval"), 6)
+        .alias("interval_coverage"),
+    )
+
+
 def run_global_forecast(spark: SparkSession, warehouse: str, level: str = "warehouse",
                         horizon: int = 14, run_id: str = "fc_global") -> DataFrame:
     """The U3 path end-to-end: distributed feature panel -> ONE global

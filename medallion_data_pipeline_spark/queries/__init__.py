@@ -96,9 +96,17 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "knn_cosine_bruteforce", "text_analysis",
     "multimodal_features", "corpus_token_stats", "gopher_quality_filters",
+    # (knn_cosine_lsh moved past the prefix — hyperplane sign-LSH
+    # banding is already pinned in-prefix by dedup_embedding_lsh, and
+    # the KNN class keeps three gated entries here (bruteforce, IVF,
+    # PQ-rerank); its slot goes to forecast_backtest_accuracy, which
+    # computes the reference's last uncomputed claim — "85%+ accuracy
+    # for 30-day demand predictions" (README.md:364) — through the
+    # real applyInPandas worker on a 30-day holdout)
+    "forecast_backtest_accuracy",
     # the prefix's costliest checks go last so a time-bounded harness
     # still completes everything above before starting them
-    "lag_rolling_features", "dedup_clusters", "knn_cosine_lsh",
+    "lag_rolling_features", "dedup_clusters",
     "knn_cosine_ivf",
 )
 

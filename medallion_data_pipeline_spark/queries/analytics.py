@@ -1412,3 +1412,120 @@ def forecast_seasonal_naive(spark, sf_dir):
         F.round("yhat_lower", 6).alias("yhat_lower"),
         F.round("yhat_upper", 6).alias("yhat_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — forecast BACKTEST: hold out the final 30 days per entity, forecast
+# them from the prefix with the real applyInPandas worker, and score
+# forecast-vs-actual. The reference CLAIMS "Forecast Accuracy: 85%+ for
+# 30-day demand predictions" (README.md:364) but never computes it —
+# this query is that computation, oracle-gated: DuckDB replays the
+# worker arithmetic on the train prefix AND the metric aggregation
+# (8dp-rounded per-day terms summed as DECIMAL(18,8) — exact and
+# order-independent on both engines).
+# ---------------------------------------------------------------------------
+
+_BT_HORIZON = 30
+
+_BACKTEST_SQL = f"""
+WITH daily AS (
+    SELECT o_orderpriority AS entity_id, CAST(o_orderdate AS DATE) AS ds,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+), bounds AS (
+    SELECT entity_id, MIN(ds) AS d0, MAX(ds) AS d1 FROM daily GROUP BY 1
+), spine AS (
+    SELECT entity_id,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS ds
+    FROM bounds
+), series AS (
+    SELECT s.entity_id, s.ds, COALESCE(d.y, 0.0) AS y
+    FROM spine s LEFT JOIN daily d
+      ON s.entity_id = d.entity_id AND s.ds = d.ds
+), cut AS (
+    SELECT entity_id, CAST(MAX(ds) - INTERVAL {_BT_HORIZON} DAY AS DATE) AS cutd
+    FROM series GROUP BY 1
+), train AS (
+    SELECT s.entity_id, s.ds, s.y
+    FROM series s JOIN cut USING (entity_id) WHERE s.ds <= cutd
+), tstats AS (
+    SELECT entity_id, COUNT(*) AS n_train, MAX(ds) AS t1,
+           arg_min(y, ds) AS y_first, arg_max(y, ds) AS y_last
+    FROM train GROUP BY 1
+), horizons AS (
+    SELECT st.*, unnest(range(1, {_BT_HORIZON} + 1)) AS h FROM tstats st
+    WHERE st.n_train >= 14
+), fc AS (
+    SELECT hz.entity_id, hz.n_train,
+           CAST(hz.t1 + CAST(hz.h AS INT) * INTERVAL 1 DAY AS DATE) AS ds,
+           GREATEST(tr.y + ((hz.y_last - hz.y_first)
+                            / CAST(GREATEST(hz.n_train - 1, 1) AS DOUBLE)) * hz.h,
+                    0.0) AS yhat
+    FROM horizons hz JOIN train tr
+      ON tr.entity_id = hz.entity_id
+     AND tr.ds = CAST(hz.t1 - CAST(6 - ((hz.h - 1) % 7) AS INT) * INTERVAL 1 DAY AS DATE)
+), actual AS (
+    SELECT s.entity_id, s.ds, s.y
+    FROM series s JOIN cut USING (entity_id) WHERE s.ds > cutd
+), terms AS (
+    SELECT f.entity_id, f.n_train, f.yhat, a.y,
+           CASE WHEN abs(a.y) > 0
+                THEN CAST(ROUND(abs(f.yhat - a.y) / abs(a.y), 8)
+                          AS DECIMAL(18,8)) END AS ape,
+           CASE WHEN abs(a.y) + abs(f.yhat) > 0
+                THEN CAST(ROUND(2.0 * abs(f.yhat - a.y)
+                                / (abs(a.y) + abs(f.yhat)), 8)
+                          AS DECIMAL(18,8)) END AS smt,
+           CAST(ROUND(f.yhat - a.y, 8) AS DECIMAL(18,8)) AS biast,
+           CASE WHEN a.y >= f.yhat * 0.8 AND a.y <= f.yhat * 1.2
+                THEN 1 ELSE 0 END AS hit
+    FROM fc f JOIN actual a ON f.entity_id = a.entity_id AND f.ds = a.ds
+), agg AS (
+    SELECT entity_id, MAX(n_train) AS n_train, COUNT(*) AS n_eval,
+           SUM(ape) AS ape_sum, COUNT(ape) AS ape_n,
+           SUM(smt) AS sm_sum, COUNT(smt) AS sm_n,
+           SUM(biast) AS bias_sum, SUM(hit) AS hits
+    FROM terms GROUP BY 1
+)
+SELECT entity_id, n_train, n_eval,
+       ROUND(CASE WHEN ape_n > 0 THEN CAST(ape_sum AS DOUBLE) / ape_n END, 6) AS mape,
+       ROUND(CASE WHEN sm_n > 0 THEN CAST(sm_sum AS DOUBLE) / sm_n END, 6) AS smape,
+       ROUND(CAST(bias_sum AS DOUBLE) / n_eval, 6) AS bias,
+       ROUND(GREATEST(0.0, 100.0 * (1.0 -
+           ROUND(CASE WHEN ape_n > 0 THEN CAST(ape_sum AS DOUBLE) / ape_n END, 6))), 2)
+         AS accuracy_pct,
+       ROUND(CAST(hits AS DOUBLE) / n_eval, 6) AS interval_coverage
+FROM agg
+"""
+
+
+@register("forecast_backtest_accuracy", oracle=_BACKTEST_SQL)
+def forecast_backtest_accuracy(spark, sf_dir):
+    """30-day hold-out backtest of the forecast fan-out over the same
+    per-priority daily revenue series as forecast_seasonal_naive: the
+    REAL applyInPandas worker forecasts the withheld final 30 days from
+    the train prefix, and plans/forecasting.backtest_forecast scores
+    per-entity MAPE / sMAPE / bias / accuracy_pct / interval coverage
+    with order-independent decimal-sum aggregation. Computes the
+    accuracy number the reference claims (README.md:364: "85%+ for
+    30-day demand predictions") but never measures."""
+    from ..plans.forecasting import backtest_forecast
+
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderpriority").alias("entity_id"),
+                  F.col("o_orderdate").cast("date").alias("ds"))
+        .agg(dsum("o_totalprice").alias("y"))
+    )
+    spine = (
+        daily.groupBy("entity_id")
+        .agg(F.min("ds").alias("d0"), F.max("ds").alias("d1"))
+        .select("entity_id", F.explode(F.sequence("d0", "d1")).alias("ds"))
+    )
+    series = (
+        spine.join(daily, ["entity_id", "ds"], "left")
+        .select("entity_id", "ds",
+                F.coalesce("y", F.lit(0.0)).cast("double").alias("y"))
+    )
+    return backtest_forecast(series, horizon=_BT_HORIZON, level="priority",
+                             model="seasonal_naive")

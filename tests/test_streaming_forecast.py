@@ -578,3 +578,33 @@ def test_streaming_ingest_quality_gate(spark, tmp_path):
     assert {r.doc_id for r in docs.collect()} == {1}  # 2 gated, 3 deduped
     idx = spark.read.parquet(f"{wh}/silver/doc_band_index")
     assert {r.doc for r in idx.select("doc").distinct().collect()} == {1}
+
+
+def test_backtest_perfect_periodic_series_scores_100(spark):
+    """backtest_forecast on a zero-drift weekly-periodic series: the
+    seasonal-naive worker reproduces the holdout exactly, so mape=0,
+    bias=0, accuracy_pct=100, and every actual sits inside the ±20%
+    band (coverage=1). Pins the hold-out split (train max = full max −
+    horizon), the metric arithmetic, and the MIN_SERIES_LEN gate (a
+    second entity with a too-short train prefix must be absent)."""
+    import datetime as dt
+
+    from medallion_data_pipeline_spark.plans.forecasting import backtest_forecast
+
+    d0 = dt.date(2024, 1, 1)
+    week = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    rows = [("e1", d0 + dt.timedelta(days=i), week[i % 7]) for i in range(35)]
+    # e2: 35-day span but horizon=14 leaves a 21-day... make it short:
+    # 20 days total -> train 6 < MIN_SERIES_LEN -> excluded entirely
+    rows += [("e2", d0 + dt.timedelta(days=i), 5.0) for i in range(20)]
+    series = spark.createDataFrame(rows, "entity_id string, ds date, y double")
+
+    out = backtest_forecast(series, horizon=14, model="seasonal_naive")
+    got = {r["entity_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {"e1"}
+    m = got["e1"]
+    assert m["n_train"] == 21 and m["n_eval"] == 14
+    assert m["mape"] == 0.0 and m["bias"] == 0.0
+    assert m["accuracy_pct"] == 100.0
+    assert m["smape"] == 0.0
+    assert m["interval_coverage"] == 1.0
