@@ -33,6 +33,7 @@ reference's pandas load.
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Callable
@@ -54,6 +55,21 @@ DEFAULT_BASE_URL = "https://sheets.googleapis.com"
 Opener = Callable[[str], bytes]
 
 
+class SheetsFetchError(RuntimeError):
+    """One range's fetch or parse failed: an HTTP error that survived
+    the retry budget (e.g. 403 permission-denied, 429 after retries)
+    or a body that is not a JSON object. ``ingest_sheets`` catches this
+    per range — the reference's per-table try/except degrade
+    (data_loader.py:83-85) — so one broken range never aborts the
+    whole ingest."""
+
+
+#: HTTP statuses worth retrying: rate-limit + transient server errors.
+#: 403 (permission / API-key scope) is NOT here — retrying an auth
+#: failure only burns quota.
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
 def _default_opener(url: str) -> bytes:
     with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
         return resp.read()
@@ -62,16 +78,56 @@ def _default_opener(url: str) -> bytes:
 def fetch_sheet_values(spreadsheet_id: str, range_name: str,
                        api_key: str | None = None,
                        base_url: str = DEFAULT_BASE_URL,
-                       opener: Opener = _default_opener) -> list[list[str]]:
+                       opener: Opener = _default_opener,
+                       max_retries: int = 2,
+                       backoff_s: float = 0.5) -> list[list[str]]:
     """GET the raw ``values`` grid for one range (Sheets v4
     ``spreadsheets.values.get``; reference data_loader.py:58-64).
     Returns [] for an empty range, like the reference's
-    ``result.get('values', [])``."""
+    ``result.get('values', [])``.
+
+    Failure semantics (the reference swallows every exception into an
+    empty DataFrame, silently conflating "empty range" with "broken
+    fetch" — here the two are distinct):
+
+    - HTTP 429/5xx: retried up to ``max_retries`` times with
+      exponential backoff (``backoff_s * 2**attempt``) — the standard
+      Sheets-API rate-limit discipline;
+    - HTTP 403 (or any other status, or retries exhausted): raises
+      :class:`SheetsFetchError` immediately — auth failures are not
+      retryable;
+    - non-JSON / non-object body: raises :class:`SheetsFetchError`;
+    - a well-formed response with no ``values`` key: [] (empty range,
+      NOT an error).
+    """
+    import time
+
     quoted = urllib.parse.quote(range_name, safe="!:")
     url = f"{base_url}/v4/spreadsheets/{urllib.parse.quote(spreadsheet_id)}/values/{quoted}"
     if api_key:
         url += "?" + urllib.parse.urlencode({"key": api_key})
-    payload = json.loads(opener(url).decode("utf-8"))
+    for attempt in range(max_retries + 1):
+        try:
+            body = opener(url)
+            break
+        except urllib.error.HTTPError as e:
+            if e.code in RETRYABLE_STATUSES and attempt < max_retries:
+                time.sleep(backoff_s * (2 ** attempt))
+                continue
+            raise SheetsFetchError(
+                f"{range_name}: HTTP {e.code} after {attempt + 1} attempt(s)"
+            ) from e
+        except OSError as e:  # connection refused / DNS / timeout
+            if attempt < max_retries:
+                time.sleep(backoff_s * (2 ** attempt))
+                continue
+            raise SheetsFetchError(f"{range_name}: {e}") from e
+    try:
+        payload = json.loads(body.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise SheetsFetchError(f"{range_name}: malformed JSON body") from e
+    if not isinstance(payload, dict):
+        raise SheetsFetchError(f"{range_name}: non-object JSON body")
     return payload.get("values", [])
 
 
@@ -121,12 +177,27 @@ def ingest_sheets(spark: SparkSession, spreadsheet_id: str, warehouse: str,
     the live dual of ``plans.bronze.ingest_csv_dir`` (reference
     data_loader.py's per-table load loop). Tables whose fetch returns
     no rows are skipped, matching the reference's empty-DataFrame
-    early-out."""
+    early-out.
+
+    A range whose fetch FAILS (:class:`SheetsFetchError`: 403, 429
+    past the retry budget, malformed body) is likewise skipped — the
+    reference's per-table try/except degrade (data_loader.py:83-85) —
+    but loudly: a warning is emitted per failed range, and the failure
+    is visible in the return value as an absent key, so a caller that
+    requires all tables can assert ``set(counts) == set(ranges)``."""
+    import warnings
+
     from ..plans.bronze import write_bronze
 
     dfs = {}
     for name, rng in (ranges or SHEET_RANGES).items():
-        df = read_sheet(spark, spreadsheet_id, rng, api_key, base_url, opener)
+        try:
+            df = read_sheet(spark, spreadsheet_id, rng, api_key, base_url,
+                            opener)
+        except SheetsFetchError as e:
+            warnings.warn(f"sheets ingest: skipping range {name!r}: {e}",
+                          stacklevel=2)
+            continue
         if df.columns:
             dfs[name] = df
     return write_bronze(dfs, warehouse)

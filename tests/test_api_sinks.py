@@ -209,3 +209,117 @@ def test_sheets_to_silver_end_to_end(spark, tmp_path):
         assert "total_invoice_clean" in landed.columns or landed.count() > 0
     finally:
         srv.shutdown()
+
+
+def _scripted_sheets_server(script):
+    """Localhost server whose response per range follows a SCRIPT: a
+    list of (status, body_bytes) consumed one per request (the last
+    entry repeats). Exercises the negative paths a real Sheets API
+    produces: 403, 429-then-ok, persistent 429, garbage bodies."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    hits = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = urllib.parse.unquote(self.path.split("?")[0])
+            rng = path.rsplit("/values/", 1)[-1]
+            seq = script.get(rng, [(200, b"{}")])
+            i = hits.get(rng, 0)
+            hits[rng] = i + 1
+            status, body = seq[min(i, len(seq) - 1)]
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", hits
+
+
+def test_sheets_fetch_negative_paths():
+    """fetch_sheet_values failure semantics (sources/sheets.py):
+    403 fails fast (no retry), 429 retries with backoff and succeeds,
+    persistent 429 exhausts the budget, malformed JSON raises, and an
+    empty-range body is [] — an empty range is NOT an error, unlike
+    the reference which conflates the two (data_loader.py:83-85)."""
+    import pytest
+
+    from medallion_data_pipeline_spark.sources import sheets
+
+    ok = b'{"values": [["h"], ["1"]]}'
+    script = {
+        "Forbidden!A:B": [(403, b'{"error": {"code": 403}}')],
+        "RateLimited!A:B": [(429, b""), (429, b""), (200, ok)],
+        "AlwaysLimited!A:B": [(429, b"")],
+        "Garbage!A:B": [(200, b"this is not json")],
+        "NonObject!A:B": [(200, b"[1, 2, 3]")],
+        "Empty!A:B": [(200, b"{}")],
+    }
+    srv, base, hits = _scripted_sheets_server(script)
+    try:
+        with pytest.raises(sheets.SheetsFetchError, match="HTTP 403"):
+            sheets.fetch_sheet_values("s", "Forbidden!A:B", base_url=base,
+                                      backoff_s=0.0)
+        assert hits["Forbidden!A:B"] == 1  # auth errors are not retried
+
+        vals = sheets.fetch_sheet_values("s", "RateLimited!A:B",
+                                         base_url=base, backoff_s=0.0)
+        assert vals == [["h"], ["1"]] and hits["RateLimited!A:B"] == 3
+
+        with pytest.raises(sheets.SheetsFetchError, match="HTTP 429"):
+            sheets.fetch_sheet_values("s", "AlwaysLimited!A:B",
+                                      base_url=base, backoff_s=0.0,
+                                      max_retries=2)
+        assert hits["AlwaysLimited!A:B"] == 3  # 1 try + 2 retries
+
+        with pytest.raises(sheets.SheetsFetchError, match="malformed JSON"):
+            sheets.fetch_sheet_values("s", "Garbage!A:B", base_url=base)
+        with pytest.raises(sheets.SheetsFetchError, match="non-object"):
+            sheets.fetch_sheet_values("s", "NonObject!A:B", base_url=base)
+
+        assert sheets.fetch_sheet_values("s", "Empty!A:B", base_url=base) == []
+    finally:
+        srv.shutdown()
+
+
+def test_sheets_ingest_skips_broken_ranges_loudly(spark, tmp_path):
+    """ingest_sheets degrades per range like the reference's per-table
+    try/except (data_loader.py:83-85) but LOUDLY: the broken range is
+    skipped with a warning and absent from the returned counts; the
+    healthy ranges still land as bronze parquet."""
+    import json as _json
+    import warnings
+
+    from medallion_data_pipeline_spark.sources import sheets
+
+    good = _json.dumps(
+        {"values": [["supplier_id", "name"], ["1", "Acme"], ["2", "Bolt"]]}
+    ).encode()
+    script = {
+        "Good!A:B": [(200, good)],
+        "Bad!A:B": [(403, b'{"error": {"code": 403}}')],
+    }
+    srv, base, _hits = _scripted_sheets_server(script)
+    try:
+        wh = str(tmp_path / "wh")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            counts = sheets.ingest_sheets(
+                spark, "s", wh,
+                ranges={"suppliers": "Good!A:B", "products": "Bad!A:B"},
+                base_url=base)
+        assert counts == {"suppliers": 2}
+        assert any("skipping range 'products'" in str(w.message)
+                   for w in caught)
+        landed = spark.read.parquet(os.path.join(wh, "bronze", "suppliers"))
+        assert landed.count() == 2
+    finally:
+        srv.shutdown()
