@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .._util import spread
 from ..functions import vectors as V
 
 
@@ -48,7 +49,7 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("query_id"), qv.alias("qv"), V.norm(qv).alias("qn")
     )
     cv = _as_double(F.col(vec_col))
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), cv.alias("cv"), V.norm(cv).alias("cn")
     )
     scored = (
@@ -122,7 +123,7 @@ def knn_matmul(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 "cos_raw": np.array(out_c, dtype="float64"),
             })
 
-    candidates = corpus.select(id_col, vec_col).mapInPandas(
+    candidates = spread(corpus).select(id_col, vec_col).mapInPandas(
         run, schema="query_id long, neighbor_id long, cos_raw double")
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -183,7 +184,7 @@ def all_pairs_cosine_matmul(emb: DataFrame, threshold: float = 0.42,
                 "cos_raw": sims[ai, bi],
             })
 
-    out = emb.select(id_col, vec_col).mapInPandas(
+    out = spread(emb).select(id_col, vec_col).mapInPandas(
         run, schema="id_a long, id_b long, cos_raw double")
     return out.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
@@ -197,7 +198,7 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     k distance expressions — no shuffle; the later search shuffles on
     the small cell id instead of cross-joining the corpus.
     """
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
+    v = spread(df).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
     return (_staged_argmin(v, "dv", list(enumerate(centroids)))
             .select(F.col(id_col), "dv", "cell"))
 
@@ -252,7 +253,7 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
         V.norm(_as_double(F.col(vec_col))).alias("qn"),
         V.sign_lsh_key(_as_double(F.col(vec_col)), n_planes, seed, dim).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         V.norm(_as_double(F.col(vec_col))).alias("cn"),
@@ -315,6 +316,7 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     the two vector re-joins saves more than duplicate scoring costs.
     """
     dv = _as_double(F.col(vec_col))
+    emb = spread(emb)
     keys = F.array(*[
         V.sign_lsh_key(dv, n_planes, seed + t, dim) for t in range(n_tables)
     ])
@@ -383,7 +385,7 @@ def lloyd_assignments(emb: DataFrame, k: int = 4, iters: int = 2,
     final centroid. Shared by :func:`lloyd_kmeans_stats` (per-cell
     stats) and :func:`semantic_dedup_cells` (SemDeDup bucketing).
     """
-    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
+    v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
     cents = [(i, c) for i, c in
              enumerate(deterministic_centroids(emb, k, id_col, vec_col))]
 
@@ -601,7 +603,7 @@ def pq_assign_long(emb: DataFrame, codebooks: list[list[tuple[int, list[float]]]
     through Lloyd updates), never re-enumerated positions."""
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
-    v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
+    v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
     parts = []
     for s, book in enumerate(codebooks):
         sub = v.select(F.col(id_col),
