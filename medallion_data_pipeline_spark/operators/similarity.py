@@ -39,6 +39,47 @@ def _paired_cosine(qv="qv", cv="cv", qn="qn", cn="cn"):
     return F.when(d > 0, V.dot(F.col(qv), F.col(cv)) / d)
 
 
+def _numpy_paired_scores(pairs: DataFrame) -> DataFrame:
+    """Vectorized dual of :func:`_paired_cosine` for candidate-pair
+    scoring: input (id_a, id_b, va, vb, na, nb), output
+    (id_a, id_b, cos_raw) — one einsum row-wise dot per Arrow batch
+    instead of a per-row 64-element expression fold. The fold costs
+    ~10 us per pair (it is what pinned dedup_embedding_lsh's sf1 wall
+    at ~37 s, ~2.5M collision candidates — docs/SCALING.md); the
+    batched kernel is ~100x cheaper per pair. numpy pairwise
+    summation may reassociate the dot vs the sequential JVM fold —
+    6-dp agreement is pinned empirically by the kernels-equality
+    tests, the same contract as all_pairs_cosine_matmul. Pairs with
+    na*nb == 0 are dropped in the kernel (the expression path NULLs
+    them via ``when(d > 0, ...)`` and they die at the caller's
+    threshold filter — NaN must not reach that filter, since Spark
+    orders NaN above every double and ``NaN >= t`` is true)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack([np.asarray(v, dtype="float64")
+                           for v in pdf["va"]])
+            vb = np.stack([np.asarray(v, dtype="float64")
+                           for v in pdf["vb"]])
+            denom = pdf["na"].to_numpy(dtype="float64") \
+                * pdf["nb"].to_numpy(dtype="float64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.einsum("ij,ij->i", va, vb) / denom
+            keep = denom > 0
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy(dtype="int64")[keep],
+                "id_b": pdf["id_b"].to_numpy(dtype="int64")[keep],
+                "cos_raw": cos[keep],
+            })
+
+    return pairs.mapInPandas(
+        run, schema="id_a long, id_b long, cos_raw double")
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (excluding
@@ -276,7 +317,8 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                         n_planes: int = 4, n_tables: int = 8, seed: int = 101,
                         dim: int = 64, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        carry_vectors: bool = True) -> DataFrame:
+                        carry_vectors: bool = True,
+                        scorer: str = "numpy") -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH — the scale
     path that replaces the all-pairs self-join.
 
@@ -314,6 +356,13 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     ``True`` only pays off when buckets are so sparse that collisions
     are near-unique (high n_planes) and dim is small, where skipping
     the two vector re-joins saves more than duplicate scoring costs.
+
+    ``scorer="numpy"`` (default) scores surviving candidates with the
+    Arrow-batched einsum kernel (:func:`_numpy_paired_scores`) instead
+    of the per-pair JVM expression fold — the fold is ~10 us/pair and
+    dominated the 10x-sf0.1 wall (docs/SCALING.md); ``"expr"`` keeps
+    the pure-JVM path as the in-engine cross-check (equality pinned in
+    tests).
     """
     dv = _as_double(F.col(vec_col))
     emb = spread(emb)
@@ -326,16 +375,22 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
             F.posexplode(keys).alias("tbl", "bucket"),
         )
         a, b = keyed.alias("a"), keyed.alias("b")
-        scored = (
+        cand = (
             a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vid") < F.col("b.vid")))
-            .select(
-                F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
-                _paired_cosine("a.v", "b.v", "a.nrm", "b.nrm").alias("cos_raw"),
-            )
-            .filter(F.col("cos_raw") >= threshold)
         )
+        if scorer == "numpy":
+            scored = _numpy_paired_scores(cand.select(
+                F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb")))
+        else:
+            scored = cand.select(
+                F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                _paired_cosine("a.v", "b.v", "a.nrm", "b.nrm")
+                .alias("cos_raw"))
+        scored = scored.filter(F.col("cos_raw") >= threshold)
         return (
             scored.groupBy("id_a", "id_b")
             .agg(F.round(F.max("cos_raw"), 6).alias("cosine"))
@@ -352,16 +407,21 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     )
     vecs = emb.select(F.col(id_col).alias("vid"), dv.alias("v"),
                       V.norm(dv).alias("nrm"))
-    scored = (
+    paired = (
         cand
         .join(vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
                           F.col("nrm").alias("na")), "id_a")
         .join(vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
                           F.col("nrm").alias("nb")), "id_b")
-        .select("id_a", "id_b",
-                _paired_cosine("va", "vb", "na", "nb").alias("cos_raw"))
-        .filter(F.col("cos_raw") >= threshold)
     )
+    if scorer == "numpy":
+        scored = _numpy_paired_scores(
+            paired.select("id_a", "id_b", "va", "vb", "na", "nb"))
+    else:
+        scored = paired.select(
+            "id_a", "id_b",
+            _paired_cosine("va", "vb", "na", "nb").alias("cos_raw"))
+    scored = scored.filter(F.col("cos_raw") >= threshold)
     return scored.select("id_a", "id_b",
                          F.round("cos_raw", 6).alias("cosine"))
 
@@ -484,7 +544,8 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
                          threshold: float = 0.42,
-                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         kernel: str = "blas", salt: int = 8) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
     k-means cells bound the candidate space, exact cosine runs only
     WITHIN a cell. The standard embedding-dedup shape for web-scale
@@ -501,21 +562,90 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
     Deterministic end-to-end (lowest-id seeds, decimal-exact centroid
     means, tie-broken argmin), so an SQL oracle can replay the exact
     cell assignment AND the in-cell pair set.
+
+    Two in-cell scoring kernels, identical output (equality pinned in
+    tests; sf1 measurement in docs/SCALING.md):
+
+    - ``kernel="blas"`` (default): one ``applyInPandas`` per cell,
+      chunked ``M_chunk @ M.T`` so peak memory is chunk*|cell| doubles
+      regardless of cell size. The expression path costs ~10 us per
+      candidate pair (measured: 2*10^8 HOF cosine folds = ~30 s of a
+      32 s sf1 wall); the BLAS kernel pays the same n²/k arithmetic at
+      vectorized speed. Same empirical-not-bit-guaranteed 6-dp parity
+      caveat as :func:`all_pairs_cosine_matmul` (BLAS may reassociate
+      the dot sum); the expr kernel exists as the in-engine
+      cross-check. Parallelism is k tasks (one per cell) — with the
+      paper's k ~ sqrt(n) that is also the scale-out knob, and cells
+      arrive via one shuffle of (id, vector), never a broadcast.
+    - ``kernel="expr"``: pure-JVM salted self-join. Each right-side
+      row keeps one deterministic bucket (vid % salt) and the left
+      side explodes to all ``salt`` buckets, so every (u, v) pair
+      meets exactly once (via u's copy in v's bucket) over k*salt
+      join keys — output identical for any salt value.
+
+    Assignments are locally checkpointed first so the Lloyd argmin
+    chain (a k*dim-literal expression tree) is computed once and the
+    scoring stage carries a truncated lineage, not extra copies of
+    the staged-argmin plan.
     """
     a = lloyd_assignments(emb, k, iters, id_col, vec_col).select(
         F.col(id_col).alias("vid"), "dv", "cell",
-    ).withColumn("nrm", V.norm(F.col("dv")))
-    l, r = a.alias("l"), a.alias("r")
-    pairs = (
-        l.join(r, (F.col("l.cell") == F.col("r.cell"))
-               & (F.col("l.vid") < F.col("r.vid")))
-        .select(
-            F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"),
-            F.col("l.cell").alias("cell"),
-            _paired_cosine("l.dv", "r.dv", "l.nrm", "r.nrm").alias("cos_raw"),
+    ).withColumn("nrm", V.norm(F.col("dv"))).localCheckpoint(eager=False)
+
+    if kernel == "blas":
+        import numpy as np
+        import pandas as pd
+
+        thr, chunk = threshold, 1024
+
+        def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["vid"].to_numpy(dtype="int64")
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.asarray([list(v) for v in pdf["dv"]],
+                           dtype="float64")[order]
+            norms = np.linalg.norm(m, axis=1)
+            cell = int(pdf["cell"].iloc[0])
+            outs = []
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                denom = norms[lo:hi, None] * norms[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (m[lo:hi] @ m.T) / denom
+                mask = (ids[lo:hi, None] < ids[None, :]) \
+                    & (denom > 0) & (sims >= thr)
+                ai, bi = np.nonzero(mask)
+                outs.append(pd.DataFrame({
+                    "id_a": ids[lo:hi][ai], "id_b": ids[bi],
+                    "cell": np.full(len(ai), cell, dtype="int32"),
+                    "cos_raw": sims[ai, bi],
+                }))
+            return pd.concat(outs) if outs else pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cell": pd.Series(dtype="int32"),
+                 "cos_raw": pd.Series(dtype="float64")})
+
+        pairs = a.groupBy("cell").applyInPandas(
+            score_cell, schema="id_a long, id_b long, cell int, cos_raw double")
+    else:
+        l = a.withColumn(
+            "s", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        r = a.withColumn("s", F.pmod(F.col("vid"), F.lit(salt)))
+        pairs = (
+            l.alias("l").join(
+                r.alias("r"),
+                (F.col("l.cell") == F.col("r.cell"))
+                & (F.col("l.s") == F.col("r.s"))
+                & (F.col("l.vid") < F.col("r.vid")))
+            .select(
+                F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"),
+                F.col("l.cell").alias("cell"),
+                _paired_cosine("l.dv", "r.dv", "l.nrm", "r.nrm")
+                .alias("cos_raw"),
+            )
+            .filter(F.col("cos_raw") >= threshold)
         )
-        .filter(F.col("cos_raw") >= threshold)
-    )
     return pairs.select("id_a", "id_b", "cell",
                         F.round("cos_raw", 6).alias("cosine"))
 

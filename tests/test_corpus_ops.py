@@ -334,7 +334,9 @@ def test_embedding_lsh_pairs_sound_and_recalls(spark):
 def test_embedding_lsh_ids_only_path_equals_default(spark):
     """The large-dim shuffle shape (explode ids only, dedupe candidate
     pairs pre-score, join vectors back) must produce EXACTLY the same
-    pair set and cosines as the carry-vectors default."""
+    pair set and cosines as the carry-vectors default — and both
+    scoring kernels (Arrow-batched einsum vs JVM expression fold)
+    must agree at 6 dp on every surviving pair."""
     from medallion_data_pipeline_spark.operators import similarity as S
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
@@ -344,6 +346,12 @@ def test_embedding_lsh_ids_only_path_equals_default(spark):
               for r in S.embedding_lsh_pairs(
                   emb, threshold=0.42, carry_vectors=False).collect()}
     assert wide == narrow and len(wide) > 0
+    for cv in (True, False):
+        expr = {(r.id_a, r.id_b): r.cosine
+                for r in S.embedding_lsh_pairs(
+                    emb, threshold=0.42, carry_vectors=cv,
+                    scorer="expr").collect()}
+        assert expr == wide
 
 
 def test_segment_dedup_first_occurrence_wins(spark):
@@ -431,6 +439,31 @@ def test_semantic_dedup_cells_sound_and_partitioned(spark):
     for (a, b) in set(exact) - set(got):
         assert cells[a] != cells[b]
     assert len(got) / len(exact) >= 0.3    # k=4 coarse-cell floor
+
+
+def test_semantic_dedup_cells_kernels_agree(spark):
+    """The two in-cell scoring kernels are execution strategies, not
+    semantics: the per-cell chunked-BLAS kernel (default) and the
+    pure-JVM salted expression join yield the identical pair set with
+    identical 6-dp cosines, and the expr join's salt is output-
+    invariant (every (u, v) meets exactly once, via u's exploded copy
+    in v's bucket)."""
+    from medallion_data_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def run(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.cell, r.cosine)
+            for r in S.semantic_dedup_cells(emb, k=4, iters=2,
+                                            threshold=0.42,
+                                            **kw).collect())
+
+    blas = run()    # default kernel
+    assert len(blas) > 0
+    assert run(kernel="expr", salt=1) == blas   # unsalted expr join
+    assert run(kernel="expr", salt=3) == blas   # salt ∤ id space
+    assert run(kernel="expr", salt=8) == blas
 
 
 def test_segment_dedup_global_uniqueness_property(spark):
