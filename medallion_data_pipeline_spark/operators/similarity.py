@@ -318,7 +318,8 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                         dim: int = 64, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         carry_vectors: bool = True,
-                        scorer: str = "numpy") -> DataFrame:
+                        kernel: str = "bucket",
+                        scorer: str = "expr") -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH — the scale
     path that replaces the all-pairs self-join.
 
@@ -357,18 +358,78 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     are near-unique (high n_planes) and dim is small, where skipping
     the two vector re-joins saves more than duplicate scoring costs.
 
-    ``scorer="numpy"`` (default) scores surviving candidates with the
-    Arrow-batched einsum kernel (:func:`_numpy_paired_scores`) instead
-    of the per-pair JVM expression fold — the fold is ~10 us/pair and
-    dominated the 10x-sf0.1 wall (docs/SCALING.md); ``"expr"`` keeps
-    the pure-JVM path as the in-engine cross-check (equality pinned in
-    tests).
+    ``kernel="bucket"`` (default) skips the bucket self-JOIN entirely:
+    explode (vid, vector) by (table, bucket) once, group by the bucket
+    key, and score every within-bucket pair with a chunked BLAS
+    ``M_chunk @ M.T`` inside ``applyInPandas`` — then dedupe surviving
+    pairs across tables with the same groupBy+max. Vectors cross the
+    Arrow boundary once per EXPLODED ROW (n x n_tables), never once
+    per candidate pair. This is decisive on collision-heavy corpora:
+    at 10x sf0.1 the uniform test embeddings produce 104.6M
+    table-collisions (82.1M distinct candidate pairs) under the 4x8
+    default, and the join kernels pay per pair — measured 30.4s
+    (expression fold, ~14 us/pair/core) and 45.9s (per-pair einsum:
+    the row-wise kernel is fast but ships 2 x 64 doubles per PAIR
+    through Arrow, ~84 GB) vs the bucket kernel's one 90 MB explode
+    plus BLAS arithmetic (docs/SCALING.md). Same empirical 6-dp BLAS
+    parity contract as all_pairs_cosine_matmul, pinned by the
+    path-equality tests. Per-bucket memory is chunk x |bucket|
+    doubles; n_planes ~ log2(n) keeps |bucket| bounded at scale.
+
+    ``kernel="join"`` keeps the pure-plan bucket self-join (the
+    in-engine cross-check and the shape to reach for when buckets are
+    sharp and collisions sparse): ``carry_vectors`` picks the shuffle
+    width as above, and ``scorer`` picks the candidate scorer —
+    ``"expr"`` (default) the JVM fold, ``"numpy"`` the Arrow einsum
+    (:func:`_numpy_paired_scores`, only sensible when candidates are
+    few and wide).
     """
     dv = _as_double(F.col(vec_col))
     emb = spread(emb)
     keys = F.array(*[
         V.sign_lsh_key(dv, n_planes, seed + t, dim) for t in range(n_tables)
     ])
+    if kernel == "bucket":
+        import numpy as np
+        import pandas as pd
+
+        thr, chunk = threshold, 1024
+        keyed = emb.select(
+            F.col(id_col).alias("vid"), dv.alias("v"),
+            F.posexplode(keys).alias("tbl", "bucket"),
+        )
+
+        def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["vid"].to_numpy(dtype="int64")
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.asarray([list(v) for v in pdf["v"]],
+                           dtype="float64")[order]
+            norms = np.linalg.norm(m, axis=1)
+            outs = []
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                denom = norms[lo:hi, None] * norms[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (m[lo:hi] @ m.T) / denom
+                mask = (ids[lo:hi, None] < ids[None, :]) \
+                    & (denom > 0) & (sims >= thr)
+                ai, bi = np.nonzero(mask)
+                outs.append(pd.DataFrame({
+                    "id_a": ids[lo:hi][ai], "id_b": ids[bi],
+                    "cos_raw": sims[ai, bi],
+                }))
+            return pd.concat(outs) if outs else pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos_raw": pd.Series(dtype="float64")})
+
+        scored = keyed.groupBy("tbl", "bucket").applyInPandas(
+            score_bucket, schema="id_a long, id_b long, cos_raw double")
+        return (
+            scored.groupBy("id_a", "id_b")
+            .agg(F.round(F.max("cos_raw"), 6).alias("cosine"))
+        )
     if carry_vectors:
         keyed = emb.select(
             F.col(id_col).alias("vid"), dv.alias("v"), V.norm(dv).alias("nrm"),

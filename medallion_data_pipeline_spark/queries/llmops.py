@@ -674,21 +674,19 @@ def dedup_embedding_lsh(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.42) with banded
     sign-LSH candidate pruning (operators/similarity.py::
     embedding_lsh_pairs): 8 hash tables x 4-plane buckets -> explode
-    (table, bucket) keys -> self equi-join -> pair dedup BEFORE
-    scoring (carry_vectors=False: ids-only shuffle, dropDuplicates on
-    two longs, vectors join back once per side) -> exact cosine once
-    per distinct pair. No all-pairs join anywhere in the plan;
-    measured pair recall vs the exact all-pairs cross-check
-    (dedup_embedding_cosine) is 71% at sf0.01 and 76% at sf0.1,
-    tunable via n_planes/n_tables. The pre-score-dedupe path is also
-    the faster one here (4.9s vs 12.2s warm at sf0.1): with 4-plane
-    buckets, pairs collide in ~2 tables on average, so post-score
-    dedup pays the 64-dim cosine fold twice per surviving pair."""
+    (table, bucket) keys once per vector -> bucket-grouped chunked
+    BLAS scores every within-bucket pair -> groupBy+max dedupes
+    survivors across tables. No all-pairs join anywhere in the plan,
+    and vectors cross the executor/Python boundary once per exploded
+    row, never per candidate pair (the join-kernel alternatives pay
+    per pair and lose 6-10x on this corpus's collision volume —
+    operator docstring + docs/SCALING.md). Measured pair recall vs
+    the exact all-pairs cross-check (dedup_embedding_cosine) is 71%
+    at sf0.01 and 76% at sf0.1, tunable via n_planes/n_tables."""
     emb = t(spark, sf_dir, "embeddings")
     return S.embedding_lsh_pairs(
         emb, threshold=0.42, n_planes=_EMB_LSH_PLANES,
-        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED,
-        carry_vectors=False)
+        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED)
 
 
 # ---------------------------------------------------------------------------

@@ -332,26 +332,24 @@ def test_embedding_lsh_pairs_sound_and_recalls(spark):
 
 
 def test_embedding_lsh_ids_only_path_equals_default(spark):
-    """The large-dim shuffle shape (explode ids only, dedupe candidate
-    pairs pre-score, join vectors back) must produce EXACTLY the same
-    pair set and cosines as the carry-vectors default — and both
-    scoring kernels (Arrow-batched einsum vs JVM expression fold)
-    must agree at 6 dp on every surviving pair."""
+    """Every execution shape of the banded-LSH pair search must
+    produce EXACTLY the same pair set and 6-dp cosines: the default
+    bucket-grouped BLAS kernel, and the join kernel in all four
+    (carry_vectors x scorer) combinations — wide/narrow shuffle,
+    JVM expression fold vs Arrow einsum candidate scoring."""
     from medallion_data_pipeline_spark.operators import similarity as S
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    wide = {(r.id_a, r.id_b): r.cosine
-            for r in S.embedding_lsh_pairs(emb, threshold=0.42).collect()}
-    narrow = {(r.id_a, r.id_b): r.cosine
-              for r in S.embedding_lsh_pairs(
-                  emb, threshold=0.42, carry_vectors=False).collect()}
-    assert wide == narrow and len(wide) > 0
+    bucket = {(r.id_a, r.id_b): r.cosine
+              for r in S.embedding_lsh_pairs(emb, threshold=0.42).collect()}
+    assert len(bucket) > 0
     for cv in (True, False):
-        expr = {(r.id_a, r.id_b): r.cosine
-                for r in S.embedding_lsh_pairs(
-                    emb, threshold=0.42, carry_vectors=cv,
-                    scorer="expr").collect()}
-        assert expr == wide
+        for scorer in ("expr", "numpy"):
+            join = {(r.id_a, r.id_b): r.cosine
+                    for r in S.embedding_lsh_pairs(
+                        emb, threshold=0.42, kernel="join",
+                        carry_vectors=cv, scorer=scorer).collect()}
+            assert join == bucket, (cv, scorer)
 
 
 def test_segment_dedup_first_occurrence_wins(spark):
