@@ -753,35 +753,54 @@ def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 1,
     ids stay aligned with the SQL oracle's label-preserving
     mean-update CTE, exactly as lloyd_assignments does.
 
-    Training cost per subspace = iters scans + a k×subdim aggregation;
-    the driver holds only m*k*subdim floats. This is the IVF-PQ
-    memory story at 100 TB: the corpus compresses to m small ints per
-    vector, centroids stay broadcast-sized.
+    Training is FUSED across subspaces: one seed collect (the k
+    lowest-id FULL vectors, sliced driver-side — byte-identical to
+    slicing in-plan) and, per Lloyd iteration, ONE job computing every
+    (subspace, cell, pos) decimal mean via struct-explode, instead of
+    m sequential (seed + mean) job pairs. On driver-job-overhead-bound
+    corpora the sequential shape was the whole wall: knn_cosine_pq_adc
+    measured ~7.5 s of corpus-size-independent fixed cost at every SF
+    (docs/SCALING.md). The per-subspace math, seeds, labels, and
+    6-dp-rounded means are unchanged, so the SQL oracle replays
+    identically. The driver still holds only m*k*subdim floats —
+    the IVF-PQ memory story at 100 TB.
     """
     subdim = dim // m
     v = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
-    books = []
-    for s in range(m):
-        sub = v.select(F.col(id_col),
-                       F.slice("dv", s * subdim + 1, subdim).alias("dv"))
-        cents = [(i, c) for i, c in enumerate(
-            deterministic_centroids(sub, k, id_col, "dv"))]
-        for _ in range(iters):
-            assigned = _staged_argmin(sub, "dv", cents)
-            rows = (
-                assigned.select("cell", F.posexplode("dv").alias("pos", "x"))
-                .groupBy("cell", "pos")
-                .agg(F.round(
-                    F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
-                    / F.count(F.lit(1)), 6).alias("cx"))
-                .collect()
-            )
-            new: dict[int, dict[int, float]] = {}
-            for r in rows:
-                new.setdefault(r.cell, {})[r.pos] = r.cx
-            cents = [(cell_id, [d[p] for p in sorted(d)])
-                     for cell_id, d in sorted(new.items())]
-        books.append(cents)
+    seed_rows = (v.orderBy(id_col).limit(k).select("dv").collect())
+    books = [
+        [(i, list(r.dv[s * subdim:(s + 1) * subdim]))
+         for i, r in enumerate(seed_rows)]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        df = v
+        structs = []
+        for s in range(m):
+            df = df.withColumn(
+                f"_sub{s}", F.slice("dv", s * subdim + 1, subdim))
+            df = _staged_argmin(df, f"_sub{s}", books[s],
+                                cell_name=f"_cell{s}", d2_name=f"_d2_{s}")
+            structs.append(F.struct(
+                F.lit(s).alias("s"), F.col(f"_cell{s}").alias("cell"),
+                F.col(f"_sub{s}").alias("sub")))
+        rows = (
+            df.select(F.explode(F.array(*structs)).alias("e"))
+            .select("e.s", "e.cell", F.posexplode("e.sub").alias("pos", "x"))
+            .groupBy("s", "cell", "pos")
+            .agg(F.round(
+                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("cx"))
+            .collect()
+        )
+        new: list[dict[int, dict[int, float]]] = [{} for _ in range(m)]
+        for r in rows:
+            new[r.s].setdefault(r.cell, {})[r.pos] = r.cx
+        books = [
+            [(cell_id, [d[p] for p in sorted(d)])
+             for cell_id, d in sorted(new[s].items())]
+            for s in range(m)
+        ]
     return books
 
 
@@ -789,24 +808,27 @@ def pq_assign_long(emb: DataFrame, codebooks: list[list[tuple[int, list[float]]]
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Long-form PQ code assignment: one row per (vector, subspace)
     with the nearest-centroid code and the quantization error d2.
-    Map-only (argmin over broadcast centroid literals) — no shuffle.
-    Codes are the codebooks' own cell labels (pq_train preserves them
-    through Lloyd updates), never re-enumerated positions."""
+    Map-only (argmin over broadcast centroid literals) — no shuffle,
+    and ONE corpus scan for all m subspaces (each row computes its m
+    argmins, then struct-explodes to long form) instead of an m-way
+    union of per-subspace scans. Codes are the codebooks' own cell
+    labels (pq_train preserves them through Lloyd updates), never
+    re-enumerated positions."""
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
-    v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
-    parts = []
+    df = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
+    structs = []
     for s, book in enumerate(codebooks):
-        sub = v.select(F.col(id_col),
-                       F.slice("dv", s * subdim + 1, subdim).alias("dv"))
-        parts.append(
-            _staged_argmin(sub, "dv", book)
-            .select(F.col(id_col), F.lit(s).alias("subspace"),
-                    F.col("cell").alias("code"), "d2"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        df = df.withColumn(f"_sub{s}", F.slice("dv", s * subdim + 1, subdim))
+        df = _staged_argmin(df, f"_sub{s}", book,
+                            cell_name=f"_cell{s}", d2_name=f"_d2_{s}")
+        structs.append(F.struct(
+            F.lit(s).alias("subspace"), F.col(f"_cell{s}").alias("code"),
+            F.col(f"_d2_{s}").alias("d2")))
+    return (
+        df.select(F.col(id_col), F.explode(F.array(*structs)).alias("e"))
+        .select(F.col(id_col), "e.subspace", "e.code", "e.d2")
+    )
 
 
 def pq_quantization_stats(emb: DataFrame, m: int = 2, k: int = 4,
