@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .._util import spread
 from ..sources.testdata import load_table
 
 MONEY = "decimal(18,2)"
@@ -16,6 +17,18 @@ MONEY = "decimal(18,2)"
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def td(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, SPREAD to full input parallelism — for any
+    query that chains per-row tokenize/shingle/hash work onto the
+    scan. The driver testdata is one parquet row group per table (=
+    one scan task), so an unspread corpus-wide tokenize serializes
+    onto a single core: contamination_check measured 4.9 s at sf0.1
+    but 3.6 s on the 10x-bigger 32-file sf1 layout purely because the
+    latter scan parallelizes (docs/SCALING.md). At 100 TB inputs
+    arrive as many files and spread() is a no-op (see _util.spread)."""
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def dmoney(c: Column | str) -> Column:

@@ -17,7 +17,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from . import register
-from ._util import t
+from ._util import t, td
 
 # SQL fragments mirroring functions/text.py (same constants!)
 _SQL_NORM = "trim(regexp_replace(lower({0}), '\\s+', ' ', 'g'))"
@@ -721,7 +721,7 @@ FROM winnowed
 def doc_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling min-hash window) fingerprints per document —
     staged tokens -> shingles -> md5 -> sliding-window minima."""
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir)
     w = _WINNOW_W
     staged = (
         docs.withColumn("_toks", X.words(F.col("text")))
@@ -964,7 +964,7 @@ def dedup_keep_best(spark, sf_dir):
     from ..functions import text as X
     from pyspark.sql.window import Window as W
 
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir)
     pairs = D.minhash_near_duplicates(docs, threshold=0.4)
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
@@ -1076,11 +1076,19 @@ def contamination_check(spark, sf_dir):
     """Documents contaminated by eval-set 4-grams, with the shared-gram
     count. Scale shape: explode both sides to (gram) and equi-join on
     the gram — the eval side is small, so it broadcasts; never a cross
-    join. Count-distinct collapses to grain (doc, gram) first."""
-    docs = t(spark, sf_dir, "documents")
+    join. Count-distinct collapses to grain (doc, gram) first.
+
+    The shingle frame is PERSISTED before the explodes: it feeds both
+    join sides, and exploding a non-materialized computed shingle
+    array costs a fixed ~4 s at sf0.1 regardless of row count (50 or
+    5000 docs measured identically; neither an exchange barrier nor
+    disabling codegen changes it) while explode-from-cache is 0.08 s.
+    Query wall 4.6 s -> 1.05 s."""
+    docs = td(spark, sf_dir)
     shingled = (
         docs.withColumn("_toks", X.words(F.col("text")))
         .withColumn("_sh", X.shingles_from_tokens(F.col("_toks"), 4))
+        .select("doc_id", "_sh").persist()
     )
     eval_grams = (
         shingled.filter(F.col("doc_id") % 100 == 0)
@@ -1265,7 +1273,7 @@ def gopher_quality_filters(spark, sf_dir):
     no UDFs; the whole filter is Catalyst expressions over staged
     columns, so at 100 TB it runs scan-local with no shuffle before
     the tiny per-language rollup."""
-    d = _doc_word_stats(t(spark, sf_dir, "documents"))
+    d = _doc_word_stats(td(spark, sf_dir))
     passes = (
         (F.col("n_words") >= 30) & (F.col("stop_frac") >= 0.02)
         & (F.col("distinct_frac") >= 0.5) & F.col("mwl").between(3, 10)
@@ -1318,7 +1326,7 @@ def repetition_profile(spark, sf_dir):
     C4 'repeated n-gram' signal) aggregated per language. Bigrams are
     staged once per row; dedup of the gram list is array_distinct —
     all expression-level, scan-local until the 5-row rollup."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = td(spark, sf_dir).withColumn(
         "gs", X.shingles_from_tokens(X.words(F.col("text")), 2))
     dup = F.when(
         F.size("gs") > 0,
@@ -1363,7 +1371,7 @@ def temperature_resample(spark, sf_dir):
     exactly. Heavy work is one scan + 5-group agg; the normalization
     window runs on 5 rows."""
     from pyspark.sql import Window as W
-    d = t(spark, sf_dir, "documents").select(
+    d = td(spark, sf_dir).select(
         "lang", F.size(X.words(F.col("text"))).alias("n_words"))
     s = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("tokens"))
@@ -1400,7 +1408,7 @@ def corpus_token_stats(spark, sf_dir):
     integer inputs — deterministic, unlike approx_percentile). At
     scale the exact percentile is a sort-based agg per group; for the
     100 TB path approx_sketches provides the t-digest variant."""
-    d = t(spark, sf_dir, "documents").select(
+    d = td(spark, sf_dir).select(
         "lang", "n_chars", F.size(X.words(F.col("text"))).alias("n_words"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1446,7 +1454,7 @@ def sequence_packing(spark, sf_dir):
     bound partition size — semantics unchanged since bins never cross
     shards if doc_ids are range-sharded."""
     from pyspark.sql import Window as W
-    d = t(spark, sf_dir, "documents").select(
+    d = td(spark, sf_dir).select(
         "doc_id", "lang", F.size(X.words(F.col("text"))).alias("tok"))
     w = (W.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(W.unboundedPreceding, -1))
@@ -1487,9 +1495,13 @@ def ngram_heavy_hitters(spark, sf_dir):
     baseline; approx_sketches carries the sketch variant). explode ->
     partial-agg count -> total-order top-k; map-side combine keeps the
     shuffle proportional to distinct grams, not corpus size. Total
-    order (cnt DESC, gram ASC) makes the LIMIT deterministic."""
-    d = t(spark, sf_dir, "documents").withColumn(
-        "gs", X.shingles_from_tokens(X.words(F.col("text")), 3))
+    order (cnt DESC, gram ASC) makes the LIMIT deterministic.
+    The shingle column is persisted pre-explode (the fixed
+    explode-over-computed-array cost; see contamination_check):
+    5.2 s -> ~1 s at sf0.1."""
+    d = td(spark, sf_dir).withColumn(
+        "gs", X.shingles_from_tokens(X.words(F.col("text")), 3)) \
+        .select("gs").persist()
     g = d.select(F.explode("gs").alias("gram"))
     return (g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("gram")).limit(20))
@@ -1527,9 +1539,12 @@ def tfidf_top_terms(spark, sf_dir):
     the (lang, word) count. Rank uses the ROUNDED score with the word
     as tiebreak so ordering is engine-independent."""
     from pyspark.sql import Window as W
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = td(spark, sf_dir).withColumn(
         "ws", X.words(F.col("text")))
-    w_ = d.select("doc_id", "lang", F.explode("ws").alias("word"))
+    # persisted: feeds BOTH the df and tf aggregations, and explode
+    # over a computed token array pays a fixed per-action cost
+    # (see contamination_check)
+    w_ = d.select("doc_id", "lang", F.explode("ws").alias("word")).persist()
     df_ = w_.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
     tf_ = w_.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -1646,7 +1661,7 @@ def inverted_index_top_terms(spark, sf_dir):
     map side before the term shuffle; posting order is doc_id, so the
     digest certifies the full index content. At 100 TB you'd range-
     bucket terms; the per-term agg shape is unchanged."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = td(spark, sf_dir).withColumn(
         "ws", X.words(F.col("text")))
     w_ = d.select("doc_id", F.explode("ws").alias("word")).distinct()
     return (
@@ -2085,7 +2100,7 @@ def length_bucket_batches(spark, sf_dir):
     sharded window keeps the whole plan declarative instead."""
     from pyspark.sql.window import Window as W
 
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir)
     keyed = docs.select(
         "doc_id",
         F.size(X.words(F.col("text"))).alias("n_tokens"),
@@ -2490,7 +2505,7 @@ def domain_mixture_weights(spark, sf_dir):
     window below it runs on the |sources| frame."""
     from pyspark.sql.window import Window as W
 
-    d = t(spark, sf_dir, "documents").select(
+    d = td(spark, sf_dir).select(
         "source", F.size(X.words(F.col("text"))).alias("n_words"))
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
