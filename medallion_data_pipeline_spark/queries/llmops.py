@@ -1079,11 +1079,12 @@ def contamination_check(spark, sf_dir):
     join. Count-distinct collapses to grain (doc, gram) first.
 
     The shingle frame is PERSISTED before the explodes: it feeds both
-    join sides, and exploding a non-materialized computed shingle
-    array costs a fixed ~4 s at sf0.1 regardless of row count (50 or
-    5000 docs measured identically; neither an exchange barrier nor
-    disabling codegen changes it) while explode-from-cache is 0.08 s.
-    Query wall 4.6 s -> 1.05 s."""
+    join sides, and — on sessions without the engine's
+    InferFiltersFromGenerate exclusion (session.py; e.g. a
+    caller-provided harness session) — exploding a non-materialized
+    computed shingle array triggers that rule's O(tokens²) inferred
+    size-filter (docs/PERFORMANCE.md #28; measured 4.6 s -> 1.05 s
+    here). The cache sidesteps the rewrite on any session."""
     docs = td(spark, sf_dir)
     shingled = (
         docs.withColumn("_toks", X.words(F.col("text")))
@@ -1496,8 +1497,9 @@ def ngram_heavy_hitters(spark, sf_dir):
     partial-agg count -> total-order top-k; map-side combine keeps the
     shuffle proportional to distinct grams, not corpus size. Total
     order (cnt DESC, gram ASC) makes the LIMIT deterministic.
-    The shingle column is persisted pre-explode (the fixed
-    explode-over-computed-array cost; see contamination_check):
+    The shingle column is persisted pre-explode (guards against the
+    InferFiltersFromGenerate O(tokens²) rewrite on sessions without
+    the engine's rule exclusion; see contamination_check):
     5.2 s -> ~1 s at sf0.1."""
     d = td(spark, sf_dir).withColumn(
         "gs", X.shingles_from_tokens(X.words(F.col("text")), 3)) \
@@ -1541,9 +1543,9 @@ def tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window as W
     d = td(spark, sf_dir).withColumn(
         "ws", X.words(F.col("text")))
-    # persisted: feeds BOTH the df and tf aggregations, and explode
-    # over a computed token array pays a fixed per-action cost
-    # (see contamination_check)
+    # persisted: feeds BOTH the df and tf aggregations (and guards the
+    # InferFiltersFromGenerate rewrite on sessions without the
+    # engine's rule exclusion; see contamination_check)
     w_ = d.select("doc_id", "lang", F.explode("ws").alias("word")).persist()
     df_ = w_.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()

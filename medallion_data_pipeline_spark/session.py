@@ -49,6 +49,19 @@ def get_spark(app_name: str = "medallion_data_pipeline_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate rewrites explode(computed_array) into
+        # a pushed-down `size(...) > 0` filter that re-substitutes the
+        # array expression at EVERY reference site — for shingles-over-
+        # tokens that inlines the tokenizer inside the per-index slice
+        # lambda, i.e. O(tokens²) per row in a filter that then runs
+        # below the repartition where the doc_id prune can't reach.
+        # Measured at sf0.1: explode of a staged shingle column 4.1 s
+        # with the rule, 0.34 s without; outputs identical (the engine's
+        # explode inputs are never predominantly empty, which is the
+        # only case the rule helps). docs/PERFORMANCE.md #28.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer"
+                ".InferFiltersFromGenerate")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

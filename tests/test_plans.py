@@ -81,9 +81,12 @@ def test_column_pruning_reaches_scan(spark):
 
 def test_gopher_filters_single_shuffle(spark):
     """The quality gates are scan-local expressions; only the tiny
-    per-language rollup shuffles — exactly one Exchange."""
+    per-language rollup shuffles — exactly one HASH exchange. (The
+    round-robin REPARTITION exchange is td()'s layout spread: a narrow
+    one-row-group-scan fix that is a no-op on real multi-file inputs —
+    see _util.spread — not part of the query's data movement.)"""
     plan = _plan(spark, "gopher_quality_filters")
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_tfidf_broadcasts_df_side(spark):

@@ -97,6 +97,9 @@ def get_ui_spark() -> SparkSession:
         .config("spark.ui.retainedStages", "100000")
         .config("spark.ui.retainedJobs", "100000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer"
+                ".InferFiltersFromGenerate")   # see session.py
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
