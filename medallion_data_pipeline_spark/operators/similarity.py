@@ -259,14 +259,21 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: route query + corpus vectors to centroid cells,
     search exactly within the query's cell. The 100 TB shape: one
-    equi-join on cell id; recall tuned by probing >1 cell (nprobe)."""
+    equi-join on cell id; recall tuned by probing >1 cell (nprobe).
+
+    Both assignment frames are locally checkpointed: CollapseProject
+    merges the staged-argmin projections back together when the join
+    consumes them, re-substituting every per-centroid distance fold
+    into the least()/when-chain references — a 276 KB plan with 161
+    zip_with folds whose per-action analysis+codegen dominated the
+    query (measured 7.9 s -> 1.9 s at sf0.1 with the barrier)."""
     cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"),
-        V.norm(F.col("dv")).alias("cn"), "cell")
+        V.norm(F.col("dv")).alias("cn"), "cell").localCheckpoint(eager=False)
     q = ivf_assign(queries, cents, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("dv").alias("qv"),
-        V.norm(F.col("dv")).alias("qn"), "cell")
+        V.norm(F.col("dv")).alias("qn"), "cell").localCheckpoint(eager=False)
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -557,11 +564,13 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (recall grows with nprobe at proportional cost; nprobe = n_cells
     degenerates to exact search). Corpus routing stays single-cell;
     only the query side fans out, so the join cost scales with
-    queries × nprobe, not corpus size."""
+    queries × nprobe, not corpus size. The corpus assignment is
+    locally checkpointed (same CollapseProject plan blowup as
+    knn_ivf; see its docstring)."""
     cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"),
-        V.norm(F.col("dv")).alias("cn"), "cell")
+        V.norm(F.col("dv")).alias("cn"), "cell").localCheckpoint(eager=False)
 
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("qv"))
