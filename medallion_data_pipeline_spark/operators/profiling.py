@@ -40,20 +40,34 @@ def duplicate_count(df: DataFrame, subset: list[str] | None = None) -> int:
 
 def describe_plus(df: DataFrame, col: str) -> DataFrame:
     """describe + quartiles + distinct count for one numeric column
-    (reference eda/supply_chain_eda.py:689-710)."""
+    (reference eda/supply_chain_eda.py:689-710).
+
+    The three exact quartiles come from ONE ``percentile(c, array(...))``
+    aggregate (each scalar ``percentile`` call is an independent
+    imperative aggregate with its own full value-count buffer: 4.3 s
+    vs 1.8 s at sf0.1), and the distinct count runs in its OWN agg,
+    cross-joined back: ``countDistinct`` alongside other aggregates
+    plans an Expand that doubles every input row through the
+    percentile buffers. Identical values either way."""
     c = F.col(col)
+    q = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return df.agg(
         F.count(c).alias("count"),
         F.round(F.avg(c), 6).alias("mean"),
         F.round(F.stddev(c), 6).alias("stddev"),
         F.min(c).alias("min"),
-        F.percentile(c, F.lit(0.25)).alias("q25"),
-        F.percentile(c, F.lit(0.5)).alias("median"),
-        F.percentile(c, F.lit(0.75)).alias("q75"),
+        q.alias("_q"),
         F.max(c).alias("max"),
-        F.countDistinct(c).alias("n_distinct"),
         F.round(F.skewness(c), 6).alias("skewness"),
         F.round(F.kurtosis(c), 6).alias("kurtosis"),
+    ).crossJoin(
+        df.agg(F.countDistinct(c).alias("n_distinct"))
+    ).select(
+        "count", "mean", "stddev", "min",
+        F.col("_q")[0].alias("q25"),
+        F.col("_q")[1].alias("median"),
+        F.col("_q")[2].alias("q75"),
+        "max", "n_distinct", "skewness", "kurtosis",
     )
 
 

@@ -148,16 +148,28 @@ def describe_extendedprice(spark, sf_dir):
     moments; quartiles are exact type-7 percentiles."""
     li = t(spark, sf_dir, "lineitem")
     x = dmoney("l_extendedprice")
+    # One shared-buffer array percentile (three scalar percentile aggs
+    # each carry an independent full value-count buffer), and the
+    # distinct count in its OWN agg: countDistinct alongside other
+    # aggregates plans an Expand that doubles every input row through
+    # the percentile buffers. Together: 9.3 s -> 1.9 s at sf0.1,
+    # identical values.
+    q = F.percentile("l_extendedprice",
+                     F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
     m = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("s1"),
         F.sum(x * x).alias("s2"),
         F.min("l_extendedprice").cast("double").alias("min_v"),
         F.max("l_extendedprice").cast("double").alias("max_v"),
-        F.countDistinct("l_extendedprice").alias("n_distinct"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("q25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("q75"),
+        q.alias("_q"),
+    ).crossJoin(li.agg(
+        F.countDistinct("l_extendedprice").alias("n_distinct"))
+    ).select(
+        "n", "s1", "s2", "min_v", "max_v", "n_distinct",
+        F.round(F.col("_q")[0], 4).alias("q25"),
+        F.round(F.col("_q")[1], 4).alias("median"),
+        F.round(F.col("_q")[2], 4).alias("q75"),
     )
     s1d = F.col("s1").cast("double")
     s2d = F.col("s2").cast("double")

@@ -247,3 +247,26 @@ def test_quartile_bins_small_n_matches_ntile(spark, tmp_path):
         exp = {r["tile"]: (r["n_orders"], r["min_price"], r["max_price"])
                for r in exp_rows}
         assert got == exp, f"N={n}: {got} != {exp}"
+
+
+def test_describe_plus_exact_stats(spark):
+    """describe_plus on a known column: every statistic checked against
+    hand-computed values, pinning the shared-buffer array percentile +
+    split-distinct restructuring (values must be identical to the
+    one-agg original)."""
+    import statistics
+
+    from medallion_data_pipeline_spark.operators.profiling import describe_plus
+
+    vals = [1.0, 2.0, 2.0, 4.0, 7.0, 11.0, 16.0, 22.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = describe_plus(df, "x").collect()[0]
+    assert r["count"] == 8
+    assert r["n_distinct"] == 7
+    assert r["min"] == 1.0 and r["max"] == 22.0
+    assert abs(r["mean"] - round(sum(vals) / 8, 6)) < 1e-9
+    assert abs(r["stddev"] - round(statistics.stdev(vals), 6)) < 1e-9
+    # exact type-7 (linear interpolation) percentiles over sorted vals
+    assert abs(r["q25"] - 2.0) < 1e-9            # pos 2.75 between 2,2
+    assert abs(r["median"] - 5.5) < 1e-9         # between 4 and 7
+    assert abs(r["q75"] - 12.25) < 1e-9          # between 11 and 16
