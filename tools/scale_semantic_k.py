@@ -10,7 +10,8 @@ in-cell work linear in n. This tool measures both on the SAME grown
 sf1 corpus (10x sf0.1, via tools/scale_heavy.grow_sf1) so the scaling
 table can cite a number, not a docstring.
 
-Usage: python tools/scale_semantic_k.py
+Usage: python tools/scale_semantic_k.py [replicas]
+    replicas: growth factor over sf0.1 (default 10 = sf1; 100 = sf10)
 """
 
 from __future__ import annotations
@@ -31,13 +32,14 @@ from tools.scale_heavy import get_ui_spark, grow_sf1
 
 
 def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_ui_spark()
-    sf1_dir = tempfile.mkdtemp(prefix="mdp_sf1k_")
+    sf1_dir = tempfile.mkdtemp(prefix="mdp_sfk_")
     out = {}
     try:
         t0 = time.time()
-        grow_sf1(spark, "/root/testdata/sf0.1", sf1_dir)
-        print(f"grown sf1 in {time.time() - t0:.1f}s", flush=True)
+        grow_sf1(spark, "/root/testdata/sf0.1", sf1_dir, replicas=replicas)
+        print(f"grown {replicas}x in {time.time() - t0:.1f}s", flush=True)
         emb = load_table(spark, sf1_dir, "embeddings")
         n = emb.count()
         k_scaled = max(4, int(round(math.sqrt(n) / math.sqrt(5000) * 4)))
