@@ -141,7 +141,7 @@ FROM m
 """
 
 
-@register("describe_extendedprice", oracle=_DESCRIBE_SQL)
+@register("describe_extendedprice", oracle=_DESCRIBE_SQL, bench=True)
 def describe_extendedprice(spark, sf_dir):
     """describe+ statistics (count/mean/std/min/max/quartiles/distinct,
     reference eda/supply_chain_eda.py:689-710) from exact decimal

@@ -717,7 +717,7 @@ FROM winnowed
 """
 
 
-@register("doc_winnowing_fingerprints", oracle=_WINNOW_SQL)
+@register("doc_winnowing_fingerprints", oracle=_WINNOW_SQL, bench=True)
 def doc_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling min-hash window) fingerprints per document —
     staged tokens -> shingles -> md5 -> sliding-window minima."""
@@ -790,7 +790,7 @@ WHERE rank <= 5
 """
 
 
-@register("knn_cosine_ivf", oracle=_IVF_SQL)
+@register("knn_cosine_ivf", oracle=_IVF_SQL, bench=True)
 def knn_cosine_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-5 cosine neighbors
     (operators/similarity.py::knn_ivf): deterministic centroid routing,
@@ -1490,7 +1490,7 @@ LIMIT 20
 """.format(grams=_sql_shingles("text", 3))
 
 
-@register("ngram_heavy_hitters", oracle=_HEAVY_HITTERS_SQL)
+@register("ngram_heavy_hitters", oracle=_HEAVY_HITTERS_SQL, bench=True)
 def ngram_heavy_hitters(spark, sf_dir):
     """Corpus-wide top-20 word trigrams (the exact heavy-hitter
     baseline; approx_sketches carries the sketch variant). explode ->
@@ -1533,7 +1533,7 @@ SELECT lang, word, tf, df, tfidf, rk FROM ranked WHERE rk <= 5
 """.format(words=_SQL_WORDS.format("text"))
 
 
-@register("tfidf_top_terms", oracle=_TFIDF_SQL)
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, bench=True)
 def tfidf_top_terms(spark, sf_dir):
     """Top-5 terms per language by tf-idf (term count in the language
     vs corpus-wide document frequency). The df table and the scalar
@@ -2363,7 +2363,7 @@ FROM rer WHERE rank <= 5
 """
 
 
-@register("knn_cosine_pq_rerank", oracle=_PQ_RERANK_SQL)
+@register("knn_cosine_pq_rerank", oracle=_PQ_RERANK_SQL, bench=True)
 def knn_cosine_pq_rerank(spark, sf_dir):
     """The complete IVF-PQ search (operators/similarity.py::
     knn_pq_rerank): ADC over the compressed corpus shortlists 50

@@ -289,3 +289,26 @@ def test_corpus_pipeline_layers_and_leakage(spark, tmp_path):
         corpus.select("doc_id", "text"), threshold=0.4).collect()
     for p in pairs:
         assert splits[p.id_a] == splits[p.id_b], (p.id_a, p.id_b)
+
+
+def test_session_excludes_infer_filters_from_generate(spark):
+    """The engine session must exclude InferFiltersFromGenerate: its
+    inferred size(arr) > 0 filter re-substitutes a computed array
+    expression at every reference site — O(tokens²) per row for
+    shingles-over-tokens (docs/PERFORMANCE.md #28). Checks both the
+    conf and the observable plan shape: no size(...)-filter below the
+    projection when exploding a staged shingle column."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.functions import text as X
+
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in excluded
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string")
+    sh = (docs.withColumn("_toks", X.words(F.col("text")))
+              .withColumn("_sh", X.shingles_from_tokens(F.col("_toks"), 4)))
+    plan = sh.select(F.explode("_sh").alias("g")) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter (size(" not in plan, plan
