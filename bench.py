@@ -78,16 +78,26 @@ def main() -> None:
         list(pool.map(_lay, TABLES))
     timings["layout_ingest"] = round(time.time() - t0, 3)
 
-    # min-of-3: one measured run occasionally catches a multi-second
-    # JVM/host stall (observed 4s -> 44s on identical plans back to
-    # back); the minimum of three warm runs is the plan's actual cost.
+    # min-of-3 with every rep logged: one measured run occasionally
+    # catches a multi-second JVM/host stall (observed 4s -> 44s on
+    # identical plans back to back), so the minimum of three warm runs
+    # is the plan's actual cost — and the full rep list in the output
+    # lets a reader tell a real regression (all reps moved) from host
+    # noise (one outlier rep) when diffing BENCH_rN files.
+    all_reps: dict[str, list[float]] = {}
     for name, q in bench_queries:
-        best = float("inf")
+        reps = []
         for _ in range(3):
             t0 = time.time()
             q.fn(spark, layout_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            reps.append(round(time.time() - t0, 3))
+        all_reps[name] = reps
+        timings[name] = min(reps)
+        # several text/ANN queries persist()/localCheckpoint() interior
+        # frames scoped to one invocation; each rep creates fresh ones,
+        # so drop them here or a full bench run accumulates dead cached
+        # blocks across ~30 queries x 3 reps
+        spark.catalog.clearCache()
 
     # Structured Streaming throughput over the same events table: file
     # source micro-batches (4 files/trigger over the 8-file layout, so
@@ -100,13 +110,14 @@ def main() -> None:
     from medallion_data_pipeline_spark.streaming import events as SE
 
     ev_path = os.path.join(layout_dir, "events.parquet")
-    best = float("inf")
+    reps = []
     for rep in range(2):
         t0 = time.time()
         stream = SE.read_event_stream(spark, ev_path, max_files_per_trigger=4)
         SE.run_to_memory(SE.hourly_rollup(stream), f"bench_stream_{rep}")
-        best = min(best, time.time() - t0)
-    timings["streaming_hourly_rollup"] = round(best, 3)
+        reps.append(round(time.time() - t0, 3))
+    all_reps["streaming_hourly_rollup"] = reps
+    timings["streaming_hourly_rollup"] = min(reps)
 
     shutil.rmtree(layout_dir, ignore_errors=True)
 
@@ -161,6 +172,7 @@ def main() -> None:
             rep_t["pipeline_forecast_50k"] = time.time() - t0
             for k, v in rep_t.items():
                 stage_best[k] = min(stage_best.get(k, float("inf")), v)
+                all_reps.setdefault(k, []).append(round(v, 3))
         finally:
             shutil.rmtree(wh, ignore_errors=True)
     for k, v in stage_best.items():
@@ -171,16 +183,17 @@ def main() -> None:
     # documents table — the LLM-data dual of the medallion pipeline.
     from medallion_data_pipeline_spark.plans import corpus as corpus_plan
 
-    best = float("inf")
+    reps = []
     for _rep in range(2):
         cw = tempfile.mkdtemp(prefix="mdp_bench_corpus_")
         try:
             t0 = time.time()
             corpus_plan.run_corpus_pipeline(spark, sf_dir, cw)
-            best = min(best, time.time() - t0)
+            reps.append(round(time.time() - t0, 3))
         finally:
             shutil.rmtree(cw, ignore_errors=True)
-    timings["pipeline_corpus_curation"] = round(best, 3)
+    all_reps["pipeline_corpus_curation"] = reps
+    timings["pipeline_corpus_curation"] = min(reps)
 
     # Methodologically homogeneous headline: `value`/`total_queries` sum
     # only the min-of-N measurements; the one-shot layout_ingest cost is
@@ -193,6 +206,7 @@ def main() -> None:
         "value": total_queries,
         "unit": "sec",
         "queries": timings,
+        "reps": all_reps,
         "total_queries": total_queries,
         "layout_ingest": timings["layout_ingest"],
         "sf": sf,

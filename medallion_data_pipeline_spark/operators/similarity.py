@@ -29,6 +29,18 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _id_is_integral(df: DataFrame, id_col: str) -> bool:
+    """The Python/Arrow scoring kernels materialize the id column as
+    int64 (``to_numpy(dtype="int64")``) and declare it ``long`` in
+    their output schema, so they only accept integral id columns; the
+    pure-plan join kernels carry any orderable id type. Callers of
+    the kernel-defaulted operators get an automatic fallback."""
+    return dict(df.dtypes).get(id_col) in _INTEGRAL_TYPES
+
+
 def _paired_cosine(qv="qv", cv="cv", qn="qn", cn="cn"):
     """cos from per-row precomputed norms: dot/(qn*cn). Identical IEEE
     ops in the same order as V.cosine (norm product, >0 guard, one
@@ -382,6 +394,9 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     parity contract as all_pairs_cosine_matmul, pinned by the
     path-equality tests. Per-bucket memory is chunk x |bucket|
     doubles; n_planes ~ log2(n) keeps |bucket| bounded at scale.
+    The kernel requires an INTEGRAL ``id_col`` (ids cross Arrow as
+    int64 and the output schema says ``long``); non-integral ids
+    fall back to ``kernel="join"`` automatically.
 
     ``kernel="join"`` keeps the pure-plan bucket self-join (the
     in-engine cross-check and the shape to reach for when buckets are
@@ -396,6 +411,11 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     keys = F.array(*[
         V.sign_lsh_key(dv, n_planes, seed + t, dim) for t in range(n_tables)
     ])
+    if kernel == "bucket" and not _id_is_integral(emb, id_col):
+        # the BLAS kernel int64-casts ids and emits schema `long`; a
+        # string/decimal id would fail inside the Arrow worker, so fall
+        # back to the pure-plan bucket join which carries any id type
+        kernel = "join"
     if kernel == "bucket":
         import numpy as np
         import pandas as pd
@@ -644,7 +664,10 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
       vectorized speed. Same empirical-not-bit-guaranteed 6-dp parity
       caveat as :func:`all_pairs_cosine_matmul` (BLAS may reassociate
       the dot sum); the expr kernel exists as the in-engine
-      cross-check. Parallelism is k tasks (one per cell) — with the
+      cross-check. Requires an INTEGRAL ``id_col`` (ids cross Arrow
+      as int64, output schema ``long``); non-integral ids fall back
+      to ``kernel="expr"`` automatically.
+      Parallelism is k tasks (one per cell) — with the
       paper's k ~ sqrt(n) that is also the scale-out knob, and cells
       arrive via one shuffle of (id, vector), never a broadcast.
     - ``kernel="expr"``: pure-JVM salted self-join. Each right-side
@@ -662,6 +685,11 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
         F.col(id_col).alias("vid"), "dv", "cell",
     ).withColumn("nrm", V.norm(F.col("dv"))).localCheckpoint(eager=False)
 
+    if kernel == "blas" and not _id_is_integral(emb, id_col):
+        # same int64-id constraint as embedding_lsh_pairs' bucket
+        # kernel: fall back to the pure-plan salted join for
+        # non-integral id columns
+        kernel = "expr"
     if kernel == "blas":
         import numpy as np
         import pandas as pd
@@ -701,7 +729,13 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
     else:
         l = a.withColumn(
             "s", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-        r = a.withColumn("s", F.pmod(F.col("vid"), F.lit(salt)))
+        # any deterministic per-row bucket works (each pair still meets
+        # exactly once via u's copy in v's bucket); pmod on the id
+        # needs a numeric id, so non-integral ids bucket by hash
+        r_salt = (F.pmod(F.col("vid"), F.lit(salt))
+                  if _id_is_integral(emb, id_col)
+                  else F.pmod(F.abs(F.hash(F.col("vid"))), F.lit(salt)))
+        r = a.withColumn("s", r_salt)
         pairs = (
             l.alias("l").join(
                 r.alias("r"),

@@ -1520,7 +1520,16 @@ def forecast_backtest_accuracy(spark, sf_dir):
     per-entity MAPE / sMAPE / bias / accuracy_pct / interval coverage
     with order-independent decimal-sum aggregation. Computes the
     accuracy number the reference claims (README.md:364: "85%+ for
-    30-day demand predictions") but never measures."""
+    30-day demand predictions") but never measures.
+
+    ORACLE PIN: the DuckDB dual hardcodes BOTH the seasonal-naive
+    recursion (last-week lookup + linear drift) and the worker's ±20 %
+    interval (``y BETWEEN yhat*0.8 AND yhat*1.2``,
+    plans/forecasting.py:74). They agree only because this query pins
+    ``model="seasonal_naive"`` below — switching the model arg (or
+    "auto" on a host with prophet/statsmodels installed) changes yhat
+    and yhat_lower/upper, so _BACKTEST_SQL must be rewritten in the
+    same change. The assert keeps that coupling loud."""
     from ..plans.forecasting import backtest_forecast
 
     o = t(spark, sf_dir, "orders")
@@ -1539,5 +1548,9 @@ def forecast_backtest_accuracy(spark, sf_dir):
         .select("entity_id", "ds",
                 F.coalesce("y", F.lit(0.0)).cast("double").alias("y"))
     )
+    model = "seasonal_naive"
+    assert model == "seasonal_naive", (
+        "_BACKTEST_SQL hardcodes the seasonal-naive recursion and the "
+        "±20% interval; rewrite the oracle before changing the model")
     return backtest_forecast(series, horizon=_BT_HORIZON, level="priority",
-                             model="seasonal_naive")
+                             model=model)

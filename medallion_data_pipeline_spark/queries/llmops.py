@@ -1084,7 +1084,18 @@ def contamination_check(spark, sf_dir):
     caller-provided harness session) — exploding a non-materialized
     computed shingle array triggers that rule's O(tokens²) inferred
     size-filter (docs/PERFORMANCE.md #28; measured 4.6 s -> 1.05 s
-    here). The cache sidesteps the rewrite on any session."""
+    here). The cache sidesteps the rewrite on any session.
+
+    Cache lifecycle: this persist (and the ones in ngram_heavy_hitters
+    / tfidf_top_terms, plus the lazy localCheckpoints in the IVF/
+    semantic-dedup operators) is scoped to ONE invocation and is not
+    unpersisted here — the returned DataFrame still references it, so
+    an eager release would silently recompute (and re-trigger the
+    rewrite) on a later action. Long-lived sessions that loop over the
+    inventory must drop dead blocks between queries with
+    ``spark.catalog.clearCache()``, as the repo harnesses do
+    (tools/check_correctness.py per query, bench.py per query after
+    its reps)."""
     docs = td(spark, sf_dir)
     shingled = (
         docs.withColumn("_toks", X.words(F.col("text")))

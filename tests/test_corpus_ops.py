@@ -352,6 +352,34 @@ def test_embedding_lsh_ids_only_path_equals_default(spark):
             assert join == bucket, (cv, scorer)
 
 
+def test_embedding_kernels_fall_back_on_string_ids(spark):
+    """The Arrow kernels int64-cast the id column, so a non-integral
+    id_col must transparently fall back to the pure-plan kernels
+    (join/expr) instead of failing inside the Python worker — and the
+    pair SET must match the integer-id run modulo the id rename."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    int_pairs = {(r.id_a, r.id_b): r.cosine
+                 for r in S.embedding_lsh_pairs(emb, threshold=0.42).collect()}
+    s_emb = emb.withColumn("sid", F.format_string("v%08d", "vec_id"))
+    str_pairs = {(int(r.id_a[1:]), int(r.id_b[1:])): r.cosine
+                 for r in S.embedding_lsh_pairs(
+                     s_emb, threshold=0.42, id_col="sid").collect()}
+    assert str_pairs == int_pairs
+
+    int_cells = {(r.id_a, r.id_b): r.cosine
+                 for r in S.semantic_dedup_cells(
+                     emb, k=4, iters=2, threshold=0.42).collect()}
+    str_cells = {(int(r.id_a[1:]), int(r.id_b[1:])): r.cosine
+                 for r in S.semantic_dedup_cells(
+                     s_emb, k=4, iters=2, threshold=0.42,
+                     id_col="sid").collect()}
+    assert str_cells == int_cells
+
+
 def test_segment_dedup_first_occurrence_wins(spark):
     """A span shared by two docs survives only in the earlier doc; the
     reassembled digest equals md5 of the surviving segments in order."""

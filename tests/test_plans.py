@@ -87,6 +87,10 @@ def test_gopher_filters_single_shuffle(spark):
     see _util.spread — not part of the query's data movement.)"""
     plan = _plan(spark, "gopher_quality_filters")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    # exactly one round-robin exchange (the td() layout spread): an
+    # accidental extra repartition in the query would otherwise hide
+    # behind the hash-only count above
+    assert plan.count("Exchange RoundRobinPartitioning") == 1, plan
 
 
 def test_tfidf_broadcasts_df_side(spark):
