@@ -436,14 +436,19 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
             outs = []
             for lo in range(0, len(ids), chunk):
                 hi = min(lo + chunk, len(ids))
-                denom = norms[lo:hi, None] * norms[None, :]
+                # ids are sorted, so the id_a < id_b mask only keeps
+                # columns j > i >= lo: restrict the GEMM to the upper
+                # wedge m[lo:hi] @ m[lo:].T — half the arithmetic of
+                # the full rectangle, identical dot products (same
+                # rows, same k-order) so 6-dp parity is unchanged
+                denom = norms[lo:hi, None] * norms[lo:][None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = (m[lo:hi] @ m.T) / denom
-                mask = (ids[lo:hi, None] < ids[None, :]) \
+                    sims = (m[lo:hi] @ m[lo:].T) / denom
+                mask = (ids[lo:hi, None] < ids[lo:][None, :]) \
                     & (denom > 0) & (sims >= thr)
                 ai, bi = np.nonzero(mask)
                 outs.append(pd.DataFrame({
-                    "id_a": ids[lo:hi][ai], "id_b": ids[bi],
+                    "id_a": ids[lo:hi][ai], "id_b": ids[lo:][bi],
                     "cos_raw": sims[ai, bi],
                 }))
             return pd.concat(outs) if outs else pd.DataFrame(
@@ -707,14 +712,16 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
             outs = []
             for lo in range(0, len(ids), chunk):
                 hi = min(lo + chunk, len(ids))
-                denom = norms[lo:hi, None] * norms[None, :]
+                # upper-wedge GEMM: see embedding_lsh_pairs'
+                # score_bucket — half the arithmetic, identical values
+                denom = norms[lo:hi, None] * norms[lo:][None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = (m[lo:hi] @ m.T) / denom
-                mask = (ids[lo:hi, None] < ids[None, :]) \
+                    sims = (m[lo:hi] @ m[lo:].T) / denom
+                mask = (ids[lo:hi, None] < ids[lo:][None, :]) \
                     & (denom > 0) & (sims >= thr)
                 ai, bi = np.nonzero(mask)
                 outs.append(pd.DataFrame({
-                    "id_a": ids[lo:hi][ai], "id_b": ids[bi],
+                    "id_a": ids[lo:hi][ai], "id_b": ids[lo:][bi],
                     "cell": np.full(len(ai), cell, dtype="int32"),
                     "cos_raw": sims[ai, bi],
                 }))
