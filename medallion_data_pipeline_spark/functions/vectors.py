@@ -13,6 +13,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_double_array(values) -> Column:
+    """Literal array<double> built as ONE ``F.expr`` parse instead of
+    len(values)+1 py4j round-trips (``F.array(*[F.lit(x) ...])``).
+    Plan-construction cost, not execution cost — but it dominated the
+    PQ/LSH walls: a 4x8-codebook staged argmin plus its ADC lookup is
+    ~2,300 literal calls (~2 s of driver time per plan build), and a
+    10-plane x 100-table LSH key would be ~64,000. repr(float) is the
+    shortest round-trip decimal and Java's Double.parseDouble parses
+    it back to the identical bits, so the Literal is byte-identical to
+    the F.lit path (pinned by test_lit_double_array_identical)."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)"
+                            for x in values) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -62,7 +77,8 @@ def sign_lsh_key(a: Column, n_planes: int = 8, seed: int = 7, dim: int = 64) -> 
     """
     key = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(seed, p, j)) for j in range(dim)])
+        plane = lit_double_array(
+            _plane_component(seed, p, j) for j in range(dim))
         proj = F.aggregate(
             F.zip_with(a, plane, lambda x, w: x * w),
             F.lit(0.0),

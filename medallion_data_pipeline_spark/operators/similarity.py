@@ -601,7 +601,7 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         _as_double(F.col(vec_col)).alias("qv"))
     dists = []
     for i, cent in enumerate(cents):
-        cvec = F.array(*[F.lit(float(x)) for x in cent])
+        cvec = V.lit_double_array(cent)
         d = F.aggregate(F.zip_with(F.col("qv"), cvec,
                                    lambda x, y: (x - y) * (x - y)),
                         F.lit(0.0), lambda acc, v: acc + v)
@@ -770,24 +770,53 @@ def _staged_argmin(df: DataFrame, dv_name: str, cent_pairs,
     columns are computed once each (see the dedup.py PERF note on
     multi-referenced aliases). Ties break toward the lower cell index
     (first equality wins), matching the SQL oracle's ORDER BY d2, cell.
+
+    Plan-construction cost note: the k distance folds are built as ONE
+    F.expr parse each and appended in ONE select (not k sequential
+    withColumns — every withColumn re-analyzes the whole growing plan
+    on the JVM, which made a 4x8 PQ argmin cost ~1.4 s of driver time
+    before any job ran). The staged-columns EXECUTION shape is
+    unchanged: withColumn and select("*", ...) produce the same
+    Project, only the number of analysis passes differs.
     """
-    names = []
-    for label, c in cent_pairs:
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        dist = F.aggregate(
-            F.zip_with(F.col(dv_name), cvec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, d: acc + d,
-        )
-        names.append((label, f"_d{label}"))
-        df = df.withColumn(f"_d{label}", dist)
-    dmin = F.least(*[F.col(n) for _, n in names])
-    df = df.withColumn(d2_name, dmin)
-    cell = None
-    for label, n in names:
-        cond = F.col(n) == F.col(d2_name)
-        cell = (F.when(cond, F.lit(label)) if cell is None
-                else cell.when(cond, F.lit(label)))
-    return df.withColumn(cell_name, cell).drop(*[n for _, n in names])
+    return _staged_argmin_multi(df, [(dv_name, cent_pairs, cell_name,
+                                      d2_name)])
+
+
+def _staged_argmin_multi(df: DataFrame, specs) -> DataFrame:
+    """N independent staged argmins appended in ONE three-select pass
+    (all distance folds, then all mins, then all when-chains) — the
+    m-subspace PQ assignment is one call instead of m, so the driver
+    pays 3 analysis passes instead of 3m on a plan that grows with
+    every subspace. ``specs``: (dv_name, cent_pairs, cell_name,
+    d2_name) tuples; temp distance columns are namespaced by d2_name
+    (unique per spec by construction at every call site)."""
+    dcols, per_spec = [], []
+    for dv_name, cent_pairs, cell_name, d2_name in specs:
+        names = []
+        for label, c in cent_pairs:
+            arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            dist = F.expr(
+                f"aggregate(zip_with(`{dv_name}`, array({arr}), "
+                "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+                "(acc, d) -> acc + d)")
+            names.append((label, f"_d{d2_name}_{label}"))
+            dcols.append(dist.alias(names[-1][1]))
+        per_spec.append((names, cell_name, d2_name))
+    df = df.select("*", *dcols)
+    df = df.select("*", *[
+        F.least(*[F.col(n) for _, n in names]).alias(d2_name)
+        for names, _, d2_name in per_spec])
+    cells = []
+    for names, cell_name, d2_name in per_spec:
+        cell = None
+        for label, n in names:
+            cond = F.col(n) == F.col(d2_name)
+            cell = (F.when(cond, F.lit(label)) if cell is None
+                    else cell.when(cond, F.lit(label)))
+        cells.append(cell.alias(cell_name))
+    return df.select("*", *cells).drop(
+        *[n for names, _, _ in per_spec for _, n in names])
 
 
 def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 1,
@@ -824,16 +853,19 @@ def pq_train(emb: DataFrame, m: int = 2, k: int = 4, iters: int = 1,
         for s in range(m)
     ]
     for _ in range(iters):
-        df = v
-        structs = []
-        for s in range(m):
-            df = df.withColumn(
-                f"_sub{s}", F.slice("dv", s * subdim + 1, subdim))
-            df = _staged_argmin(df, f"_sub{s}", books[s],
-                                cell_name=f"_cell{s}", d2_name=f"_d2_{s}")
-            structs.append(F.struct(
+        # all m slices appended in one select (not m withColumns) —
+        # same Project, m fewer full-plan analysis passes
+        df = v.select("*", *[
+            F.slice("dv", s * subdim + 1, subdim).alias(f"_sub{s}")
+            for s in range(m)])
+        df = _staged_argmin_multi(df, [
+            (f"_sub{s}", books[s], f"_cell{s}", f"_d2_{s}")
+            for s in range(m)])
+        structs = [
+            F.struct(
                 F.lit(s).alias("s"), F.col(f"_cell{s}").alias("cell"),
-                F.col(f"_sub{s}").alias("sub")))
+                F.col(f"_sub{s}").alias("sub"))
+            for s in range(m)]
         rows = (
             df.select(F.explode(F.array(*structs)).alias("e"))
             .select("e.s", "e.cell", F.posexplode("e.sub").alias("pos", "x"))
@@ -867,14 +899,17 @@ def pq_assign_long(emb: DataFrame, codebooks: list[list[tuple[int, list[float]]]
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
     df = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
-    structs = []
-    for s, book in enumerate(codebooks):
-        df = df.withColumn(f"_sub{s}", F.slice("dv", s * subdim + 1, subdim))
-        df = _staged_argmin(df, f"_sub{s}", book,
-                            cell_name=f"_cell{s}", d2_name=f"_d2_{s}")
-        structs.append(F.struct(
+    df = df.select("*", *[
+        F.slice("dv", s * subdim + 1, subdim).alias(f"_sub{s}")
+        for s in range(m)])
+    df = _staged_argmin_multi(df, [
+        (f"_sub{s}", book, f"_cell{s}", f"_d2_{s}")
+        for s, book in enumerate(codebooks)])
+    structs = [
+        F.struct(
             F.lit(s).alias("subspace"), F.col(f"_cell{s}").alias("code"),
-            F.col(f"_d2_{s}").alias("d2")))
+            F.col(f"_d2_{s}").alias("d2"))
+        for s in range(m)]
     return (
         df.select(F.col(id_col), F.explode(F.array(*structs)).alias("e"))
         .select(F.col(id_col), "e.subspace", "e.code", "e.d2")
@@ -930,17 +965,21 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qv = _as_double(F.col(vec_col))
     q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"),
                        V.norm(qv).alias("qn"))
-    # per-query ADC lookup: qdot + centroid norm² for every (s, code)
+    # per-query ADC lookup: qdot + centroid norm² for every (s, code).
+    # Each entry is ONE F.expr parse (same plan-construction rationale
+    # as _staged_argmin_multi): same zip_with/aggregate fold as V.dot.
     lut_rows = []
     for s, book in enumerate(books):
-        qs = F.slice("qv", s * subdim + 1, subdim)
         for code, cent in book:
-            cvec = F.array(*[F.lit(float(x)) for x in cent])
-            qdot = V.dot(qs, cvec)
+            arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cent)
             cn2 = float(sum(x * x for x in cent))
-            lut_rows.append(F.struct(
-                F.lit(s).alias("subspace"), F.lit(code).alias("code"),
-                qdot.alias("qdot"), F.lit(cn2).alias("cn2")))
+            lut_rows.append(F.expr(
+                f"named_struct('subspace', {s}, 'code', {code}, "
+                f"'qdot', aggregate(zip_with("
+                f"slice(qv, {s * subdim + 1}, {subdim}), array({arr}), "
+                "(x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + v), "
+                f"'cn2', CAST('{cn2!r}' AS DOUBLE))"))
     lut = q.select(
         "query_id", "qn", F.explode(F.array(*lut_rows)).alias("e")
     ).select("query_id", "qn", "e.subspace", "e.code", "e.qdot", "e.cn2")

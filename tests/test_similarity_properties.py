@@ -110,3 +110,28 @@ def test_all_pairs_matmul_matches_numpy_brute_force(spark):
             if ids[a] < ids[b] and sims[a, b] >= 0.42:
                 expected[(int(ids[a]), int(ids[b]))] = round(float(sims[a, b]), 6)
     assert got == expected and len(got) > 0
+
+
+def test_lit_double_array_identical(spark):
+    """lit_double_array (one F.expr parse) must produce BIT-identical
+    doubles to the F.lit-per-element path for adversarial values:
+    repr(float) is the shortest round-trip decimal and the SQL CAST
+    parses it back to the same IEEE bits."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.functions.vectors import lit_double_array
+
+    vals = [0.1, -0.1, 1e-308, -1e308, 2.0 ** -52, 1 + 2.0 ** -52,
+            123456789.123456789, -0.0, 0.0, 3.141592653589793,
+            6.02214076e23, 1e-7, -2.5e-10, 0.30000000000000004]
+    df = spark.range(1).select(
+        lit_double_array(vals).alias("a"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("b"))
+    row = df.collect()[0]
+    bits = lambda x: struct.pack(">d", x)
+    assert [bits(x) for x in row.a] == [bits(x) for x in row.b]
+    assert [bits(x) for x in row.a] == [bits(float(v)) for v in vals]
+    assert not any(math.isnan(x) for x in row.a)
