@@ -427,34 +427,51 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
         )
 
         def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # The hot loop is MEMORY-BANDWIDTH-bound at 32-way task
+            # concurrency (measured: the same loop runs 5x slower in
+            # 32 concurrent workers than alone), so it is built to
+            # touch each candidate-slot matrix as few times as
+            # possible: pre-normalize rows ONCE (no denom rectangle,
+            # no divide pass; zero-norm rows become zero vectors and
+            # die at the threshold), GEMM the upper wedge
+            # (ids sorted -> only columns j > i >= lo can survive),
+            # one threshold compare, and the id/self filter runs on
+            # the EXTRACTED 1-D candidates, not the 2-D grid. Output
+            # is assembled once per group, not once per chunk.
+            # Pre-normalized cosines differ from dot/(na*nb) in the
+            # last ulps — covered by the same empirical 6-dp parity
+            # contract as all_pairs_cosine_matmul, pinned by the
+            # kernel-equality tests and the oracle gates.
             ids = pdf["vid"].to_numpy(dtype="int64")
             order = np.argsort(ids)
             ids = ids[order]
-            m = np.asarray([list(v) for v in pdf["v"]],
-                           dtype="float64")[order]
+            m = np.stack(pdf["v"].to_numpy())[order]
             norms = np.linalg.norm(m, axis=1)
-            outs = []
+            nz = norms > 0
+            mn = m / np.where(nz, norms, 1.0)[:, None]
+            mn[~nz] = 0.0
+            out_a, out_b, out_c = [], [], []
             for lo in range(0, len(ids), chunk):
                 hi = min(lo + chunk, len(ids))
-                # ids are sorted, so the id_a < id_b mask only keeps
-                # columns j > i >= lo: restrict the GEMM to the upper
-                # wedge m[lo:hi] @ m[lo:].T — half the arithmetic of
-                # the full rectangle, identical dot products (same
-                # rows, same k-order) so 6-dp parity is unchanged
-                denom = norms[lo:hi, None] * norms[lo:][None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = (m[lo:hi] @ m[lo:].T) / denom
-                mask = (ids[lo:hi, None] < ids[lo:][None, :]) \
-                    & (denom > 0) & (sims >= thr)
-                ai, bi = np.nonzero(mask)
-                outs.append(pd.DataFrame({
-                    "id_a": ids[lo:hi][ai], "id_b": ids[lo:][bi],
-                    "cos_raw": sims[ai, bi],
-                }))
-            return pd.concat(outs) if outs else pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cos_raw": pd.Series(dtype="float64")})
+                sims = mn[lo:hi] @ mn[lo:].T
+                ai, bi = np.nonzero(sims >= thr)
+                # id order + the old denom>0 guard (exact at thr<=0
+                # too), applied to the extracted 1-D candidates
+                keep = (ids[lo:][bi] > ids[lo + ai]) \
+                    & nz[lo + ai] & nz[lo:][bi]
+                ai, bi = ai[keep], bi[keep]
+                out_a.append(ids[lo + ai])
+                out_b.append(ids[lo:][bi])
+                out_c.append(sims[ai, bi])
+            if not out_a:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "cos_raw": pd.Series(dtype="float64")})
+            return pd.DataFrame({
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c)})
 
         scored = keyed.groupBy("tbl", "bucket").applyInPandas(
             score_bucket, schema="id_a long, id_b long, cos_raw double")
@@ -702,34 +719,43 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
         thr, chunk = threshold, 1024
 
         def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # bandwidth-lean kernel, same design as
+            # embedding_lsh_pairs' score_bucket: pre-normalized rows,
+            # upper-wedge GEMM on sorted ids, threshold-first with
+            # the id/zero-norm filter on extracted 1-D candidates,
+            # one output assembly per cell
             ids = pdf["vid"].to_numpy(dtype="int64")
             order = np.argsort(ids)
             ids = ids[order]
-            m = np.asarray([list(v) for v in pdf["dv"]],
-                           dtype="float64")[order]
+            m = np.stack(pdf["dv"].to_numpy())[order]
             norms = np.linalg.norm(m, axis=1)
+            nz = norms > 0
+            mn = m / np.where(nz, norms, 1.0)[:, None]
+            mn[~nz] = 0.0
             cell = int(pdf["cell"].iloc[0])
-            outs = []
+            out_a, out_b, out_c = [], [], []
             for lo in range(0, len(ids), chunk):
                 hi = min(lo + chunk, len(ids))
-                # upper-wedge GEMM: see embedding_lsh_pairs'
-                # score_bucket — half the arithmetic, identical values
-                denom = norms[lo:hi, None] * norms[lo:][None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = (m[lo:hi] @ m[lo:].T) / denom
-                mask = (ids[lo:hi, None] < ids[lo:][None, :]) \
-                    & (denom > 0) & (sims >= thr)
-                ai, bi = np.nonzero(mask)
-                outs.append(pd.DataFrame({
-                    "id_a": ids[lo:hi][ai], "id_b": ids[lo:][bi],
-                    "cell": np.full(len(ai), cell, dtype="int32"),
-                    "cos_raw": sims[ai, bi],
-                }))
-            return pd.concat(outs) if outs else pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cell": pd.Series(dtype="int32"),
-                 "cos_raw": pd.Series(dtype="float64")})
+                sims = mn[lo:hi] @ mn[lo:].T
+                ai, bi = np.nonzero(sims >= thr)
+                keep = (ids[lo:][bi] > ids[lo + ai]) \
+                    & nz[lo + ai] & nz[lo:][bi]
+                ai, bi = ai[keep], bi[keep]
+                out_a.append(ids[lo + ai])
+                out_b.append(ids[lo:][bi])
+                out_c.append(sims[ai, bi])
+            if not out_a:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "cell": pd.Series(dtype="int32"),
+                     "cos_raw": pd.Series(dtype="float64")})
+            id_a = np.concatenate(out_a)
+            return pd.DataFrame({
+                "id_a": id_a,
+                "id_b": np.concatenate(out_b),
+                "cell": np.full(len(id_a), cell, dtype="int32"),
+                "cos_raw": np.concatenate(out_c)})
 
         pairs = a.groupBy("cell").applyInPandas(
             score_cell, schema="id_a long, id_b long, cell int, cos_raw double")
