@@ -720,7 +720,17 @@ FROM winnowed
 @register("doc_winnowing_fingerprints", oracle=_WINNOW_SQL, bench=True)
 def doc_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling min-hash window) fingerprints per document —
-    staged tokens -> shingles -> md5 -> sliding-window minima."""
+    staged tokens -> shingles -> md5 -> sliding-window minima.
+
+    PERF: the hash array gets a lineage BARRIER before the window
+    stage. The fingerprint expression references `_hs` from inside a
+    transform-over-positions (one slice+array_min per window), and
+    consumed twice (size + array_min); without the barrier the
+    optimizer re-substitutes the whole tokens→shingles→md5 chain into
+    those references and the interpreted HOF chain re-evaluates per
+    window position — measured 7.3 s vs 0.2 s at sf0.1 (the
+    PERFORMANCE.md #30 CollapseProject trap, here on a text pipeline).
+    """
     docs = td(spark, sf_dir)
     w = _WINNOW_W
     staged = (
@@ -728,6 +738,8 @@ def doc_winnowing_fingerprints(spark, sf_dir):
         .withColumn("_sh", X.shingles_from_tokens(F.col("_toks"), 3))
         .filter(F.size("_sh") >= w)
         .withColumn("_hs", F.transform("_sh", F.md5))
+        .select("doc_id", "_hs")
+        .localCheckpoint(eager=False)
     )
     n = F.size("_hs")
     idx = F.sequence(F.lit(1), n - (w - 1))
@@ -735,9 +747,11 @@ def doc_winnowing_fingerprints(spark, sf_dir):
         F.transform(idx, lambda i: F.array_min(F.slice(F.col("_hs"), i, w)))
     )
     return staged.select(
+        "doc_id", fps.alias("_fps")
+    ).select(
         "doc_id",
-        F.size(fps).alias("n_fingerprints"),
-        F.array_min(fps).alias("min_fingerprint"),
+        F.size("_fps").alias("n_fingerprints"),
+        F.array_min("_fps").alias("min_fingerprint"),
     )
 
 
