@@ -25,7 +25,15 @@ scale_sf10.py):
   corpus-size-independent; the scored join streams the n x m
   compressed codes — asymptotically linear)
 
-Usage: python tools/scale_knn_fixedq.py
+With --sf100 the curve gets a FOURTH decade: an embeddings-only grown
+corpus (2M vectors, ~1 GB — the fact tables would need ~60 GB so only
+the embedding table grows; the ANN ops read nothing else). Replicas
+1..999 reuse scale_heavy._fresh_vectors(r, n, dim) seed-for-seed, so
+sf100's embeddings are a SUPERSET of sf10's — the same growth model,
+one more decade, generated executor-side via mapInPandas instead of
+999 driver-side createDataFrame calls.
+
+Usage: python tools/scale_knn_fixedq.py [--sf100]
 """
 
 from __future__ import annotations
@@ -59,6 +67,40 @@ def ensure(spark, base, out, replicas):
         grow_sf1(spark, base, out, replicas=replicas)
         print(f"grown {out} (x{replicas}) in {time.time() - t0:.1f}s",
               flush=True)
+
+
+def ensure_embeddings_only(spark, base, out, replicas):
+    dst = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(dst):
+        return
+    import pandas as pd
+
+    from tools.scale_heavy import _VEC_OFF, _fresh_vectors
+
+    t0 = time.time()
+    os.makedirs(out, exist_ok=True)
+    emb = load_table(spark, base, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+
+    def gen(batches):
+        for pdf in batches:
+            for r in pdf["id"]:
+                r = int(r)
+                x = _fresh_vectors(r, n, dim)
+                yield pd.DataFrame({
+                    "vec_id": (r * _VEC_OFF
+                               + pd.RangeIndex(n)).astype("int64"),
+                    "embedding": [x[i] for i in range(n)],
+                    "label": (pd.RangeIndex(n) % 10).astype("int32"),
+                })
+
+    grown = spark.range(1, replicas).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int")
+    emb.select("vec_id", "embedding", "label").unionByName(grown) \
+        .repartition(32).write.mode("overwrite").parquet(dst)
+    print(f"grown embeddings-only {out} (x{replicas}) "
+          f"in {time.time() - t0:.1f}s", flush=True)
 
 
 def measure(spark, sf_dir, label):
@@ -106,6 +148,15 @@ def main() -> None:
                        / out["sf1"][name]["wall_s"])
         out[f"exp_{name}"] = round(e, 2)
         print(f"  exp(sf1 -> sf10) {name} = {e:.2f}", flush=True)
+    if "--sf100" in sys.argv:
+        sf100_dir = os.environ.get("MDP_SF100_DIR", "/tmp/mdp_sf100emb_keep")
+        ensure_embeddings_only(spark, "/root/testdata/sf0.1", sf100_dir, 1000)
+        out["sf100"] = measure(spark, sf100_dir, "sf100")
+        for name in OPS:
+            e = math.log10(out["sf100"][name]["wall_s"]
+                           / out["sf10"][name]["wall_s"])
+            out[f"exp10_100_{name}"] = round(e, 2)
+            print(f"  exp(sf10 -> sf100) {name} = {e:.2f}", flush=True)
     print(json.dumps(out))
 
 
