@@ -207,9 +207,16 @@ def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
     at worst the prefix is one shingle longer — more candidates, never
     a missed pair.
     """
-    staged = _staged_shingles(docs, text_col, id_col, k, min_tokens).select(
+    # the non-empty-set gate runs as a TOKEN floor inside the staging
+    # (size(_toks) >= max(min_tokens, k) <=> size(ds) >= 1 exactly: a
+    # doc shingles to [] iff it has < k tokens) — filtering on the
+    # size of the COMPUTED ds array would substitute the whole
+    # interpreted shingle chain into the pushed-down predicate and
+    # re-evaluate it per row (PERFORMANCE.md #34)
+    floor = k if min_tokens is None else max(min_tokens, k)
+    staged = _staged_shingles(docs, text_col, id_col, k, floor).select(
         F.col(id_col).alias("sid"), F.array_distinct("shingles").alias("ds")
-    ).filter(F.size("ds") >= 1).withColumn(
+    ).withColumn(
         "xs", F.array_distinct(X.shingle_ints(F.col("ds")))
     )
     if persist_intermediate:

@@ -722,24 +722,24 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling min-hash window) fingerprints per document —
     staged tokens -> shingles -> md5 -> sliding-window minima.
 
-    PERF: the hash array gets a lineage BARRIER before the window
-    stage. The fingerprint expression references `_hs` from inside a
-    transform-over-positions (one slice+array_min per window), and
-    consumed twice (size + array_min); without the barrier the
-    optimizer re-substitutes the whole tokens→shingles→md5 chain into
-    those references and the interpreted HOF chain re-evaluates per
-    window position — measured 7.3 s vs 0.2 s at sf0.1 (the
-    PERFORMANCE.md #30 CollapseProject trap, here on a text pipeline).
+    PERF: the length gate filters on ``size(_toks) >= w + 2`` — the
+    exact equivalent of ``size(_sh) >= w`` (n_shingles = n_tokens − 2,
+    and the shingle builder emits [] below 3 tokens) — because a
+    Filter on the SIZE OF A COMPUTED ARRAY gets the array's whole
+    expression substituted into the pushed-down predicate and the
+    interpreted HOF chain re-evaluates per row per reference:
+    measured 4.5 s vs 0.5 s at sf0.1 on identical output
+    (PERFORMANCE.md #34). Gate on the cheap input column, not the
+    expensive derived one.
     """
     docs = td(spark, sf_dir)
     w = _WINNOW_W
     staged = (
         docs.withColumn("_toks", X.words(F.col("text")))
+        .filter(F.size("_toks") >= w + 2)
         .withColumn("_sh", X.shingles_from_tokens(F.col("_toks"), 3))
-        .filter(F.size("_sh") >= w)
         .withColumn("_hs", F.transform("_sh", F.md5))
         .select("doc_id", "_hs")
-        .localCheckpoint(eager=False)
     )
     n = F.size("_hs")
     idx = F.sequence(F.lit(1), n - (w - 1))
