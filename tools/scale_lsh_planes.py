@@ -31,7 +31,16 @@ tools/scale_sf10.py. Corpora are grown into $MDP_SF1_DIR /
 $MDP_SF10_DIR (defaults /tmp/mdp_sf1_keep, /tmp/mdp_sf10_keep) and
 REUSED if present — delete the dirs to force a regrow.
 
-Usage: python tools/scale_lsh_planes.py [--skip-10]
+With --sf100 the sweep instead runs at the FOURTH decade (the
+embeddings-only 2M-vector corpus from tools/scale_knn_fixedq.py)
+on the subset of configs whose exploded volume fits this host
+((4,8), (6,21), (7,33) — (10,129) would ship 258M exploded rows
+≈ 134 GB through the shuffle). This tests addendum 1's PREDICTION:
+at the next decade the in-bucket n²/2^P arithmetic regrows ×100
+while transfer grows ×10, so the optimum should move UP in planes
+(at sf10 it sat at 6).
+
+Usage: python tools/scale_lsh_planes.py [--skip-10 | --sf100]
 """
 
 from __future__ import annotations
@@ -93,6 +102,17 @@ def main() -> None:
     warm = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     embedding_lsh_pairs(warm, threshold=0.42) \
         .write.format("noop").mode("overwrite").save()
+
+    if "--sf100" in sys.argv:
+        from tools.scale_knn_fixedq import ensure_embeddings_only
+        sf100_dir = os.environ.get("MDP_SF100_DIR", "/tmp/mdp_sf100emb_keep")
+        ensure_embeddings_only(spark, "/root/testdata/sf0.1", sf100_dir, 1000)
+        out = {"sf100": {}}
+        for planes, tables in [(4, 8), (6, 21), (7, 33)]:
+            out["sf100"][f"{planes}x{tables}"] = measure(
+                spark, sf100_dir, "sf100", planes, tables)
+        print(json.dumps(out))
+        return
 
     out = {"sf1": {}, "sf10": {}}
     out["sf1"]["4x8"] = measure(spark, sf1_dir, "sf1 ", 4, 8)
