@@ -316,3 +316,19 @@ def test_session_excludes_infer_filters_from_generate(spark):
     plan = sh.select(F.explode("_sh").alias("g")) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter (size(" not in plan, plan
+
+
+def test_no_filter_on_computed_array_size(spark):
+    """Filters must gate on cheap input columns, never on the size of
+    a computed array: the pushed-down predicate re-evaluates the whole
+    interpreted HOF chain per row (PERFORMANCE.md #34 — winnowing paid
+    4.6 s of its 5 s wall in `filter(size(_sh) >= w)`). Pins the fixed
+    shapes: no Filter in the optimized plan evaluates a shingle
+    builder (`concat_ws`) or a transform chain."""
+    for name in ("doc_winnowing_fingerprints", "dedup_ngram_jaccard"):
+        plan = REGISTRY[name].fn(spark, SF) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
+                assert "concat_ws" not in line, (name, line)
+                assert "transform(" not in line, (name, line)
