@@ -95,8 +95,14 @@ def main() -> None:
         timings[name] = min(reps)
         # several text/ANN queries persist()/localCheckpoint() interior
         # frames scoped to one invocation; each rep creates fresh ones,
-        # so drop them here or a full bench run accumulates dead cached
-        # blocks across ~30 queries x 3 reps
+        # so drop the persist-backed ones here or a full bench run
+        # accumulates dead cached blocks across ~30 queries x 3 reps.
+        # (clearCache only empties the CacheManager, i.e. persist()
+        # entries; localCheckpoint RDD blocks are released by the
+        # ContextCleaner when the frames are GC'd — acceptable here
+        # because each is a few MB and the JVM reclaims them between
+        # queries. Note rep 1 of each query pays the prior query's
+        # eviction; min-of-3 makes that fair across entries.)
         spark.catalog.clearCache()
 
     # Structured Streaming throughput over the same events table: file

@@ -22,10 +22,16 @@ def lit_double_array(values) -> Column:
     10-plane x 100-table LSH key would be ~64,000. repr(float) is the
     shortest round-trip decimal and Java's Double.parseDouble parses
     it back to the identical bits, so the Literal is byte-identical to
-    the F.lit path (pinned by test_lit_double_array_identical)."""
-    return F.expr(
-        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)"
-                            for x in values) + ")")
+    the F.lit path (pinned by test_lit_double_array_identical).
+
+    An empty iterable still types as array<double>: bare ``array()``
+    would be array<string> — a latent type mismatch if a zero-dim
+    plane or empty centroid ever reached a zip_with/aggregate over
+    doubles."""
+    body = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
+    if not body:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array(" + body + ")")
 
 
 def dot(a: Column, b: Column) -> Column:

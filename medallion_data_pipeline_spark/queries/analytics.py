@@ -1438,6 +1438,12 @@ def forecast_seasonal_naive(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BT_HORIZON = 30
+# The Spark query below passes this constant as backtest_forecast's
+# model arg; _BACKTEST_SQL hardcodes the matching seasonal-naive
+# recursion and its +/-20% interval. Sharing the constant makes a
+# model change structurally touch this block (and force the oracle
+# rewrite) instead of silently diverging.
+_BT_MODEL = "seasonal_naive"
 
 _BACKTEST_SQL = f"""
 WITH daily AS (
@@ -1548,9 +1554,8 @@ def forecast_backtest_accuracy(spark, sf_dir):
         .select("entity_id", "ds",
                 F.coalesce("y", F.lit(0.0)).cast("double").alias("y"))
     )
-    model = "seasonal_naive"
-    assert model == "seasonal_naive", (
-        "_BACKTEST_SQL hardcodes the seasonal-naive recursion and the "
-        "±20% interval; rewrite the oracle before changing the model")
+    # _BT_MODEL is defined beside _BACKTEST_SQL: the oracle hardcodes
+    # the seasonal-naive recursion and the +/-20% interval, so a model
+    # change must edit that block (and rewrite the SQL) first.
     return backtest_forecast(series, horizon=_BT_HORIZON, level="priority",
-                             model=model)
+                             model=_BT_MODEL)

@@ -1106,10 +1106,12 @@ def contamination_check(spark, sf_dir):
     unpersisted here — the returned DataFrame still references it, so
     an eager release would silently recompute (and re-trigger the
     rewrite) on a later action. Long-lived sessions that loop over the
-    inventory must drop dead blocks between queries with
+    inventory must drop dead persist() blocks between queries with
     ``spark.catalog.clearCache()``, as the repo harnesses do
     (tools/check_correctness.py per query, bench.py per query after
-    its reps)."""
+    its reps). clearCache only empties the CacheManager — persist()
+    entries; localCheckpoint RDD blocks are ContextCleaner-scoped and
+    are released when the checkpointed frames are GC'd."""
     docs = td(spark, sf_dir)
     shingled = (
         docs.withColumn("_toks", X.words(F.col("text")))
