@@ -92,6 +92,156 @@ def _numpy_paired_scores(pairs: DataFrame) -> DataFrame:
         run, schema="id_a long, id_b long, cos_raw double")
 
 
+def _chunk_split_oversized(keyed: DataFrame, group_cols, max_group: int):
+    """Straggler split for the per-group pair-scoring kernels.
+
+    ``applyInPandas`` runs ONE task per group, and a power-law corpus
+    puts its boilerplate cluster into one LSH bucket / k-means cell
+    regardless of parameter choice — that task then does |group|²/2 of
+    the total work while every other core idles (the uniform growth
+    corpora in docs/SCALING.md can never produce this shape; the skew
+    measurement is addendum 4). Groups larger than ``max_group`` rows
+    split into C = ceil(|group|/max_group) deterministic id-chunks
+    (``pmod(vid, C)``); each unordered chunk pair (lo <= hi) becomes an
+    independent subtask scoring only its wedge — lo == hi the
+    within-chunk upper triangle, lo < hi the cross rectangle — so every
+    candidate pair is scored exactly once and the giant group
+    parallelizes into C(C+1)/2 bounded tasks. Rows replicate C ways
+    (Arrow volume × C for the oversized groups ONLY); pair arithmetic
+    is unchanged.
+
+    The size pass is a map-side-combined count of (group, n) pairs
+    with only OVERSIZED groups collected to the driver at plan-build
+    time — by the skew premise these are few (a boilerplate cluster,
+    not the bulk; with the n_planes/k sizing rules a uniform corpus
+    has none), so the collect is bounded like the Lloyd centroid
+    literals. Uniform corpora (empty list) keep the pinned
+    one-task-per-group plan with ZERO per-row overhead — no join, no
+    Generate node in the hot path (the always-split layout measured
+    +1.0s on the sf0.1 bench for nothing). When oversized groups
+    exist, C arrives per-row via a literal when-chain (few groups) or
+    a broadcast-joined lookup (many), and the explode adds one
+    Generate over rows that is the price of de-quadraticing the
+    straggler.
+
+    Returns ``(keyed, group_cols)`` — extended with ["_lo", "_hi"]
+    only when a split engaged; the kernel reads each row's chunk id
+    from ``_ci``.
+    """
+    group_cols = list(group_cols)
+    big = (keyed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > max_group).collect())
+    if not big:
+        return keyed, group_cols
+    import functools
+    import math
+    import operator
+
+    if len(big) <= 64:
+        c = F.lit(1)
+        for row in big:
+            cond = functools.reduce(operator.and_, [
+                F.col(k).eqNullSafe(F.lit(row[k])) for k in group_cols])
+            c = F.when(cond,
+                       F.lit(math.ceil(row["_n"] / max_group))).otherwise(c)
+    else:
+        rows = [tuple(row[k] for k in group_cols)
+                + (math.ceil(row["_n"] / max_group),) for row in big]
+        lut = keyed.sparkSession.createDataFrame(
+            rows, schema=keyed.select(*group_cols).schema.add("_c0", "integer"))
+        keyed = keyed.join(F.broadcast(lut), group_cols, "left")
+        c = F.coalesce(F.col("_c0"), F.lit(1))
+    keyed = (
+        keyed.withColumn("_ci", F.pmod(F.col("vid"), c).cast("int"))
+        .withColumn("_cj", F.explode(F.sequence(F.lit(0), c - F.lit(1))))
+        .withColumn("_lo", F.least("_ci", "_cj"))
+        .withColumn("_hi", F.greatest("_ci", "_cj"))
+        .drop("_cj", "_c0")
+    )
+    return keyed, group_cols + ["_lo", "_hi"]
+
+
+def _score_group_pairs(pdf, vec_field: str, thr: float, chunk: int = 1024):
+    """Shared numpy kernel for one pair-scoring (sub)group: returns
+    (id_a, id_b, cos) arrays with id_a < id_b, cos >= thr.
+
+    The hot loop is MEMORY-BANDWIDTH-bound at 32-way task concurrency
+    (measured: the same loop runs 5x slower in 32 concurrent workers
+    than alone), so it touches each candidate-slot matrix as few times
+    as possible: pre-normalize rows ONCE (no denom rectangle, no divide
+    pass; zero-norm rows become zero vectors and die at the threshold),
+    GEMM only the surviving wedge, one threshold compare, and the
+    id/self filter runs on the EXTRACTED 1-D candidates, not the 2-D
+    grid. Output is assembled once per group, not once per chunk.
+    Pre-normalized cosines differ from dot/(na*nb) in the last ulps —
+    covered by the same empirical 6-dp parity contract as
+    all_pairs_cosine_matmul, pinned by the kernel-equality tests and
+    the oracle gates.
+
+    Two shapes, selected by the :func:`_chunk_split_oversized` columns:
+
+    - within-chunk group (no split columns, or ``_lo == _hi``): sort by
+      id, upper-wedge GEMM — ids sorted means only columns j > i can
+      survive the id-order filter, so each chunk row-block multiplies
+      against the tail only.
+    - cross-chunk group (``_lo < _hi``): the group holds chunk-_lo rows
+      and chunk-_hi rows; GEMM the full A×B rectangle (every cross pair
+      is a candidate exactly once — chunks are disjoint id classes, so
+      no self pairs and no double counting) and order ids per pair.
+    """
+    import numpy as np
+
+    ids = pdf["vid"].to_numpy(dtype="int64")
+    empty = (np.empty(0, dtype="int64"), np.empty(0, dtype="int64"),
+             np.empty(0, dtype="float64"))
+    if not len(ids):
+        return empty
+    m = np.stack(pdf[vec_field].to_numpy())
+    norms = np.linalg.norm(m, axis=1)
+    nz = norms > 0
+    mn = m / np.where(nz, norms, 1.0)[:, None]
+    mn[~nz] = 0.0
+    out_a, out_b, out_c = [], [], []
+    if "_lo" in pdf.columns and int(pdf["_lo"].iloc[0]) != int(pdf["_hi"].iloc[0]):
+        side_a = pdf["_ci"].to_numpy() == int(pdf["_lo"].iloc[0])
+        ia = np.nonzero(side_a)[0]
+        ib = np.nonzero(~side_a)[0]
+        if not len(ia) or not len(ib):
+            return empty
+        for lo in range(0, len(ia), chunk):
+            sel = ia[lo:lo + chunk]
+            sims = mn[sel] @ mn[ib].T
+            xi, yi = np.nonzero(sims >= thr)
+            sv = sims[xi, yi]
+            gi, gj = sel[xi], ib[yi]
+            keep = nz[gi] & nz[gj]
+            gi, gj, sv = gi[keep], gj[keep], sv[keep]
+            out_a.append(np.minimum(ids[gi], ids[gj]))
+            out_b.append(np.maximum(ids[gi], ids[gj]))
+            out_c.append(sv)
+    else:
+        order = np.argsort(ids)
+        ids = ids[order]
+        mn = mn[order]
+        nz = nz[order]
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = mn[lo:hi] @ mn[lo:].T
+            ai, bi = np.nonzero(sims >= thr)
+            # id order + the old denom>0 guard (exact at thr<=0 too),
+            # applied to the extracted 1-D candidates
+            keep = (ids[lo:][bi] > ids[lo + ai]) \
+                & nz[lo + ai] & nz[lo:][bi]
+            ai, bi = ai[keep], bi[keep]
+            out_a.append(ids[lo + ai])
+            out_b.append(ids[lo:][bi])
+            out_c.append(sims[ai, bi])
+    if not out_a:
+        return empty
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_c))
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of each query vector (excluding
@@ -338,7 +488,8 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                         vec_col: str = "embedding",
                         carry_vectors: bool = True,
                         kernel: str = "bucket",
-                        scorer: str = "expr") -> DataFrame:
+                        scorer: str = "expr",
+                        max_group: int | None = 8192) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH — the scale
     path that replaces the all-pairs self-join.
 
@@ -393,7 +544,15 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     plus BLAS arithmetic (docs/SCALING.md). Same empirical 6-dp BLAS
     parity contract as all_pairs_cosine_matmul, pinned by the
     path-equality tests. Per-bucket memory is chunk x |bucket|
-    doubles; n_planes ~ log2(n) keeps |bucket| bounded at scale.
+    doubles; n_planes ~ log2(n) keeps |bucket| bounded at scale —
+    for UNIFORM data. A power-law corpus (real crawls: one
+    boilerplate cluster holding 5-10% of all docs) lands its whole
+    cluster in ONE bucket in every table regardless of plane count,
+    so ``max_group`` (default 8192) chunk-splits any bucket larger
+    than that into C(C+1)/2 independent wedge/rectangle subtasks via
+    :func:`_chunk_split_oversized` — identical pair set, bounded task
+    size (straggler measurement: docs/SCALING.md addendum 4). Pass
+    ``max_group=None`` to pin the one-task-per-bucket layout.
     The kernel requires an INTEGRAL ``id_col`` (ids cross Arrow as
     int64 and the output schema says ``long``); non-integral ids
     fall back to ``kernel="join"`` automatically.
@@ -417,63 +576,27 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
         # back to the pure-plan bucket join which carries any id type
         kernel = "join"
     if kernel == "bucket":
-        import numpy as np
         import pandas as pd
 
-        thr, chunk = threshold, 1024
+        thr = threshold
         keyed = emb.select(
             F.col(id_col).alias("vid"), dv.alias("v"),
             F.posexplode(keys).alias("tbl", "bucket"),
         )
+        group_cols = ["tbl", "bucket"]
+        if max_group:
+            keyed, group_cols = _chunk_split_oversized(
+                keyed, group_cols, max_group)
 
         def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            # The hot loop is MEMORY-BANDWIDTH-bound at 32-way task
-            # concurrency (measured: the same loop runs 5x slower in
-            # 32 concurrent workers than alone), so it is built to
-            # touch each candidate-slot matrix as few times as
-            # possible: pre-normalize rows ONCE (no denom rectangle,
-            # no divide pass; zero-norm rows become zero vectors and
-            # die at the threshold), GEMM the upper wedge
-            # (ids sorted -> only columns j > i >= lo can survive),
-            # one threshold compare, and the id/self filter runs on
-            # the EXTRACTED 1-D candidates, not the 2-D grid. Output
-            # is assembled once per group, not once per chunk.
-            # Pre-normalized cosines differ from dot/(na*nb) in the
-            # last ulps — covered by the same empirical 6-dp parity
-            # contract as all_pairs_cosine_matmul, pinned by the
-            # kernel-equality tests and the oracle gates.
-            ids = pdf["vid"].to_numpy(dtype="int64")
-            order = np.argsort(ids)
-            ids = ids[order]
-            m = np.stack(pdf["v"].to_numpy())[order]
-            norms = np.linalg.norm(m, axis=1)
-            nz = norms > 0
-            mn = m / np.where(nz, norms, 1.0)[:, None]
-            mn[~nz] = 0.0
-            out_a, out_b, out_c = [], [], []
-            for lo in range(0, len(ids), chunk):
-                hi = min(lo + chunk, len(ids))
-                sims = mn[lo:hi] @ mn[lo:].T
-                ai, bi = np.nonzero(sims >= thr)
-                # id order + the old denom>0 guard (exact at thr<=0
-                # too), applied to the extracted 1-D candidates
-                keep = (ids[lo:][bi] > ids[lo + ai]) \
-                    & nz[lo + ai] & nz[lo:][bi]
-                ai, bi = ai[keep], bi[keep]
-                out_a.append(ids[lo + ai])
-                out_b.append(ids[lo:][bi])
-                out_c.append(sims[ai, bi])
-            if not out_a:
-                return pd.DataFrame(
-                    {"id_a": pd.Series(dtype="int64"),
-                     "id_b": pd.Series(dtype="int64"),
-                     "cos_raw": pd.Series(dtype="float64")})
-            return pd.DataFrame({
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos_raw": np.concatenate(out_c)})
+            # bandwidth-lean shared kernel (_score_group_pairs): wedge
+            # GEMM for within-chunk groups, cross rectangle for
+            # chunk-pair subtasks of a split oversized bucket
+            id_a, id_b, cos = _score_group_pairs(pdf, "v", thr)
+            return pd.DataFrame(
+                {"id_a": id_a, "id_b": id_b, "cos_raw": cos})
 
-        scored = keyed.groupBy("tbl", "bucket").applyInPandas(
+        scored = keyed.groupBy(*group_cols).applyInPandas(
             score_bucket, schema="id_a long, id_b long, cos_raw double")
         return (
             scored.groupBy("id_a", "id_b")
@@ -657,7 +780,8 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
                          threshold: float = 0.42,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         kernel: str = "blas", salt: int = 8) -> DataFrame:
+                         kernel: str = "blas", salt: int = 8,
+                         max_group: int | None = 8192) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
     k-means cells bound the candidate space, exact cosine runs only
     WITHIN a cell. The standard embedding-dedup shape for web-scale
@@ -692,6 +816,12 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
       Parallelism is k tasks (one per cell) — with the
       paper's k ~ sqrt(n) that is also the scale-out knob, and cells
       arrive via one shuffle of (id, vector), never a broadcast.
+      On a power-law corpus the dominant cluster is one CELL whatever
+      k is, so ``max_group`` (default 8192) chunk-splits oversized
+      cells into independent wedge/rectangle subtasks exactly like
+      embedding_lsh_pairs' bucket kernel (:func:`_chunk_split_oversized`;
+      identical pair set, docs/SCALING.md addendum 4); ``None`` pins
+      the one-task-per-cell layout.
     - ``kernel="expr"``: pure-JVM salted self-join. Each right-side
       row keeps one deterministic bucket (vid % salt) and the left
       side explodes to all ``salt`` buckets, so every (u, v) pair
@@ -716,48 +846,24 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
         import numpy as np
         import pandas as pd
 
-        thr, chunk = threshold, 1024
+        thr = threshold
+        group_cols = ["cell"]
+        if max_group:
+            a, group_cols = _chunk_split_oversized(a, group_cols, max_group)
 
         def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            # bandwidth-lean kernel, same design as
-            # embedding_lsh_pairs' score_bucket: pre-normalized rows,
-            # upper-wedge GEMM on sorted ids, threshold-first with
-            # the id/zero-norm filter on extracted 1-D candidates,
-            # one output assembly per cell
-            ids = pdf["vid"].to_numpy(dtype="int64")
-            order = np.argsort(ids)
-            ids = ids[order]
-            m = np.stack(pdf["dv"].to_numpy())[order]
-            norms = np.linalg.norm(m, axis=1)
-            nz = norms > 0
-            mn = m / np.where(nz, norms, 1.0)[:, None]
-            mn[~nz] = 0.0
+            # bandwidth-lean shared kernel (_score_group_pairs): wedge
+            # GEMM within a (chunk of a) cell, cross rectangle for the
+            # chunk-pair subtasks of a split oversized cell
             cell = int(pdf["cell"].iloc[0])
-            out_a, out_b, out_c = [], [], []
-            for lo in range(0, len(ids), chunk):
-                hi = min(lo + chunk, len(ids))
-                sims = mn[lo:hi] @ mn[lo:].T
-                ai, bi = np.nonzero(sims >= thr)
-                keep = (ids[lo:][bi] > ids[lo + ai]) \
-                    & nz[lo + ai] & nz[lo:][bi]
-                ai, bi = ai[keep], bi[keep]
-                out_a.append(ids[lo + ai])
-                out_b.append(ids[lo:][bi])
-                out_c.append(sims[ai, bi])
-            if not out_a:
-                return pd.DataFrame(
-                    {"id_a": pd.Series(dtype="int64"),
-                     "id_b": pd.Series(dtype="int64"),
-                     "cell": pd.Series(dtype="int32"),
-                     "cos_raw": pd.Series(dtype="float64")})
-            id_a = np.concatenate(out_a)
+            id_a, id_b, cos = _score_group_pairs(pdf, "dv", thr)
             return pd.DataFrame({
                 "id_a": id_a,
-                "id_b": np.concatenate(out_b),
+                "id_b": id_b,
                 "cell": np.full(len(id_a), cell, dtype="int32"),
-                "cos_raw": np.concatenate(out_c)})
+                "cos_raw": cos})
 
-        pairs = a.groupBy("cell").applyInPandas(
+        pairs = a.groupBy(*group_cols).applyInPandas(
             score_cell, schema="id_a long, id_b long, cell int, cos_raw double")
     else:
         l = a.withColumn(

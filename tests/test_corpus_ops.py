@@ -610,3 +610,85 @@ def test_pq_codes_are_argmin_and_rerank_is_exact(spark):
         assert abs(c - round(cos(vecs[qi], vecs[ni]), 6)) < 2e-6
     # shortlist coverage floor (measured 0.40 on this corpus)
     assert len(set(rer) & set(bf)) / len(bf) >= 0.25
+
+
+def _skewed_embeddings(spark, frac_mod: int = 7):
+    """Power-law variant of the sf0.01 embeddings: every vec_id % frac_mod
+    == 0 row is pulled onto one boilerplate direction (base + 0.05 * own
+    embedding — deterministic, plan-side), so ~1/frac_mod of the corpus
+    shares LSH signs / a k-means cell: the one-giant-bucket shape a real
+    crawl produces and uniform synthetic corpora never do."""
+    from medallion_data_pipeline_spark.functions.vectors import lit_double_array
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = lit_double_array([((j * 37 + 11) % 97) / 97.0 - 0.4
+                             for j in range(64)])
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    skew = F.zip_with(base, dv, lambda b, x: b + 0.05 * x)
+    return emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % frac_mod == 0, skew).otherwise(dv))
+
+
+def test_chunk_split_replicates_rows_and_covers_all_wedges(spark):
+    """_chunk_split_oversized: an oversized group's rows replicate
+    exactly C = ceil(n/max_group) ways, every unordered chunk pair
+    (lo <= hi) appears, and groups at or under max_group stay single
+    (C = 1, one (0, 0) subtask)."""
+    from medallion_data_pipeline_spark.operators.similarity import (
+        _chunk_split_oversized)
+
+    rows = [(i, "big") for i in range(100)] + [(i, "small") for i in range(9)]
+    keyed = spark.createDataFrame(rows, "vid long, bucket string")
+    uniform, cols = _chunk_split_oversized(keyed, ["bucket"], max_group=200)
+    assert cols == ["bucket"] and uniform is keyed  # no-skew: pinned plan
+    split, cols = _chunk_split_oversized(keyed, ["bucket"], max_group=16)
+    assert cols == ["bucket", "_lo", "_hi"]
+    out = split.collect()
+    big = [r for r in out if r.bucket == "big"]
+    small = [r for r in out if r.bucket == "small"]
+    c = 7  # ceil(100/16)
+    assert len(big) == 100 * c
+    assert len(small) == 9  # no replication below the threshold
+    assert {(r._lo, r._hi) for r in small} == {(0, 0)}
+    assert {(r._lo, r._hi) for r in big} == {
+        (lo, hi) for lo in range(c) for hi in range(lo, c)}
+    # each row lands once per subtask it participates in
+    per_pair = {}
+    for r in big:
+        per_pair.setdefault((r._lo, r._hi), set()).add(r.vid)
+    for (lo, hi), vids in per_pair.items():
+        want = {v for v in range(100) if v % c in (lo, hi)}
+        assert vids == want, (lo, hi)
+
+
+def test_skewed_bucket_split_pair_sets_identical(spark):
+    """The straggler split must be invisible in the OUTPUT: on a
+    power-law corpus whose boilerplate cluster oversizes one LSH
+    bucket per table (and one k-means cell), a forced split
+    (max_group far below the cluster size) yields exactly the pair
+    set and 6-dp cosines of the pinned one-task-per-group layout."""
+    from medallion_data_pipeline_spark.operators import similarity as S
+
+    emb = _skewed_embeddings(spark)
+    # threshold above the cluster plateau so output stays bounded while
+    # the quadratic scoring work still happens for every cluster pair
+    unsplit = {(r.id_a, r.id_b): r.cosine
+               for r in S.embedding_lsh_pairs(
+                   emb, threshold=0.9, max_group=None).collect()}
+    split = {(r.id_a, r.id_b): r.cosine
+             for r in S.embedding_lsh_pairs(
+                 emb, threshold=0.9, max_group=64).collect()}
+    assert len(unsplit) > 100  # the cluster actually collides
+    assert split == unsplit
+
+    cells_unsplit = {(r.id_a, r.id_b): (r.cell, r.cosine)
+                     for r in S.semantic_dedup_cells(
+                         emb, k=4, iters=2, threshold=0.9,
+                         max_group=None).collect()}
+    cells_split = {(r.id_a, r.id_b): (r.cell, r.cosine)
+                   for r in S.semantic_dedup_cells(
+                       emb, k=4, iters=2, threshold=0.9,
+                       max_group=64).collect()}
+    assert len(cells_unsplit) > 100
+    assert cells_split == cells_unsplit

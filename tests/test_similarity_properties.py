@@ -135,3 +135,13 @@ def test_lit_double_array_identical(spark):
     assert [bits(x) for x in row.a] == [bits(x) for x in row.b]
     assert [bits(x) for x in row.a] == [bits(float(v)) for v in vals]
     assert not any(math.isnan(x) for x in row.a)
+
+
+def test_lit_double_array_empty_is_typed(spark):
+    """The empty case must still be array<double> — bare array() types
+    as array<string> and would blow up a zip_with over doubles."""
+    from medallion_data_pipeline_spark.functions.vectors import lit_double_array
+
+    df = spark.range(1).select(lit_double_array([]).alias("a"))
+    assert df.schema["a"].dataType.simpleString() == "array<double>"
+    assert df.collect()[0].a == []
