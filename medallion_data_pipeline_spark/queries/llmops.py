@@ -620,7 +620,9 @@ _EMB_LSH_SEED = 101
 
 def _emb_lsh_oracle(threshold: float = 0.42, n_planes: int = _EMB_LSH_PLANES,
                     n_tables: int = _EMB_LSH_TABLES, seed: int = _EMB_LSH_SEED,
-                    dim: int = 64) -> str:
+                    dim: int = 64, skew_mod: int | None = None,
+                    skew_eps: float | None = None,
+                    skew_base: list | None = None) -> str:
     from ..functions.vectors import _plane_component
 
     # hyperplanes hoisted into a VALUES CTE (one row per (table, plane))
@@ -633,11 +635,31 @@ def _emb_lsh_oracle(threshold: float = 0.42, n_planes: int = _EMB_LSH_PLANES,
                               for j in range(dim))
             plane_rows.append(f"({t_i}, {1 << pl}, [{comps}])")
     values = ",\n".join(plane_rows)
-    return f"""
-WITH v AS MATERIALIZED (
+    if skew_mod:
+        # replay the deterministic boilerplate transform (base + eps*v
+        # on every vec_id % skew_mod == 0 row) in SQL: repr(float)
+        # literals parse to the identical doubles on both engines, so
+        # the skewed vectors — and therefore buckets and cosines —
+        # match the Spark side exactly
+        base = ", ".join(repr(float(x)) for x in skew_base)
+        v_cte = f"""v0 AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv0
+    FROM embeddings
+), v AS MATERIALIZED (
+    SELECT vec_id,
+           CASE WHEN vec_id % {skew_mod} = 0
+                THEN list_transform(range(1, {dim + 1}),
+                                    i -> b.b[i] + {float(skew_eps)!r} * dv0[i])
+                ELSE dv0 END AS dv
+    FROM v0 CROSS JOIN (SELECT [{base}] AS b) b
+)"""
+    else:
+        v_cte = """v AS MATERIALIZED (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
     FROM embeddings
-), planes AS MATERIALIZED (
+)"""
+    return f"""
+WITH {v_cte}, planes AS MATERIALIZED (
     SELECT * FROM (VALUES {values}) AS t(tbl, bit, pv)
 ), keyed AS MATERIALIZED (
     SELECT v.vec_id, p.tbl,
@@ -687,6 +709,53 @@ def dedup_embedding_lsh(spark, sf_dir):
     return S.embedding_lsh_pairs(
         emb, threshold=0.42, n_planes=_EMB_LSH_PLANES,
         n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED)
+
+
+# ---------------------------------------------------------------------------
+# q — the SAME banded-LSH dedup on a power-law corpus: a deterministic
+# in-plan transform pulls every 4th vector onto one boilerplate
+# direction (base + 0.12*own embedding), so ~25% of the corpus lands
+# in ONE bucket per hash table — the skewed shape a real crawl
+# produces and the uniform testdata never does. max_group=48 forces
+# the straggler chunk-split (operators/similarity.py::
+# _chunk_split_oversized) to ENGAGE at both gate SFs, so the
+# cross-rectangle scoring path is oracle-hash-gated and permanently
+# benched (VERDICT r8 next-round #1 / #5).
+# ---------------------------------------------------------------------------
+
+_SKEW_BASE = [((j * 37 + 11) % 97) / 97.0 - 0.4 for j in range(64)]
+_SKEW_EPS = 0.12
+_SKEW_MOD = 4
+_SKEW_MAXG = 48
+
+
+@register("dedup_embedding_lsh_skew",
+          oracle=_emb_lsh_oracle(threshold=0.95, skew_mod=_SKEW_MOD,
+                                 skew_eps=_SKEW_EPS, skew_base=_SKEW_BASE),
+          bench=True)
+def dedup_embedding_lsh_skew(spark, sf_dir):
+    """Banded sign-LSH near-dup pairs on a power-law (boilerplate-
+    cluster) corpus with the oversized-bucket chunk-split engaged:
+    vec_id % 4 == 0 rows become base + 0.12*v (cluster cosines ~0.999,
+    all true near-dups at threshold 0.95; LSH sign agreement ~0.97 per
+    plane so the cluster concentrates into one modal bucket per
+    table), and max_group=48 splits that bucket into C(C+1)/2
+    wedge/rectangle subtasks. The oracle replays the same transform,
+    buckets, and exact cosines in SQL, so the split layout's pair set
+    and 6-dp values are hash-gated — not just wall-clock-tested."""
+    from ..functions.vectors import lit_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    skewed = F.zip_with(lit_double_array(_SKEW_BASE), dv,
+                        lambda b, x: b + F.lit(_SKEW_EPS) * x)
+    emb = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % _SKEW_MOD == 0, skewed).otherwise(dv))
+    return S.embedding_lsh_pairs(
+        emb, threshold=0.95, n_planes=_EMB_LSH_PLANES,
+        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED,
+        max_group=_SKEW_MAXG)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Round-9 measurement: power-law (skewed-bucket) stress for the
+pair-scoring tier — the one 100 TB risk uniform growth corpora cannot
+produce (VERDICT r8 "Next round #1").
+
+Every scale corpus so far is uniform-synthetic: bucket/cell loads are
+flat, so the one-task-per-group applyInPandas kernels always got even
+parallelism. A real crawl is power-law — one boilerplate cluster holds
+5-10% of all documents/vectors and lands in ONE LSH bucket (every
+table) and ONE k-means cell regardless of n_planes/k. This tool builds
+that shape deterministically and measures the straggler plus the
+_chunk_split_oversized mitigation:
+
+- embeddings (200k vectors, sf10-scale): a Zipf cluster ladder —
+  cluster r (r = 1..8) has 20000/r members at direction b_r with
+  per-member noise eps=0.12 (so in-cluster cosines sit ~0.986, BELOW
+  the 0.99 measurement threshold: the quadratic scoring work happens,
+  the output stays bounded) — plus a uniform tail. At 8 sign-planes
+  the top cluster concentrates ~53% of its members into one modal
+  bucket per table (~10.6k rows vs the uniform ~700), and k-means
+  gives the whole cluster one cell.
+- documents (50k docs, sf1-scale): the token-suffix growth model plus
+  a 1.5k-doc boilerplate clique (one 60-token template + 3 unique
+  tokens per doc, pairwise 3-shingle Jaccard ~0.85) — the CONTROL:
+  minhash candidates come from a pure-plan band-key self-join whose
+  hot key AQE skew-join can already split; no kernel, no split knob.
+  Note the clique's output is intrinsically quadratic (every pair IS
+  a true near-dup) — a data property, so the clique is kept small.
+
+Per measurement (min-of-2): wall, executorRunTime delta (the work),
+and rows out. Straggler evidence is wall vs executorRunTime/32 — an
+idle-core straggler shows wall >> work/32 with work unchanged by the
+split; the split must leave the pair set bit-identical (pinned by
+test_skewed_bucket_split_pair_sets_identical).
+
+Usage: python tools/scale_skew.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.operators import dedup as D
+from medallion_data_pipeline_spark.operators import similarity as S
+from medallion_data_pipeline_spark.sources.testdata import load_table
+from tools.scale_heavy import get_ui_spark, shuffle_totals
+
+SKEW_DIR = os.environ.get("MDP_SKEW_DIR", "/tmp/mdp_skew_keep")
+
+N_VEC = 200_000
+DIM = 64
+TOP_CLUSTER = 20_000
+N_CLUSTERS = 8
+EPS = 0.12
+N_DOCS_BASE_REPLICAS = 10   # 5k sf0.1 docs -> 50k
+CLIQUE = 1_500
+
+
+def _zipf_sizes():
+    return [TOP_CLUSTER // r for r in range(1, N_CLUSTERS + 1)]
+
+
+def ensure_skew_embeddings(spark, out_dir):
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(dst):
+        return
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    sizes = _zipf_sizes()
+    starts = np.cumsum([0] + sizes)
+
+    def gen(batches):
+        # one output batch per input row: row p generates vec_ids
+        # [p*5000, (p+1)*5000) so the corpus grows executor-side
+        for pdf in batches:
+            for p in pdf["id"]:
+                p = int(p)
+                lo, hi = p * 5000, (p + 1) * 5000
+                rng = np.random.RandomState(90_000 + p)
+                x = rng.standard_normal((hi - lo, DIM))
+                x /= np.linalg.norm(x, axis=1, keepdims=True)
+                ids = np.arange(lo, hi)
+                # overwrite clustered id ranges: b_r + eps * own noise
+                for r, (s, e) in enumerate(zip(starts[:-1], starts[1:])):
+                    m = (ids >= s) & (ids < e)
+                    if m.any():
+                        brng = np.random.RandomState(80_000 + r)
+                        b = brng.standard_normal(DIM)
+                        b /= np.linalg.norm(b)
+                        x[m] = b + EPS * x[m]
+                x = x.astype(np.float32)
+                yield pd.DataFrame({
+                    "vec_id": ids.astype("int64"),
+                    "embedding": [x[i] for i in range(len(ids))],
+                    "label": (ids % 10).astype("int32"),
+                })
+
+    spark.range(N_VEC // 5000).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>, label int"
+    ).repartition(32).write.mode("overwrite").parquet(dst)
+    print(f"skew embeddings -> {dst}", flush=True)
+
+
+def ensure_skew_documents(spark, out_dir):
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    parts = [docs.select("doc_id", "text", "lang", "source", "n_chars")]
+    for r in range(1, N_DOCS_BASE_REPLICAS):
+        parts.append(docs.select(
+            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1~r{r}").alias("text"),
+            "lang", "source",
+        ).withColumn("n_chars", F.length("text"))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    grown = parts[0]
+    for p in parts[1:]:
+        grown = grown.unionByName(p)
+    template = " ".join(f"boiler{j}" for j in range(60))
+    clique = spark.range(CLIQUE).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.concat(F.lit(template + " "),
+                 F.format_string("uq%da uq%db uq%dc",
+                                 "id", "id", "id")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("boilerplate").alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    grown.unionByName(clique).repartition(32) \
+        .write.mode("overwrite").parquet(dst)
+    print(f"skew documents -> {dst}", flush=True)
+
+
+def _runtime_ms(spark):
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    stages = json.loads(urllib.request.urlopen(url).read())
+    return sum(s.get("executorRunTime", 0) for s in stages)
+
+
+def measure(spark, label, frame_fn, reps=2):
+    best, work_ms, sh_w, rows = float("inf"), 0, 0, None
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        r0 = _runtime_ms(spark)
+        w0, _ = shuffle_totals(spark)
+        t0 = time.time()
+        frame_fn().write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        if wall < best:
+            best = wall
+            work_ms = _runtime_ms(spark) - r0
+            sh_w = shuffle_totals(spark)[0] - w0
+    rows = frame_fn().count()
+    print(f"  {label:42s} wall={best:7.2f}s work={work_ms/1000:8.1f}s "
+          f"(/32={work_ms/32000:6.2f}s) write={sh_w/1e6:8.1f}MB rows={rows}",
+          flush=True)
+    return {"wall_s": round(best, 2), "work_s": round(work_ms / 1000, 1),
+            "shuffle_write_mb": round(sh_w / 1e6, 1), "rows": rows}
+
+
+def main():
+    spark = get_ui_spark()
+    regen = "--regen" in sys.argv
+    if regen:
+        import shutil
+        shutil.rmtree(SKEW_DIR, ignore_errors=True)
+    ensure_skew_embeddings(spark, SKEW_DIR)
+    ensure_skew_documents(spark, SKEW_DIR)
+    emb = load_table(spark, SKEW_DIR, "embeddings")
+    docs = load_table(spark, SKEW_DIR, "documents")
+
+    out = {}
+    print("== embedding_lsh_pairs (8 planes x 8 tables, thr 0.99) ==",
+          flush=True)
+    for mg in (None, 8192, 2048):
+        out[f"lsh_mg{mg}"] = measure(
+            spark, f"embedding_lsh_pairs max_group={mg}",
+            lambda mg=mg: S.embedding_lsh_pairs(
+                emb, threshold=0.99, n_planes=8, n_tables=8,
+                max_group=mg))
+    print("== semantic_dedup_cells (k=45, thr 0.99) ==", flush=True)
+    for mg in (None, 8192, 2048):
+        out[f"cells_mg{mg}"] = measure(
+            spark, f"semantic_dedup_cells max_group={mg}",
+            lambda mg=mg: S.semantic_dedup_cells(
+                emb, k=45, iters=2, threshold=0.99, max_group=mg))
+    print("== minhash near-dup control (band-key join, AQE) ==", flush=True)
+    out["minhash_skew"] = measure(
+        spark, "minhash_near_duplicates skew-docs",
+        lambda: D.minhash_near_duplicates(docs, threshold=0.4))
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
