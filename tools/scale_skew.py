@@ -11,14 +11,21 @@ table) and ONE k-means cell regardless of n_planes/k. This tool builds
 that shape deterministically and measures the straggler plus the
 _chunk_split_oversized mitigation:
 
-- embeddings (200k vectors, sf10-scale): a Zipf cluster ladder —
-  cluster r (r = 1..8) has 20000/r members at direction b_r with
-  per-member noise eps=0.12 (so in-cluster cosines sit ~0.986, BELOW
-  the 0.99 measurement threshold: the quadratic scoring work happens,
-  the output stays bounded) — plus a uniform tail. At 8 sign-planes
-  the top cluster concentrates ~53% of its members into one modal
-  bucket per table (~10.6k rows vs the uniform ~700), and k-means
-  gives the whole cluster one cell.
+- embeddings (150k vectors): a Zipf cluster ladder [30k, 10k, 5k,
+  2.5k] at directions b_r with per-member noise eps=0.12 (in-cluster
+  cosines ~0.986 +- 0.014, so the 0.995 measurement threshold keeps
+  output bounded while the quadratic scoring work still happens for
+  every cluster pair) plus a uniform tail. At 8 sign-planes the top
+  cluster concentrates ~53% of its members into ONE modal bucket per
+  table (~16k rows vs the uniform ~590) — a 126M-pair GEMM in one
+  task — and k-means gives the whole cluster one cell (~30k rows,
+  a 450M-pair single-task GEMM unsplit). The top-cluster share (20%)
+  is deliberately above a real crawl's 5-10%: at local scale the
+  straggler must dominate the fixed pipeline cost to be measurable,
+  mirroring 100 TB where even a 5% cluster is millions of rows per
+  bucket. (A first pass at 10%/8 tables measured the straggler at
+  only ~2s of a 23s wall — real but buried; these parameters unbury
+  it.)
 - documents (50k docs, sf1-scale): the token-suffix growth model plus
   a 1.5k-doc boilerplate clique (one 60-token template + 3 unique
   tokens per doc, pairwise 3-shingle Jaccard ~0.85) — the CONTROL:
@@ -54,17 +61,16 @@ from tools.scale_heavy import get_ui_spark, shuffle_totals
 
 SKEW_DIR = os.environ.get("MDP_SKEW_DIR", "/tmp/mdp_skew_keep")
 
-N_VEC = 200_000
+N_VEC = 150_000
 DIM = 64
-TOP_CLUSTER = 20_000
-N_CLUSTERS = 8
+CLUSTER_SIZES = [30_000, 10_000, 5_000, 2_500]
 EPS = 0.12
 N_DOCS_BASE_REPLICAS = 10   # 5k sf0.1 docs -> 50k
 CLIQUE = 1_500
 
 
 def _zipf_sizes():
-    return [TOP_CLUSTER // r for r in range(1, N_CLUSTERS + 1)]
+    return CLUSTER_SIZES
 
 
 def ensure_skew_embeddings(spark, out_dir):
@@ -182,20 +188,20 @@ def main():
     docs = load_table(spark, SKEW_DIR, "documents")
 
     out = {}
-    print("== embedding_lsh_pairs (8 planes x 8 tables, thr 0.99) ==",
+    print("== embedding_lsh_pairs (8 planes x 4 tables, thr 0.995) ==",
           flush=True)
     for mg in (None, 8192, 2048):
         out[f"lsh_mg{mg}"] = measure(
             spark, f"embedding_lsh_pairs max_group={mg}",
             lambda mg=mg: S.embedding_lsh_pairs(
-                emb, threshold=0.99, n_planes=8, n_tables=8,
+                emb, threshold=0.995, n_planes=8, n_tables=4,
                 max_group=mg))
-    print("== semantic_dedup_cells (k=45, thr 0.99) ==", flush=True)
+    print("== semantic_dedup_cells (k=40, thr 0.995) ==", flush=True)
     for mg in (None, 8192, 2048):
         out[f"cells_mg{mg}"] = measure(
             spark, f"semantic_dedup_cells max_group={mg}",
             lambda mg=mg: S.semantic_dedup_cells(
-                emb, k=45, iters=2, threshold=0.99, max_group=mg))
+                emb, k=40, iters=2, threshold=0.995, max_group=mg))
     print("== minhash near-dup control (band-key join, AQE) ==", flush=True)
     out["minhash_skew"] = measure(
         spark, "minhash_near_duplicates skew-docs",
