@@ -18,7 +18,14 @@ only meaningful on the recall curve it buys.
 
 Ground truth: knn_matmul (exact BLAS top-k) on the same 200-query
 batch. Same grown corpus as scale_knn_fixedq --sf100 (superset growth
-model, seed-stable).
+model, seed-stable). The query batch is vec_id in [1000, 1200) — NOT
+the [0, 200) batch scale_knn_fixedq times — because
+deterministic_centroids seeds Lloyd with the LOWEST-ID vectors: at
+cells=141 the [0,200) queries ARE the seeds, each effectively
+anchoring its own cell, which measured an inflated recall@5 of 0.745
+vs 0.30-0.40 at other settings (a first-pass artifact worth
+recording: never evaluate IVF recall on the clustering's own seed
+vectors). Timing is batch-invariant (same |Q|).
 
 Usage: python tools/scale_ivf_cells.py
 """
@@ -37,9 +44,10 @@ from pyspark.sql import functions as F
 from medallion_data_pipeline_spark.operators.similarity import knn_ivf, knn_matmul
 from medallion_data_pipeline_spark.sources.testdata import load_table
 from tools.scale_heavy import get_ui_spark, shuffle_totals
-from tools.scale_knn_fixedq import Q_MAX, ensure_embeddings_only
+from tools.scale_knn_fixedq import ensure_embeddings_only
 
 CELLS = (8, 14, 45, 141)
+Q_LO, Q_HI = 1000, 1200  # disjoint from the Lloyd lowest-id seeds
 
 
 def neighbor_sets(rows):
@@ -54,8 +62,8 @@ def main():
     sf100_dir = os.environ.get("MDP_SF100_DIR", "/tmp/mdp_sf100emb_keep")
     ensure_embeddings_only(spark, "/root/testdata/sf0.1", sf100_dir, 1000)
     emb = load_table(spark, sf100_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < Q_MAX)
-    assert q.count() == Q_MAX
+    q = emb.filter((F.col("vec_id") >= Q_LO) & (F.col("vec_id") < Q_HI))
+    assert q.count() == Q_HI - Q_LO
 
     t0 = time.time()
     truth = neighbor_sets(knn_matmul(emb, q, k=5).collect())
