@@ -51,21 +51,31 @@ def _split_and_write(raw: DataFrame, cleaned: DataFrame, reject_reason, name: st
     `flagged_df` is still persisted — the caller unpersists after the
     rejected union has been written.
     """
-    flagged = cleaned.withColumn("_reject_reason", reject_reason).persist()
-    valid = flagged.filter(F.col("_reject_reason").isNull()).drop("_reject_reason")
-    valid.write.mode("overwrite").parquet(os.path.join(warehouse, "silver", name))
+    from pyspark.sql import Observation
 
-    # one job: total rows, rejected rows, and all dq null counts
-    # (reference silver_builder.py:477-495) — separate counts would
-    # re-run the cleaning DAG once per metric
+    flagged = cleaned.withColumn("_reject_reason", reject_reason).persist()
+
+    # total rows, rejected rows, and all dq null counts ride the WRITE
+    # action as CollectMetrics (observe) on the pre-filter node — every
+    # row flows through it before the validity filter, so the metrics
+    # cover the full table and the separate stats job (reference
+    # silver_builder.py:477-495 runs one query per metric; an earlier
+    # version here ran one agg job per table) disappears: one action
+    # per table, ~0.15-0.2 s of scheduler+scan fixed cost each on the
+    # 50K bench, and at cluster scale one fewer pass over the cache
     check_cols = [c for c in cleaned.columns if c.endswith("_clean") or c == "quality_score"]
-    row = flagged.agg(
+    obs = Observation()
+    observed = flagged.observe(
+        obs,
         F.count(F.lit(1)).alias("_rows_in"),
         F.sum(F.when(F.col("_reject_reason").isNotNull(), 1).otherwise(0))
         .cast("long").alias("_rejected"),
         *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(c)
           for c in check_cols],
-    ).collect()[0]
+    )
+    valid = observed.filter(F.col("_reject_reason").isNull()).drop("_reject_reason")
+    valid.write.mode("overwrite").parquet(os.path.join(warehouse, "silver", name))
+    row = obs.get
     res = TableResult(name, row["_rows_in"], row["_rows_in"] - row["_rejected"], row["_rejected"])
     checks = [(name, f"{c}_not_null", row[c] == 0, row[c], run_id) for c in check_cols]
 
@@ -248,12 +258,21 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
     for _, _, rejected, _ in outcomes:
         rejected_all = rejected if rejected_all is None else rejected_all.unionByName(rejected)
     try:
-        rejected_all.write.mode("append").parquet(os.path.join(warehouse, "audit", "rejected_rows"))
+        # the three audit sinks land in distinct directories, so their
+        # jobs overlap safely (the per-DIRECTORY committer constraint
+        # that batches all rejected rows into one append still holds)
+        with ThreadPoolExecutor(max_workers=3) as tail:
+            futs = [
+                tail.submit(lambda: rejected_all.write.mode("append").parquet(
+                    os.path.join(warehouse, "audit", "rejected_rows"))),
+                tail.submit(_write_etl_log, spark, warehouse, results, run_id),
+                tail.submit(_write_dq_results, spark, warehouse, all_checks),
+            ]
+            for f in futs:
+                f.result()
     finally:
         for _, _, _, flagged in outcomes:
             flagged.unpersist()
-    _write_etl_log(spark, warehouse, results, run_id)
-    _write_dq_results(spark, warehouse, all_checks)
     return results
 
 
