@@ -692,3 +692,27 @@ def test_skewed_bucket_split_pair_sets_identical(spark):
                        max_group=64).collect()}
     assert len(cells_unsplit) > 100
     assert cells_split == cells_unsplit
+
+
+def test_chunk_split_lut_branch_many_oversized_groups(spark):
+    """With more than 64 oversized groups the split helper switches
+    from a literal when-chain to a broadcast-joined lookup — same
+    contract: exact replication counts, full wedge coverage, and
+    untouched small groups."""
+    from medallion_data_pipeline_spark.operators.similarity import (
+        _chunk_split_oversized)
+
+    rows = [(b * 1000 + i, b) for b in range(70) for i in range(21)]
+    rows += [(90_000 + i, 999) for i in range(5)]
+    keyed = spark.createDataFrame(rows, "vid long, bucket int")
+    split, cols = _chunk_split_oversized(keyed, ["bucket"], max_group=10)
+    assert cols == ["bucket", "_lo", "_hi"]
+    out = split.collect()
+    c = 3  # ceil(21/10)
+    big = [r for r in out if r.bucket != 999]
+    small = [r for r in out if r.bucket == 999]
+    assert len(small) == 5 and {(r._lo, r._hi) for r in small} == {(0, 0)}
+    assert len(big) == 70 * 21 * c
+    for b in range(70):
+        pairs = {(r._lo, r._hi) for r in big if r.bucket == b}
+        assert pairs == {(lo, hi) for lo in range(c) for hi in range(lo, c)}
