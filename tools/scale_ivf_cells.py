@@ -27,7 +27,12 @@ vs 0.30-0.40 at other settings (a first-pass artifact worth
 recording: never evaluate IVF recall on the clustering's own seed
 vectors). Timing is batch-invariant (same |Q|).
 
-Usage: python tools/scale_ivf_cells.py
+With --nprobe, a second sweep holds cells at 45 (near the wall
+optimum) and buys recall back with nprobe in {1, 2, 4, 8} via
+knn_ivf_probe — the deployment-guidance curve: probe cost scales the
+|Q|*n/cells scoring term by nprobe while assignment stays fixed.
+
+Usage: python tools/scale_ivf_cells.py [--nprobe]
 """
 
 from __future__ import annotations
@@ -41,7 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from medallion_data_pipeline_spark.operators.similarity import knn_ivf, knn_matmul
+from medallion_data_pipeline_spark.operators.similarity import (
+    knn_ivf, knn_ivf_probe, knn_matmul)
 from medallion_data_pipeline_spark.sources.testdata import load_table
 from tools.scale_heavy import get_ui_spark, shuffle_totals
 from tools.scale_knn_fixedq import ensure_embeddings_only
@@ -71,7 +77,8 @@ def main():
           flush=True)
 
     out = {}
-    for cells in CELLS:
+    cells_sweep = CELLS if "--nprobe" not in sys.argv else ()
+    for cells in cells_sweep:
         best, sh_w = float("inf"), 0
         for _ in range(2):
             spark.catalog.clearCache()
@@ -92,6 +99,32 @@ def main():
         }
         print(f"  cells={cells:4d} wall={best:7.2f}s "
               f"write={sh_w / 1e6:8.1f}MB recall@5={recall:.3f}", flush=True)
+    if "--nprobe" in sys.argv:
+        for nprobe in (1, 2, 4, 8):
+            best, sh_w = float("inf"), 0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                w0, _ = shuffle_totals(spark)
+                t0 = time.time()
+                knn_ivf_probe(emb, q, k=5, n_cells=45, nprobe=nprobe) \
+                    .write.format("noop").mode("overwrite").save()
+                wall = time.time() - t0
+                if wall < best:
+                    best, sh_w = wall, shuffle_totals(spark)[0] - w0
+            got = neighbor_sets(
+                knn_ivf_probe(emb, q, k=5, n_cells=45,
+                              nprobe=nprobe).collect())
+            hits = sum(len(got.get(qid, set()) & t)
+                       for qid, t in truth.items())
+            recall = hits / sum(len(t) for t in truth.values())
+            out[f"c45_np{nprobe}"] = {
+                "wall_s": round(best, 2),
+                "shuffle_write_mb": round(sh_w / 1e6, 1),
+                "recall_at_5": round(recall, 3),
+            }
+            print(f"  cells=45 nprobe={nprobe} wall={best:7.2f}s "
+                  f"write={sh_w / 1e6:8.1f}MB recall@5={recall:.3f}",
+                  flush=True)
     print(json.dumps(out), flush=True)
 
 
