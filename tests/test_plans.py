@@ -332,3 +332,16 @@ def test_no_filter_on_computed_array_size(spark):
             if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
                 assert "concat_ws" not in line, (name, line)
                 assert "transform(" not in line, (name, line)
+
+
+def test_chunk_split_plans_only_on_skewed_corpus(spark):
+    """The oversized-group split must be plan-INVISIBLE on uniform
+    corpora (one Generate: the key posexplode; 2-key grouping) and
+    plan-VISIBLE on the power-law query (a second Generate for the
+    chunk-pair explode; the 4-key (tbl, bucket, _lo, _hi) grouping)."""
+    uniform = _plan(spark, "dedup_embedding_lsh")
+    skewed = _plan(spark, "dedup_embedding_lsh_skew")
+    assert uniform.count("Generate") == 1
+    assert "_lo" not in uniform and "_hi" not in uniform
+    assert skewed.count("Generate") == 2
+    assert "_lo" in skewed and "_hi" in skewed
