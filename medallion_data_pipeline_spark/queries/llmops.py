@@ -729,6 +729,22 @@ _SKEW_MOD = 4
 _SKEW_MAXG = 48
 
 
+def _skewed_emb(spark, sf_dir):
+    """The deterministic power-law transform shared by the *_skew
+    queries: every vec_id % _SKEW_MOD == 0 row becomes
+    base + eps * own-embedding (plan-side, double-exact — the oracles
+    replay it from repr(float) literals)."""
+    from ..functions.vectors import lit_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    skewed = F.zip_with(lit_double_array(_SKEW_BASE), dv,
+                        lambda b, x: b + F.lit(_SKEW_EPS) * x)
+    return emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % _SKEW_MOD == 0, skewed).otherwise(dv))
+
+
 @register("dedup_embedding_lsh_skew",
           oracle=_emb_lsh_oracle(threshold=0.95, skew_mod=_SKEW_MOD,
                                  skew_eps=_SKEW_EPS, skew_base=_SKEW_BASE),
@@ -743,19 +759,10 @@ def dedup_embedding_lsh_skew(spark, sf_dir):
     wedge/rectangle subtasks. The oracle replays the same transform,
     buckets, and exact cosines in SQL, so the split layout's pair set
     and 6-dp values are hash-gated — not just wall-clock-tested."""
-    from ..functions.vectors import lit_double_array
-
-    emb = t(spark, sf_dir, "embeddings")
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    skewed = F.zip_with(lit_double_array(_SKEW_BASE), dv,
-                        lambda b, x: b + F.lit(_SKEW_EPS) * x)
-    emb = emb.withColumn(
-        "embedding",
-        F.when(F.col("vec_id") % _SKEW_MOD == 0, skewed).otherwise(dv))
     return S.embedding_lsh_pairs(
-        emb, threshold=0.95, n_planes=_EMB_LSH_PLANES,
-        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED,
-        max_group=_SKEW_MAXG)
+        _skewed_emb(spark, sf_dir), threshold=0.95,
+        n_planes=_EMB_LSH_PLANES, n_tables=_EMB_LSH_TABLES,
+        seed=_EMB_LSH_SEED, max_group=_SKEW_MAXG)
 
 
 # ---------------------------------------------------------------------------
@@ -2273,6 +2280,55 @@ def dedup_semantic_cells(spark, sf_dir):
     oracle replays the Lloyd chain AND the in-cell pair predicate."""
     return S.semantic_dedup_cells(
         t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.42)
+
+
+# --- dedup_semantic_cells_skew ------------------------------------------------
+# The same SemDeDup operator on the power-law corpus (the _skewed_emb
+# transform pulls ~25% of vectors onto one boilerplate direction, so
+# Lloyd gives the whole cluster ONE cell) with max_group forcing the
+# oversized-cell chunk-split: the cells kernel's cross-rectangle
+# scoring path is hash-gated, not just pinned by the equality tests.
+# The oracle swaps the v CTE for the skew replay and raises the
+# threshold to the cluster plateau so output stays the cluster clique.
+
+_SEMANTIC_SKEW_V = (
+    "WITH v0 AS (\n"
+    "    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv0\n"
+    "    FROM embeddings\n"
+    "), v AS (\n"
+    "    SELECT vec_id,\n"
+    "           CASE WHEN vec_id % {mod} = 0\n"
+    "                THEN list_transform(range(1, 65),\n"
+    "                                    i -> b.b[i] + {eps} * dv0[i])\n"
+    "                ELSE dv0 END AS dv\n"
+    "    FROM v0 CROSS JOIN (SELECT [{base}] AS b) b\n"
+    "), dims AS ("
+).format(mod=_SKEW_MOD, eps=repr(float(_SKEW_EPS)),
+         base=", ".join(repr(float(x)) for x in _SKEW_BASE))
+
+_SEMANTIC_DEDUP_SKEW_SQL = _SEMANTIC_DEDUP_SQL.replace(
+    """WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), dims AS (""", _SEMANTIC_SKEW_V).replace(">= 0.42", ">= 0.95")
+assert "v0 AS" in _SEMANTIC_DEDUP_SKEW_SQL
+assert ">= 0.95" in _SEMANTIC_DEDUP_SKEW_SQL
+
+
+@register("dedup_semantic_cells_skew", oracle=_SEMANTIC_DEDUP_SKEW_SQL,
+          bench=True)
+def dedup_semantic_cells_skew(spark, sf_dir):
+    """SemDeDup on the power-law corpus with the oversized-cell
+    chunk-split ENGAGED (max_group=48 << the boilerplate cell): Lloyd
+    k=4/iters=2 replayed by the oracle over the skew-transformed
+    vectors, exact in-cell cosine >= 0.95 keeps the cluster clique.
+    Hash-gates operators/similarity.py::_chunk_split_oversized's
+    cross-rectangle kernel path for the CELLS operator (the LSH dual
+    is dedup_embedding_lsh_skew); the split's pair-set invariance at
+    scale is checksum-verified in docs/SCALING.md addendum 4."""
+    return S.semantic_dedup_cells(
+        _skewed_emb(spark, sf_dir), k=4, iters=2, threshold=0.95,
+        max_group=_SKEW_MAXG)
 
 
 # --- product quantization (PQ) tier -----------------------------------------
