@@ -75,7 +75,9 @@ def _split_and_write(raw: DataFrame, cleaned: DataFrame, reject_reason, name: st
     )
     valid = observed.filter(F.col("_reject_reason").isNull()).drop("_reject_reason")
     valid.write.mode("overwrite").parquet(os.path.join(warehouse, "silver", name))
-    row = obs.get
+    # sums over an EMPTY table observe as NULL (count observes 0) —
+    # normalize so a zero-row source lands as honest zero counts
+    row = {k: (v if v is not None else 0) for k, v in obs.get.items()}
     res = TableResult(name, row["_rows_in"], row["_rows_in"] - row["_rejected"], row["_rejected"])
     checks = [(name, f"{c}_not_null", row[c] == 0, row[c], run_id) for c in check_cols]
 

@@ -150,3 +150,17 @@ def test_bronze_json_ingest(spark, tmp_path):
     assert "_corrupt_record" in landed.columns
     assert landed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     assert {r.supplier_id for r in landed.select("supplier_id").collect()} == {1, 2, None}
+
+
+def test_silver_empty_table_yields_zero_counts(spark, tmp_path):
+    """A zero-row bronze table must flow through silver as honest zero
+    counts (observe sums NULL over empty input; the stats normalizer
+    maps that to 0), not a crash or a null TableResult."""
+    wh = str(tmp_path / "wh_empty")
+    dfs = fixtures.generate_bronze(spark, n_orders=50)
+    dfs["suppliers"] = dfs["suppliers"].filter(F.lit(False))
+    bronze.write_bronze(dfs, wh)
+    results = {r.name: r for r in silver.run_silver(spark, wh, run_id="e")}
+    sup = results["suppliers"]
+    assert (sup.rows_in, sup.rows_out, sup.rows_rejected) == (0, 0, 0)
+    assert spark.read.parquet(f"{wh}/silver/suppliers").count() == 0
