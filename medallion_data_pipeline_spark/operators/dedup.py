@@ -70,12 +70,30 @@ def _staged_shingles(docs: DataFrame, text_col: str, id_col: str, k: int,
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3, num_hashes: int = 16, bands: int = 4,
-                       min_tokens: int = 3) -> DataFrame:
+                       min_tokens: int = 3,
+                       oversized_star: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing >=1 LSH band.
 
     Explode band keys and self-join on the key: at 100 TB this is the
     only viable plan — work is proportional to colliding pairs, not n².
-    Skewed buckets (boilerplate docs) are handled by AQE skew-join.
+    Skewed buckets (boilerplate docs) are handled by AQE skew-join on
+    the join itself; what AQE cannot fix is the OUTPUT of a giant
+    bucket — an m-doc boilerplate clique emits m(m-1)/2 candidate rows
+    by construction, and every one is a true near-dup the verifier
+    must score.
+
+    ``oversized_star`` is the cluster-flow answer: band buckets larger
+    than the cap emit only (hub, member) edges — hub = the bucket's
+    minimum id — so candidates are LINEAR in bucket size. This is NOT
+    pair-set-preserving (use it for the dedup/cluster flow, never for
+    pair-level reporting): connected components are preserved whenever
+    in-bucket near-dup relations reach members through the hub (true
+    boilerplate cliques — the shape that creates oversized buckets in
+    the first place); a member that fails Jaccard against the hub but
+    would have passed against another member can fall out of the
+    cluster unless the pair also collides in a small bucket. Pinned by
+    the cluster-equality test on a clique corpus; measured linear-vs-
+    quadratic in docs/SCALING.md addendum 4.
     """
     with_bands = (
         _staged_shingles(docs, text_col, id_col, k, min_tokens)
@@ -86,13 +104,38 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
             F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
         )
     )
+    return _band_candidates(with_bands, oversized_star)
+
+
+def _band_candidates(with_bands: DataFrame,
+                     oversized_star: int | None = None) -> DataFrame:
+    """Distinct candidate pairs from an exploded (doc, band_key) frame:
+    full within-bucket self-join, with buckets over ``oversized_star``
+    reduced to (hub, member) star edges (see minhash_candidates)."""
+    if oversized_star:
+        # one whole-partition window pass tags each row with its
+        # bucket's size and hub (no ordering -> full-partition agg);
+        # the self-join below then only sees the small buckets
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("band_key")
+        tagged = (with_bands
+                  .withColumn("_n", F.count(F.lit(1)).over(w))
+                  .withColumn("_hub", F.min("doc").over(w)))
+        big = (tagged.filter((F.col("_n") > oversized_star)
+                             & (F.col("doc") != F.col("_hub")))
+               .select(F.col("_hub").alias("id_a"), F.col("doc").alias("id_b")))
+        with_bands = (tagged.filter(F.col("_n") <= oversized_star)
+                      .select("doc", "band_key"))
     a = with_bands.alias("a")
     b = with_bands.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
     )
+    if oversized_star:
+        pairs = pairs.unionByName(big)
+    return pairs.distinct()
 
 
 def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
@@ -127,7 +170,8 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             k: int = 3, num_hashes: int = 16, bands: int = 4,
                             threshold: float = 0.4, min_tokens: int = 3,
-                            persist_intermediate: bool = True) -> DataFrame:
+                            persist_intermediate: bool = True,
+                            oversized_star: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard.
 
     The staged (id, shingles) frame feeds FOUR subplans (both sides of
@@ -135,6 +179,11 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
     avoids recomputing tokenization+shingling each time — measured 2x
     end-to-end at sf0.1. At 100 TB use StorageLevel.DISK_ONLY or a
     materialized intermediate table instead of memory.
+
+    ``oversized_star`` (cluster-flow only — changes the PAIR SET, see
+    minhash_candidates) caps a boilerplate clique's candidate volume
+    at linear: verified star edges still connect the clique for the
+    connected-components consumer (drop_near_duplicates).
     """
     staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)
     if persist_intermediate:
@@ -148,12 +197,7 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text", id_col: str
             F.explode(X.band_keys_from_int_sig(F.col("_sig"), num_hashes, bands)).alias("band_key"),
         )
     )
-    a, b = with_bands.alias("a"), with_bands.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+    cands = _band_candidates(with_bands, oversized_star)
 
     shingled = staged.select(F.col(id_col).alias("sid"), F.array_distinct("shingles").alias("ds"))
     out = (

@@ -84,13 +84,22 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def drop_near_duplicates(docs: DataFrame, threshold: float = 0.4,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+                         id_col: str = "doc_id",
+                         oversized_star: int | None = None
+                         ) -> tuple[DataFrame, DataFrame]:
     """MinHash-LSH near-dup clusters; the longest doc per cluster wins
     (tiebreak: lowest id). Returns (survivors, cluster_map) — the map
     (bounded by the near-dup population) feeds the split stage so
-    near-dup survivors still split by their cluster key."""
+    near-dup survivors still split by their cluster key.
+
+    ``oversized_star`` is the boilerplate-clique knob: this flow only
+    consumes connected COMPONENTS, so star candidates in oversized
+    band buckets (operators/dedup.py::minhash_candidates) keep the
+    clusters while cutting a clique's candidate volume from quadratic
+    to linear — the knob to turn on for crawl-scale corpora."""
     pairs = minhash_near_duplicates(docs, text_col, id_col,
-                                    threshold=threshold)
+                                    threshold=threshold,
+                                    oversized_star=oversized_star)
     clusters = connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
     sized = (

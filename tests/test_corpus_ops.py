@@ -716,3 +716,45 @@ def test_chunk_split_lut_branch_many_oversized_groups(spark):
     for b in range(70):
         pairs = {(r._lo, r._hi) for r in big if r.bucket == b}
         assert pairs == {(lo, hi) for lo in range(c) for hi in range(lo, c)}
+
+
+def test_oversized_star_preserves_clusters_on_clique(spark):
+    """Star candidates in oversized band buckets must preserve the
+    connected components (and therefore the dedup survivors) on a
+    boilerplate clique — while emitting a candidate set that is a
+    strict, linear-size subset of the full quadratic one."""
+    from medallion_data_pipeline_spark.operators import dedup as D
+    from medallion_data_pipeline_spark.operators.graph import connected_components
+    from medallion_data_pipeline_spark.plans.corpus import drop_near_duplicates
+
+    template = " ".join(f"boiler{j}" for j in range(60))
+    rows = [(i, f"{template} uq{i}a uq{i}b uq{i}c") for i in range(30)]
+    rows += [(100 + i,
+              " ".join(f"tok{i}x{j}" for j in range(40))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = D.minhash_near_duplicates(docs, threshold=0.4)
+    star = D.minhash_near_duplicates(docs, threshold=0.4, oversized_star=8)
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    star_pairs = {(r.id_a, r.id_b) for r in star.collect()}
+    assert star_pairs < full_pairs          # strictly fewer edges
+    assert len(full_pairs) == 30 * 29 // 2  # the clique is quadratic
+    # linear-ish, not exactly n-1: the unique tokens perturb a few
+    # min-hashes, so the clique smears over several band buckets and
+    # the sub-cap ones still pair fully
+    assert len(star_pairs) <= 2 * 29
+
+    def comps(pairs_df):
+        c = connected_components(pairs_df).collect()
+        by = {}
+        for r in c:
+            by.setdefault(r.comp, set()).add(r.node)
+        return frozenset(frozenset(v) for v in by.values())
+
+    assert comps(full) == comps(star) == frozenset({frozenset(range(30))})
+
+    surv_full, _ = drop_near_duplicates(docs, threshold=0.4)
+    surv_star, _ = drop_near_duplicates(docs, threshold=0.4,
+                                        oversized_star=8)
+    assert ({r.doc_id for r in surv_full.collect()}
+            == {r.doc_id for r in surv_star.collect()})

@@ -206,6 +206,16 @@ def main():
     out["minhash_skew"] = measure(
         spark, "minhash_near_duplicates skew-docs",
         lambda: D.minhash_near_duplicates(docs, threshold=0.4))
+    # the cluster-flow knob: star candidates in oversized band buckets
+    # (linear in clique size; pair set intentionally reduced — compare
+    # the CLUSTER count, not rows)
+    from medallion_data_pipeline_spark.operators.graph import connected_components
+    for label, star in (("full", None), ("star64", 64)):
+        out[f"minhash_clusters_{label}"] = measure(
+            spark, f"near-dup clusters oversized_star={star}",
+            lambda star=star: connected_components(
+                D.minhash_near_duplicates(docs, threshold=0.4,
+                                          oversized_star=star)))
 
     print(json.dumps(out), flush=True)
 
