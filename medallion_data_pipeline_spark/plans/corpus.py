@@ -167,7 +167,8 @@ def pack_contexts(docs: DataFrame, context_tokens: int = 512,
 
 def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
                         threshold: float = 0.4,
-                        context_tokens: int = 512) -> list[StageResult]:
+                        context_tokens: int = 512,
+                        oversized_star: int | None = None) -> list[StageResult]:
     """Run the full curation pipeline over ``sf_dir``'s documents and
     land the layers under ``out_dir``: filtered/, dedup/, and corpus/
     (partitioned by split, with cluster_id, n_tokens, and bin columns).
@@ -203,7 +204,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     n = _stage("exact_dedup", n, exact, None, t0)
 
     t0 = time.time()
-    survivors, clusters = drop_near_duplicates(exact, threshold=threshold)
+    survivors, clusters = drop_near_duplicates(
+        exact, threshold=threshold, oversized_star=oversized_star)
     survivors = survivors.persist()
     n = _stage("near_dedup", n, survivors, "dedup", t0)
 
