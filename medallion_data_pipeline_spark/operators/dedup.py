@@ -415,6 +415,16 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
     by ``band_index`` to skip re-shingling the corpus; when omitted the
     index is computed from ``corpus`` (correctness-identical — same
     deterministic hash family — just pays the corpus scan).
+
+    Boilerplate-clique note (100 TB): a giant corpus-side band bucket
+    multiplies each matching NEW doc's candidates by the bucket size.
+    Because this operator returns the BEST match (not all pairs), the
+    crawl-scale mitigation is to cap the maintained index's per-bucket
+    membership at ingest time (keep the N lowest ids per band_key —
+    any retained member still flags a true boilerplate newcomer, only
+    `dup_of`/`jaccard` may name a different clique member). That is an
+    index-maintenance policy, deliberately NOT a flag here: the
+    operator stays exact and the cap lives where the index is built.
     """
     from pyspark.sql.window import Window as W
 
