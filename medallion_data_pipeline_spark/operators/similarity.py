@@ -137,14 +137,22 @@ def _chunk_split_oversized(keyed: DataFrame, group_cols, max_group: int,
     group_cols = list(group_cols)
     if row_bound is not None and row_bound <= max_group:
         return keyed, group_cols
-    big = (keyed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
-           .filter(F.col("_n") > max_group).collect())
-    if not big:
-        return keyed, group_cols
+    sizes = (keyed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") > max_group))
+    # bounded collect: the skew premise is that oversized groups are
+    # FEW; if a mis-sized max_group makes them legion (e.g. max_group
+    # far below the uniform load), stop materializing at the cap and
+    # fall back to the distributed broadcast-join lookup — the split
+    # stays correct, only the uniform-case zero-overhead shortcut and
+    # the when-chain literal path are skipped
+    _CAP = 100_000
+    big = sizes.limit(_CAP + 1).collect()
     import functools
     import math
     import operator
 
+    if not big:
+        return keyed, group_cols
     if len(big) <= 64:
         c = F.lit(1)
         for row in big:
@@ -153,10 +161,18 @@ def _chunk_split_oversized(keyed: DataFrame, group_cols, max_group: int,
             c = F.when(cond,
                        F.lit(math.ceil(row["_n"] / max_group))).otherwise(c)
     else:
-        rows = [tuple(row[k] for k in group_cols)
-                + (math.ceil(row["_n"] / max_group),) for row in big]
-        lut = keyed.sparkSession.createDataFrame(
-            rows, schema=keyed.select(*group_cols).schema.add("_c0", "integer"))
+        if len(big) > _CAP:
+            # too many to ship as driver rows: join the sizes frame
+            # itself (still only oversized groups wide)
+            lut = sizes.withColumn(
+                "_c0", F.ceil(F.col("_n") / F.lit(max_group)).cast("int")
+            ).drop("_n")
+        else:
+            rows = [tuple(row[k] for k in group_cols)
+                    + (math.ceil(row["_n"] / max_group),) for row in big]
+            lut = keyed.sparkSession.createDataFrame(
+                rows,
+                schema=keyed.select(*group_cols).schema.add("_c0", "integer"))
         keyed = keyed.join(F.broadcast(lut), group_cols, "left")
         c = F.coalesce(F.col("_c0"), F.lit(1))
     keyed = (
