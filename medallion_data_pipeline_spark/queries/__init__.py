@@ -92,7 +92,14 @@ PRIORITY: tuple[str, ...] = (
     "latest_event_per_user", "weekly_retention_cohorts",
     "events_gap_fill", "skew_salted_join",
     # LLM-data-pipeline tier: dedup / similarity / text / multimodal
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
+    # (dedup_simhash_hamming moved past the prefix in r9 — the
+    # Hamming-probe tier stays pinned by
+    # test_simhash_hamming_probe_equals_all_pairs plus the full-
+    # inventory record at both SFs; its slot goes to
+    # dedup_embedding_lsh_skew, which hash-gates the round-9
+    # oversized-bucket chunk-split's cross-rectangle scoring path on
+    # a power-law corpus — the one new execution shape this round)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh_skew",
     "dedup_ngram_jaccard", "dedup_embedding_lsh",
     "knn_cosine_bruteforce", "text_analysis",
     "multimodal_features", "corpus_token_stats", "gopher_quality_filters",
