@@ -82,7 +82,15 @@ def ensure_skew_embeddings(spark, out_dir):
 
     os.makedirs(out_dir, exist_ok=True)
     sizes = _zipf_sizes()
-    starts = np.cumsum([0] + sizes)
+    # clusters sit at the TOP of the id range: deterministic_centroids
+    # seeds Lloyd with the LOWEST ids, and a cluster that contains the
+    # seeds gets shattered across seed cells instead of concentrating
+    # into one — which under-measures the straggler (found in round 9:
+    # low-id clusters measured cells unsplit 14.8s where the honest
+    # high-id layout measures 34.0s; SCALING.md addendum 4). LSH
+    # buckets come from sign patterns, not seeds, so the LSH rows are
+    # id-position-independent either way.
+    starts = N_VEC - sum(sizes) + np.cumsum([0] + sizes)
 
     def gen(batches):
         # one output batch per input row: row p generates vec_ids
