@@ -22,6 +22,39 @@ from medallion_data_pipeline_spark.queries import REGISTRY, _load
 from medallion_data_pipeline_spark.session import get_spark
 
 
+def _release_cached_blocks(spark, wait_s: float = 2.0) -> int:
+    """Cross-entry isolation (VERDICT r9 "What's wrong #3").
+
+    ``clearCache()`` only empties the CacheManager, i.e. ``persist()``
+    blocks; localCheckpoint RDD blocks (the PQ/IVF/span tier creates
+    them per invocation) are released by the ContextCleaner only after
+    their DataFrames are garbage-collected AND a JVM GC pass has
+    drained the cleaner's weak-reference queue. Python drops the frame
+    references at the end of each rep, but py4j finalizers wait for a
+    collector pass — so without forcing one, a full bench run
+    accumulates dead checkpoint blocks across ~30 queries x 3 reps and
+    later entries pay GC/eviction pressure their plans never created
+    (the r8->r9 cross-entry drift on untouched PQ/span queries).
+    Force Python GC, then poll the block-manager's RDD storage info,
+    nudging the JVM collector until it reports zero blocks (or the
+    short wait expires). Returns the leftover block count (0 = clean).
+    """
+    import gc
+    import time as _time
+
+    spark.catalog.clearCache()
+    gc.collect()
+    sc = spark.sparkContext
+    jssc = sc._jsc.sc()
+    deadline = _time.time() + wait_s
+    while True:
+        left = len(jssc.getRDDStorageInfo())
+        if left == 0 or _time.time() > deadline:
+            return left
+        sc._jvm.System.gc()
+        _time.sleep(0.05)
+
+
 def main() -> None:
     _load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,15 +128,11 @@ def main() -> None:
         timings[name] = min(reps)
         # several text/ANN queries persist()/localCheckpoint() interior
         # frames scoped to one invocation; each rep creates fresh ones,
-        # so drop the persist-backed ones here or a full bench run
-        # accumulates dead cached blocks across ~30 queries x 3 reps.
-        # (clearCache only empties the CacheManager, i.e. persist()
-        # entries; localCheckpoint RDD blocks are released by the
-        # ContextCleaner when the frames are GC'd — acceptable here
-        # because each is a few MB and the JVM reclaims them between
-        # queries. Note rep 1 of each query pays the prior query's
-        # eviction; min-of-3 makes that fair across entries.)
-        spark.catalog.clearCache()
+        # so release BOTH kinds of block before the next entry —
+        # persist() via clearCache, localCheckpoint via forced GC
+        # (see _release_cached_blocks) — so no entry pays memory
+        # pressure created by another entry's dead blocks.
+        _release_cached_blocks(spark)
 
     # Structured Streaming throughput over the same events table: file
     # source micro-batches (4 files/trigger over the 8-file layout, so
@@ -124,6 +153,7 @@ def main() -> None:
         reps.append(round(time.time() - t0, 3))
     all_reps["streaming_hourly_rollup"] = reps
     timings["streaming_hourly_rollup"] = min(reps)
+    _release_cached_blocks(spark)
 
     shutil.rmtree(layout_dir, ignore_errors=True)
 
@@ -181,6 +211,7 @@ def main() -> None:
                 all_reps.setdefault(k, []).append(round(v, 3))
         finally:
             shutil.rmtree(wh, ignore_errors=True)
+        _release_cached_blocks(spark)
     for k, v in stage_best.items():
         timings[k] = round(v, 3)
 
@@ -198,6 +229,7 @@ def main() -> None:
             reps.append(round(time.time() - t0, 3))
         finally:
             shutil.rmtree(cw, ignore_errors=True)
+        _release_cached_blocks(spark)
     all_reps["pipeline_corpus_curation"] = reps
     timings["pipeline_corpus_curation"] = min(reps)
 
@@ -207,6 +239,34 @@ def main() -> None:
     # into a best-case-run total misreads against the baseline).
     total_queries = round(sum(v for k, v in timings.items()
                               if k != "layout_ingest"), 3)
+
+    # like-for-like bookkeeping: bench totals have been compared across
+    # DIFFERENT entry sets in past rounds (new queries added per
+    # round), so the artifact itself carries the sum over the key
+    # intersection with the newest BENCH_r{N}.json next to this script
+    # — the number a reader should diff round-over-round.
+    shared = None
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)))
+    if benches:
+        try:
+            with open(benches[-1]) as fh:
+                prev_q = json.load(fh).get("queries", {})
+            keys = sorted(k for k in timings
+                          if k in prev_q and k != "layout_ingest")
+            shared = {
+                "prev_file": os.path.basename(benches[-1]),
+                "n_shared": len(keys),
+                "total_this": round(sum(timings[k] for k in keys), 3),
+                "total_prev": round(sum(prev_q[k] for k in keys), 3),
+            }
+        except (OSError, ValueError, AttributeError):
+            shared = None
+
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total_queries,
@@ -214,6 +274,7 @@ def main() -> None:
         "queries": timings,
         "reps": all_reps,
         "total_queries": total_queries,
+        "total_shared_with_prev": shared,
         "layout_ingest": timings["layout_ingest"],
         "sf": sf,
     }))

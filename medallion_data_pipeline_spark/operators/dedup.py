@@ -94,6 +94,13 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     cluster unless the pair also collides in a small bucket. Pinned by
     the cluster-equality test on a clique corpus; measured linear-vs-
     quadratic in docs/SCALING.md addendum 4.
+
+    Cost note: enabling ``oversized_star`` adds one whole-partition
+    window pass (count+min over band_key) over the ENTIRE exploded
+    frame — an extra full shuffle paid even when no bucket exceeds the
+    cap. That is why it defaults to None: turn it on for corpora where
+    boilerplate cliques are expected (real crawls), leave it off for
+    vetted-uniform ones.
     """
     with_bands = (
         _staged_shingles(docs, text_col, id_col, k, min_tokens)

@@ -163,17 +163,33 @@ def _chunk_split_oversized(keyed: DataFrame, group_cols, max_group: int,
     else:
         if len(big) > _CAP:
             # too many to ship as driver rows: join the sizes frame
-            # itself (still only oversized groups wide)
+            # itself (still only oversized groups wide) — as a PLAIN
+            # shuffle join: broadcasting it would materialize the
+            # unbounded oversized-groups frame on the driver, exactly
+            # the blowup this cap branch exists to avoid
             lut = sizes.withColumn(
                 "_c0", F.ceil(F.col("_n") / F.lit(max_group)).cast("int")
             ).drop("_n")
+            broadcast_lut = False
         else:
             rows = [tuple(row[k] for k in group_cols)
                     + (math.ceil(row["_n"] / max_group),) for row in big]
             lut = keyed.sparkSession.createDataFrame(
                 rows,
                 schema=keyed.select(*group_cols).schema.add("_c0", "integer"))
-        keyed = keyed.join(F.broadcast(lut), group_cols, "left")
+            broadcast_lut = True
+        # null-safe join so a NULL-keyed oversized group (null bucket/
+        # cell key) splits like any other — the <=64-group when-chain
+        # above uses eqNullSafe, and a plain key join here would leave
+        # such a group _c0=NULL -> c=1, a silently unsplit straggler
+        lut = lut.select(
+            *[F.col(k).alias(f"_k_{k}") for k in group_cols], "_c0")
+        if broadcast_lut:
+            lut = F.broadcast(lut)
+        cond = functools.reduce(operator.and_, [
+            keyed[k].eqNullSafe(lut[f"_k_{k}"]) for k in group_cols])
+        keyed = keyed.join(lut, cond, "left") \
+            .drop(*[f"_k_{k}" for k in group_cols])
         c = F.coalesce(F.col("_c0"), F.lit(1))
     keyed = (
         keyed.withColumn("_ci", F.pmod(F.col("vid"), c).cast("int"))
@@ -513,7 +529,8 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                         carry_vectors: bool = True,
                         kernel: str = "bucket",
                         scorer: str = "expr",
-                        max_group: int | None = 8192) -> DataFrame:
+                        max_group: int | None = 8192,
+                        n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH — the scale
     path that replaces the all-pairs self-join.
 
@@ -576,7 +593,12 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
     than that into C(C+1)/2 independent wedge/rectangle subtasks via
     :func:`_chunk_split_oversized` — identical pair set, bounded task
     size (straggler measurement: docs/SCALING.md addendum 4). Pass
-    ``max_group=None`` to pin the one-task-per-bucket layout.
+    ``max_group=None`` to pin the one-task-per-bucket layout, and
+    ``n_rows`` (a caller-known row-count bound: catalog stats /
+    parquet footer metadata) to make the no-split decision job-free —
+    a bucket never holds more than one row per input vector, so
+    ``n_rows <= max_group`` proves no split is needed without running
+    any Spark job at plan-build time.
     The kernel requires an INTEGRAL ``id_col`` (ids cross Arrow as
     int64 and the output schema says ``long``); non-integral ids
     fall back to ``kernel="join"`` automatically.
@@ -613,9 +635,15 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
         if max_group:
             # |bucket| <= n (one exploded row per vector per table), so
             # a corpus at or under max_group provably needs no split —
-            # one cheap count skips the exploded-frame size pass
+            # a caller-supplied ``n_rows`` (catalog stats / parquet
+            # footer metadata) makes that decision JOB-FREE; without
+            # the hint, one cheap count of the un-spread input skips
+            # the exploded-frame size pass (measured +0.3-0.6 s per
+            # sf0.1 bench entry — the hint exists to shave exactly that)
             keyed, group_cols = _chunk_split_oversized(
-                keyed, group_cols, max_group, row_bound=pre_spread.count())
+                keyed, group_cols, max_group,
+                row_bound=n_rows if n_rows is not None
+                else pre_spread.count())
 
         def score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
             # bandwidth-lean shared kernel (_score_group_pairs): wedge
@@ -810,7 +838,8 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
                          threshold: float = 0.42,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          kernel: str = "blas", salt: int = 8,
-                         max_group: int | None = 8192) -> DataFrame:
+                         max_group: int | None = 8192,
+                         n_rows: int | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
     k-means cells bound the candidate space, exact cosine runs only
     WITHIN a cell. The standard embedding-dedup shape for web-scale
@@ -850,7 +879,9 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
       cells into independent wedge/rectangle subtasks exactly like
       embedding_lsh_pairs' bucket kernel (:func:`_chunk_split_oversized`;
       identical pair set, docs/SCALING.md addendum 4); ``None`` pins
-      the one-task-per-cell layout.
+      the one-task-per-cell layout, and ``n_rows`` (caller-known row
+      bound) makes the no-split decision job-free exactly as in
+      embedding_lsh_pairs.
     - ``kernel="expr"``: pure-JVM salted self-join. Each right-side
       row keeps one deterministic bucket (vid % salt) and the left
       side explodes to all ``salt`` buckets, so every (u, v) pair
@@ -878,10 +909,14 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
         thr = threshold
         group_cols = ["cell"]
         if max_group:
-            # |cell| <= n; counting `a` also materializes the lazy
-            # checkpoint the size pass would have materialized anyway
+            # |cell| <= n; a caller-supplied ``n_rows`` keeps plan
+            # construction job-free (the lazy checkpoint then
+            # materializes at the scoring action); without the hint,
+            # counting `a` also materializes the checkpoint the size
+            # pass would have materialized anyway
             a, group_cols = _chunk_split_oversized(
-                a, group_cols, max_group, row_bound=a.count())
+                a, group_cols, max_group,
+                row_bound=n_rows if n_rows is not None else a.count())
 
         def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
             # bandwidth-lean shared kernel (_score_group_pairs): wedge

@@ -18,6 +18,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from . import register
 from ._util import t, td
+from ..sources.testdata import table_rows
 
 # SQL fragments mirroring functions/text.py (same constants!)
 _SQL_NORM = "trim(regexp_replace(lower({0}), '\\s+', ' ', 'g'))"
@@ -708,7 +709,8 @@ def dedup_embedding_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return S.embedding_lsh_pairs(
         emb, threshold=0.42, n_planes=_EMB_LSH_PLANES,
-        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED)
+        n_tables=_EMB_LSH_TABLES, seed=_EMB_LSH_SEED,
+        n_rows=table_rows(sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -762,7 +764,8 @@ def dedup_embedding_lsh_skew(spark, sf_dir):
     return S.embedding_lsh_pairs(
         _skewed_emb(spark, sf_dir), threshold=0.95,
         n_planes=_EMB_LSH_PLANES, n_tables=_EMB_LSH_TABLES,
-        seed=_EMB_LSH_SEED, max_group=_SKEW_MAXG)
+        seed=_EMB_LSH_SEED, max_group=_SKEW_MAXG,
+        n_rows=table_rows(sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -2279,7 +2282,8 @@ def dedup_semantic_cells(spark, sf_dir):
     tunable-recall sibling: dedup_embedding_lsh (banded sign-LSH). The
     oracle replays the Lloyd chain AND the in-cell pair predicate."""
     return S.semantic_dedup_cells(
-        t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.42)
+        t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.42,
+        n_rows=table_rows(sf_dir, "embeddings"))
 
 
 # --- dedup_semantic_cells_skew ------------------------------------------------
@@ -2328,7 +2332,7 @@ def dedup_semantic_cells_skew(spark, sf_dir):
     scale is checksum-verified in docs/SCALING.md addendum 4."""
     return S.semantic_dedup_cells(
         _skewed_emb(spark, sf_dir), k=4, iters=2, threshold=0.95,
-        max_group=_SKEW_MAXG)
+        max_group=_SKEW_MAXG, n_rows=table_rows(sf_dir, "embeddings"))
 
 
 # --- product quantization (PQ) tier -----------------------------------------

@@ -88,6 +88,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from parquet FOOTER metadata
+    — no Spark job. This is the local analog of catalog/metastore
+    statistics on a real cluster: callers use it to pass row-bound
+    hints to operators whose plan construction would otherwise run an
+    eager count (``embedding_lsh_pairs(n_rows=...)`` /
+    ``semantic_dedup_cells(n_rows=...)`` — the oversized-group
+    chunk-split's no-split fast path). Handles both a single parquet
+    file and a directory of part files (the bench re-layout)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}

@@ -718,6 +718,69 @@ def test_chunk_split_lut_branch_many_oversized_groups(spark):
         assert pairs == {(lo, hi) for lo in range(c) for hi in range(lo, c)}
 
 
+def test_chunk_split_null_keyed_group_splits_in_both_paths(spark):
+    """A NULL-keyed oversized group must split like any other in BOTH
+    lookup paths — the <=64-group when-chain (eqNullSafe literals) and
+    the >64-group joined lookup (eqNullSafe join condition; a plain key
+    join would leave the null group _c0=NULL -> c=1, a silently unsplit
+    straggler — ADVICE r9)."""
+    from medallion_data_pipeline_spark.operators.similarity import (
+        _chunk_split_oversized)
+
+    def null_group_wedges(n_other_groups: int):
+        rows = [(i, None) for i in range(21)]
+        rows += [(g * 1000 + i, g) for g in range(n_other_groups)
+                 for i in range(21)]
+        keyed = spark.createDataFrame(rows, "vid long, bucket int")
+        split, cols = _chunk_split_oversized(keyed, ["bucket"],
+                                             max_group=10)
+        assert cols == ["bucket", "_lo", "_hi"]
+        out = [r for r in split.collect() if r.bucket is None]
+        return len(out), {(r._lo, r._hi) for r in out}
+
+    c = 3  # ceil(21/10)
+    want = {(lo, hi) for lo in range(c) for hi in range(lo, c)}
+    for n_other in (1, 70):  # when-chain path, then lut-join path
+        n_rows, wedges = null_group_wedges(n_other)
+        assert n_rows == 21 * c, n_other
+        assert wedges == want, n_other
+
+
+def test_table_rows_footer_and_n_rows_hint(spark):
+    """sources.testdata.table_rows reads exact counts from parquet
+    footers (no Spark job), and passing it as the operators' n_rows
+    hint changes NOTHING in the output — it only makes the no-split /
+    split decision job-free at plan-build time."""
+    from medallion_data_pipeline_spark.operators import similarity as S
+    from medallion_data_pipeline_spark.sources.testdata import (
+        load_table, table_rows)
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = table_rows(sf, "embeddings")
+    assert n == emb.count()
+
+    skewed = _skewed_embeddings(spark)
+    n_skew = skewed.count()
+    base = {(r.id_a, r.id_b): r.cosine
+            for r in S.embedding_lsh_pairs(
+                skewed, threshold=0.9, max_group=64).collect()}
+    hinted = {(r.id_a, r.id_b): r.cosine
+              for r in S.embedding_lsh_pairs(
+                  skewed, threshold=0.9, max_group=64,
+                  n_rows=n_skew).collect()}
+    assert hinted == base and len(base) > 100
+    cells_base = {(r.id_a, r.id_b): (r.cell, r.cosine)
+                  for r in S.semantic_dedup_cells(
+                      skewed, k=4, iters=2, threshold=0.9,
+                      max_group=64).collect()}
+    cells_hinted = {(r.id_a, r.id_b): (r.cell, r.cosine)
+                    for r in S.semantic_dedup_cells(
+                        skewed, k=4, iters=2, threshold=0.9,
+                        max_group=64, n_rows=n_skew).collect()}
+    assert cells_hinted == cells_base and len(cells_base) > 100
+
+
 def test_oversized_star_preserves_clusters_on_clique(spark):
     """Star candidates in oversized band buckets must preserve the
     connected components (and therefore the dedup survivors) on a
