@@ -372,15 +372,30 @@ def ngram_jaccard_duplicates(docs: DataFrame, text_col: str = "text",
 
 def band_index(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
-               bands: int = 4, min_tokens: int = 3) -> DataFrame:
+               bands: int = 4, min_tokens: int = 3,
+               max_bucket: int | None = None) -> DataFrame:
     """The (doc, band_key) MinHash-LSH index rows for ``docs`` — the
     exact frame ``incremental_near_duplicates`` probes. Materialize
     this for accepted docs as batches land (a maintained parquet/Delta
     table appended per batch, never recomputed) and pass it back via
     ``corpus_index=`` so incremental dedup's corpus-side cost is an
-    index scan, not a corpus re-shingle."""
+    index scan, not a corpus re-shingle.
+
+    ``max_bucket``: cap each band bucket at its N LOWEST doc ids
+    (deterministic). Against a boilerplate-heavy corpus an uncapped
+    index multiplies every matching newcomer's candidates by the
+    bucket size — an m-member clique bucket makes each probing
+    newcomer score m exact-Jaccard pairs per band, unbounded as the
+    crawl grows. Any retained member still flags a true boilerplate
+    newcomer (all clique members are mutually >= threshold by
+    definition of the clique, and incremental_near_duplicates returns
+    the BEST match), so capping changes only WHICH member `dup_of`
+    names, never whether the newcomer is flagged — the contract the
+    capped-index test pins. Costs one window shuffle at build time.
+    The same invariant is maintained incrementally (append-time
+    capacity check) by streaming/ingest.py::dedup_ingest_sink."""
     staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)
-    return (
+    idx = (
         staged.withColumn("_xs", X.shingle_ints(F.col("shingles")))
         .withColumn("_sig", X.minhash_sig_from_ints(F.col("_xs"), num_hashes))
         .select(
@@ -389,6 +404,18 @@ def band_index(docs: DataFrame, text_col: str = "text",
             .alias("band_key"),
         )
     )
+    if max_bucket:
+        from pyspark.sql.window import Window as W
+
+        idx = (
+            idx.withColumn(
+                "_rk",
+                F.row_number().over(
+                    W.partitionBy("band_key").orderBy(F.asc("doc"))))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
+    return idx
 
 
 def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
@@ -431,7 +458,15 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
     any retained member still flags a true boilerplate newcomer, only
     `dup_of`/`jaccard` may name a different clique member). That is an
     index-maintenance policy, deliberately NOT a flag here: the
-    operator stays exact and the cap lives where the index is built.
+    operator stays exact and the cap lives where the index is built —
+    ``band_index(max_bucket=N)`` for a one-shot build, and the
+    append-time capacity check in
+    ``streaming/ingest.py::dedup_ingest_sink(max_bucket=N)`` for the
+    maintained streaming index; pass the capped index via
+    ``corpus_index=``. Flag-set preservation on a clique corpus is
+    pinned by the capped-index test; the wall-clock win is measured
+    in docs/SCALING.md (capped vs uncapped probe of a fixed batch
+    against the 50k skew-clique corpus).
     """
     from pyspark.sql.window import Window as W
 

@@ -66,7 +66,8 @@ def run_csv_ingest(spark: SparkSession, csv_dir: str, warehouse: str,
 
 def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
                       k: int = 3, num_hashes: int = 16, bands: int = 4,
-                      quality_gate: bool = False):
+                      quality_gate: bool = False,
+                      max_bucket: int | None = None):
     """foreachBatch sink for CONTINUOUS corpus construction with
     incremental near-dup filtering — the streaming form of
     ``operators.dedup.incremental_near_duplicates``: each micro-batch
@@ -91,6 +92,21 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
     guard and dedup probe — the streaming form of the curation
     pipeline's cheap-filters-first staging rule: rejected docs never
     touch the index.
+
+    ``max_bucket=N`` maintains the crawl-scale per-bucket index cap
+    (operators/dedup.py::band_index docstring): each band bucket holds
+    at most N members across ALL batches — a new doc's band rows are
+    appended only up to the bucket's remaining capacity (lowest new
+    ids first; existing members are never evicted, so the retained set
+    is the N earliest-accepted members, deterministic given arrival
+    order + the replay guard). Without the cap, a boilerplate-heavy
+    stream grows one giant bucket that multiplies every matching
+    newcomer's candidates by the bucket size — the index stays
+    bounded per bucket with the cap, and any retained member still
+    flags a true boilerplate newcomer (the clique is mutually >=
+    threshold). The capacity lookup counts ONLY the buckets this
+    batch touches (left-semi on the batch's band keys), so per-batch
+    cost stays proportional to batch size + collisions, not |index|.
     """
     from ..operators.dedup import band_index, incremental_near_duplicates
     from ..plans.corpus import quality_gate as _gate
@@ -134,8 +150,41 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
             keepers = (batch.join(flagged, "doc_id", "left_anti")
                        .localCheckpoint(eager=True))
             keepers.write.mode("append").parquet(docs_path)
-            band_index(keepers, k=k, num_hashes=num_hashes, bands=bands) \
-                .write.mode("append").parquet(idx_path)
+            new_idx = band_index(keepers, k=k, num_hashes=num_hashes,
+                                 bands=bands)
+            if max_bucket:
+                from pyspark.sql import functions as F
+                from pyspark.sql.window import Window as W
+
+                new_idx = new_idx.withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        W.partitionBy("band_key").orderBy(F.asc("doc"))))
+                if have_corpus:
+                    # remaining capacity per TOUCHED bucket only: count
+                    # existing members just for the batch's band keys
+                    # (left-semi against the batch-sized key set), so
+                    # the lookup never scans untouched buckets' rows
+                    # into the aggregation
+                    touched = new_idx.select("band_key").distinct()
+                    have = (
+                        spark.read.parquet(idx_path)
+                        .join(F.broadcast(touched), "band_key",
+                              "left_semi")
+                        .groupBy("band_key")
+                        .agg(F.count(F.lit(1)).alias("_have")))
+                    new_idx = (
+                        new_idx.join(F.broadcast(have), "band_key",
+                                     "left")
+                        .filter(F.col("_rk") <= F.lit(max_bucket)
+                                - F.coalesce(F.col("_have"), F.lit(0)))
+                        .drop("_have"))
+                else:
+                    new_idx = new_idx.filter(F.col("_rk") <= max_bucket)
+                # same self-read guard as keepers: pin the capped rows
+                # before appending to the path their plan reads
+                new_idx = new_idx.drop("_rk").localCheckpoint(eager=True)
+            new_idx.write.mode("append").parquet(idx_path)
         finally:
             batch.unpersist()
 
@@ -145,7 +194,8 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
 def run_dedup_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
                      checkpoint_dir: str, threshold: float = 0.4,
                      max_files_per_trigger: int = 1,
-                     quality_gate: bool = False) -> None:
+                     quality_gate: bool = False,
+                     max_bucket: int | None = None) -> None:
     """Drain a landing directory of document parquet files through the
     incremental-dedup sink, synchronously (batch-drain form of the
     always-on stream)."""
@@ -158,7 +208,8 @@ def run_dedup_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(dedup_ingest_sink(warehouse, threshold,
-                                        quality_gate=quality_gate))
+                                        quality_gate=quality_gate,
+                                        max_bucket=max_bucket))
         .start()
     )
     try:

@@ -781,6 +781,52 @@ def test_table_rows_footer_and_n_rows_hint(spark):
     assert cells_hinted == cells_base and len(cells_base) > 100
 
 
+def test_capped_band_index_still_flags_every_clique_newcomer(spark):
+    """The crawl-scale index cap (band_index(max_bucket=N), VERDICT r9
+    next-round #3): with the corpus-side index capped at N=8 lowest
+    ids per band bucket, EVERY newcomer matching a 40-doc boilerplate
+    clique is still flagged — flag SET equality vs the uncapped index
+    (dup_of may name a different clique member; here both name the
+    retained lowest id), fresh docs stay unflagged, and the bucket
+    invariant |bucket| <= N holds."""
+    from medallion_data_pipeline_spark.operators import dedup as D
+
+    template = " ".join(f"boiler{i}" for i in range(30))
+    corpus_rows = [(i, template) for i in range(40)]  # the clique
+    corpus_rows += [
+        (100 + i, f"distinct corpus document number {i} discussing "
+                  f"subject {i * 7} with particular vocabulary {i * 13}")
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new_rows = [(1000 + i, template) for i in range(6)]  # clique newcomers
+    new_rows += [
+        (2000, "entirely fresh subject matter about oceanography currents"),
+        (2001, "another novel document covering medieval trade routes"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    capped = D.band_index(corpus, max_bucket=8)
+    assert capped.groupBy("band_key").count() \
+        .agg(F.max("count")).first()[0] <= 8
+    # the retained members are the N lowest ids of each bucket
+    clique_retained = {r.doc for r in capped.filter(F.col("doc") < 100)
+                       .select("doc").distinct().collect()}
+    assert clique_retained == set(range(8))
+
+    flags_capped = {r.doc_id: r.dup_of for r in D.incremental_near_duplicates(
+        corpus, new, corpus_index=capped).collect()}
+    flags_full = {r.doc_id: r.dup_of for r in D.incremental_near_duplicates(
+        corpus, new).collect()}
+    # flag SET equality (the contract); every clique newcomer flagged
+    assert set(flags_capped) == set(flags_full)
+    assert {1000 + i for i in range(6)} <= set(flags_capped)
+    assert 2000 not in flags_capped and 2001 not in flags_capped
+    # capped dup_of must point at a RETAINED member
+    for nid in (1000 + i for i in range(6)):
+        assert flags_capped[nid] in clique_retained
+
+
 def test_oversized_star_preserves_clusters_on_clique(spark):
     """Star candidates in oversized band buckets must preserve the
     connected components (and therefore the dedup survivors) on a

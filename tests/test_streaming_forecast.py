@@ -319,6 +319,69 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(f"{wh}/silver/doc_band_index").count() == idx.count()
 
 
+def test_streaming_ingest_maintains_band_index_cap(spark, tmp_path):
+    """max_bucket on the streaming dedup sink maintains the per-bucket
+    index cap ACROSS batches (append-time capacity check): bucket
+    membership never exceeds the cap, earliest-accepted members are
+    retained, an exact duplicate of a retained doc is still rejected
+    through the capped index, and the accepted set matches an
+    uncapped run's."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    # a template family accepted at threshold=0.99 (mutual Jaccard
+    # ~0.9 < 0.99) whose shared shingles pile its band rows into the
+    # same buckets — the shape that fills a bucket past the cap
+    # without any doc being a rejectable duplicate
+    template = " ".join(f"w{i}" for i in range(60))
+    rows1 = [(i, template + f" uniq{i}") for i in range(1, 11)]
+    rows2 = [
+        (11, template + " uniq1"),  # exact dup of doc 1 (retained)
+        (12, "a wholly fresh document about glacier hydrology"),
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    now = time.time()
+    for age, (fname, rows) in enumerate((("b1.parquet", rows1),
+                                         ("b2.parquet", rows2))):
+        ids, texts = zip(*rows)
+        path = str(land / fname)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}), path)
+        os.utime(path, (now - 60 + age * 10, now - 60 + age * 10))
+
+    def run(wh_name, max_bucket):
+        wh = str(tmp_path / wh_name)
+        SI.run_dedup_ingest(
+            spark, str(land), wh, str(tmp_path / f"cp_{wh_name}"),
+            threshold=0.99, max_bucket=max_bucket)
+        docs = spark.read.parquet(f"{wh}/silver/documents")
+        idx = spark.read.parquet(f"{wh}/silver/doc_band_index")
+        return ({r.doc_id for r in docs.select("doc_id").collect()},
+                idx.groupBy("band_key").count())
+
+    capped_accept, capped_sizes = run("wh_capped", 3)
+    full_accept, full_sizes = run("wh_full", None)
+
+    # doc 11 rejected through the CAPPED index; fresh doc accepted
+    assert capped_accept == set(range(1, 11)) | {12}
+    assert capped_accept == full_accept
+    # the invariant the cap exists for — and it actually bound
+    from pyspark.sql import functions as SF
+    assert capped_sizes.agg(SF.max("count")).first()[0] <= 3
+    assert full_sizes.agg(SF.max("count")).first()[0] > 3
+    # earliest-accepted members retained: doc 1's rows survive capping
+    wh = str(tmp_path / "wh_capped")
+    idx = spark.read.parquet(f"{wh}/silver/doc_band_index")
+    assert idx.filter(SF.col("doc") == 1).count() > 0
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Stream-static broadcast join: every micro-batch row is enriched
     with the dimension attributes; rows with no dim match survive
