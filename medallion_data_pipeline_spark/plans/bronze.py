@@ -34,7 +34,7 @@ PRIMARY_KEYS = {
 }
 
 # files per landing table: facts spread for downstream scan parallelism
-_LANDING_FILES = {"supply_orders": 8, "inventory": 4}
+_LANDING_FILES = {"supply_orders": 16, "inventory": 4}
 
 
 def write_bronze(dfs: dict[str, DataFrame], warehouse: str) -> dict[str, int]:

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from ..functions import cleaning as C
 from .bronze import read_bronze
-from .._util import tiny_df
+from .._util import spread, tiny_df
+
+#: fact-scale tables whose cleaning projections are CPU-heavy enough
+#: to justify re-spreading a degenerate (small-file-packed) scan; the
+#: row-count dims stay single-task — 32 near-empty tasks cost more
+#: than one tiny one.
+_SPREAD_TABLES = {"products", "inventory", "supply_orders"}
 
 SILVER_TABLES = ("suppliers", "products", "warehouses", "retail_stores",
                  "inventory", "supply_orders")
@@ -41,19 +47,34 @@ class TableResult:
 
 def _split_and_write(raw: DataFrame, cleaned: DataFrame, reject_reason, name: str,
                      warehouse: str, run_id: str):
-    """Process one table off its persisted flagged plan: write valid
-    rows to silver/<name>, fold row counts + every DQ null-count into
-    ONE aggregation pass, and return the rejected-rows plan (JSON
-    payload + reason, reference silver_builder.py:464-469) for the
-    caller's batched audit write.
+    """Process one table: write valid rows to silver/<name>, fold row
+    counts + every DQ null-count into ONE aggregation pass riding the
+    write, and return the rejected-rows plan (JSON payload + reason,
+    reference silver_builder.py:464-469) for the caller's batched
+    audit write.
 
-    Returns (TableResult, dq_check_rows, rejected_df, flagged_df);
-    `flagged_df` is still persisted — the caller unpersists after the
-    rejected union has been written.
+    The flagged frame needs a lineage barrier — the valid/rejected
+    filters reference ``_reject_reason``, and without a barrier
+    predicate pushdown re-substitutes the full cleaning when-chains
+    into the filter condition (the products tree then exceeds janino's
+    64 KB method limit and falls back to interpreted eval, recomputing
+    every regex inside the condition: measured 2.9-3.8 s for the 50k
+    supply_orders chain). Of the two barriers, ``localCheckpoint
+    (eager=False)`` beats ``persist()`` here (1.3-1.4 s vs 1.6-2.2 s
+    steady-state and no first-call CacheManager spike — 5.3 s
+    observed): blocks materialize on the write action itself, and the
+    rejected pass reads them back without the cache-build overhead.
+    Costs the usual localCheckpoint trade: blocks free on GC (no
+    explicit unpersist) and executor loss fails the job instead of
+    recomputing — acceptable for a batch stage that reruns
+    idempotently.
+
+    Returns (TableResult, dq_check_rows, rejected_df).
     """
     from pyspark.sql import Observation
 
-    flagged = cleaned.withColumn("_reject_reason", reject_reason).persist()
+    flagged = cleaned.withColumn("_reject_reason", reject_reason) \
+        .localCheckpoint(eager=False)
 
     # total rows, rejected rows, and all dq null counts ride the WRITE
     # action as CollectMetrics (observe) on the pre-filter node — every
@@ -90,13 +111,37 @@ def _split_and_write(raw: DataFrame, cleaned: DataFrame, reject_reason, name: st
             F.lit(run_id).alias("run_id"),
         )
     )
-    return res, checks, rejected, flagged
+    return res, checks, rejected
 
 
-def clean_suppliers(df: DataFrame) -> tuple[DataFrame, object]:
+def _expr_cache(build):
+    """Build a cleaner's (extra columns, reject reason) ONCE per
+    process and reapply forever. The trees are pure UNRESOLVED columns
+    (F.col by name, no DataFrame reference), so selecting the same
+    Column objects onto a new DataFrame is standard Spark — analysis
+    resolves them per-plan. Building them is NOT cheap: each clean_*
+    chain is hundreds of py4j round-trips (the 7-format date
+    precedence alone), the six cleaners cost ~3.9 s summed per
+    run_silver call, and because py4j calls serialize on the driver
+    GIL, the thread-pool overlap in run_silver cannot hide plan
+    construction the way it hides job latency — profiled as the
+    dominant cost of the 50k silver bench entry (tools/
+    profile_silver.py). On a long-lived cluster driver this is the
+    difference between paying tree construction per micro-batch/run
+    and paying it once."""
+    box: list = []
+
+    def get():
+        if not box:
+            box.append(build())
+        return box[0]
+    return get
+
+
+@_expr_cache
+def _supplier_exprs():
     name = C.clean_text_field("supplier_name")
-    cleaned = df.select(
-        "*",
+    cols = [
         name.alias("supplier_name_clean"),
         C.clean_email("contact_email").alias("contact_email_clean"),
         C.clean_phone("phone_number").alias("phone_number_clean"),
@@ -104,19 +149,23 @@ def clean_suppliers(df: DataFrame) -> tuple[DataFrame, object]:
             [name.isNull() | (name != F.col("supplier_name")),
              C.clean_email("contact_email").isNull(),
              C.clean_phone("phone_number").isNull()], 3).alias("quality_score"),
-    )
+    ]
     # reject: missing essentials (reference silver_builder.py:566-576)
     reason = F.when(F.col("supplier_name_clean").isNull(), "missing_supplier_name")
-    return cleaned, reason
+    return cols, reason
 
 
-def clean_products(df: DataFrame) -> tuple[DataFrame, object]:
-    staged = C.with_parsed_category(df, "product_category", "main_category", "sub_category")
+def clean_suppliers(df: DataFrame) -> tuple[DataFrame, object]:
+    cols, reason = _supplier_exprs()
+    return df.select("*", *cols), reason
+
+
+@_expr_cache
+def _product_exprs():
     name = C.clean_text_field("product_name")
     cost = C.clean_numeric_field("unit_cost")
     price = C.clean_numeric_field("selling_price")
-    cleaned = staged.select(
-        "*",
+    cols = [
         name.alias("product_name_clean"),
         cost.alias("unit_cost_clean"),
         price.alias("selling_price_clean"),
@@ -125,49 +174,70 @@ def clean_products(df: DataFrame) -> tuple[DataFrame, object]:
         F.when(cost > 0, F.round(price - cost, 4)).otherwise(F.lit(0.0)).alias("price_margin"),
         C.quality_score([name != F.col("product_name"), cost.isNull(), price.isNull()], 3)
         .alias("quality_score"),
-    )
+    ]
     reason = (
         F.when(F.col("product_name_clean").isNull(), "missing_product_name")
         .when(F.col("unit_cost_clean").isNull(), "invalid_unit_cost")
         .when(F.col("selling_price_clean").isNull(), "invalid_selling_price")
     )
-    return cleaned, reason
+    return cols, reason
 
 
-def clean_warehouses(df: DataFrame) -> tuple[DataFrame, object]:
-    cleaned = df.select(
-        "*",
+def clean_products(df: DataFrame) -> tuple[DataFrame, object]:
+    staged = C.with_parsed_category(df, "product_category", "main_category", "sub_category")
+    cols, reason = _product_exprs()
+    return staged.select("*", *cols), reason
+
+
+@_expr_cache
+def _warehouse_exprs():
+    cols = [
         C.clean_text_field("warehouse_name").alias("warehouse_name_clean"),
         C.clean_text_field("city").alias("city_clean"),
         C.clean_text_field("region").alias("region_clean"),
         C.clean_integer_field("storage_capacity").alias("storage_capacity_clean"),
-    )
+    ]
     reason = F.when(F.col("warehouse_name_clean").isNull(), "missing_warehouse_name")
-    return cleaned, reason
+    return cols, reason
 
 
-def clean_retail_stores(df: DataFrame) -> tuple[DataFrame, object]:
-    cleaned = df.select(
-        "*",
+def clean_warehouses(df: DataFrame) -> tuple[DataFrame, object]:
+    cols, reason = _warehouse_exprs()
+    return df.select("*", *cols), reason
+
+
+@_expr_cache
+def _retail_store_exprs():
+    cols = [
         C.clean_text_field("store_name").alias("store_name_clean"),
         C.clean_text_field("city").alias("city_clean"),
         C.clean_text_field("region").alias("region_clean"),
         C.clean_text_field("store_type").alias("store_type_clean"),
         C.clean_status_field("store_status", C.STORE_STATUS_MAP).alias("store_status_clean"),
-    )
+    ]
     reason = F.when(F.col("store_name_clean").isNull(), "missing_store_name")
-    return cleaned, reason
+    return cols, reason
 
 
-def clean_inventory(df: DataFrame) -> tuple[DataFrame, object]:
-    cleaned = df.select(
-        "*",
+def clean_retail_stores(df: DataFrame) -> tuple[DataFrame, object]:
+    cols, reason = _retail_store_exprs()
+    return df.select("*", *cols), reason
+
+
+@_expr_cache
+def _inventory_exprs():
+    cols = [
         C.clean_date_field("last_stocked_date").alias("last_stocked_date_clean"),
-    )
+    ]
     # negative quantity -> reject (reference silver_builder.py:1052-1063;
     # bronze kept the sign, FIXTURES.md §4)
     reason = F.when(F.col("quantity_on_hand") < 0, "negative_quantity")
-    return cleaned, reason
+    return cols, reason
+
+
+def clean_inventory(df: DataFrame) -> tuple[DataFrame, object]:
+    cols, reason = _inventory_exprs()
+    return df.select("*", *cols), reason
 
 
 def _calc_ok(invoice, qty, price):
@@ -179,14 +249,15 @@ def _calc_ok(invoice, qty, price):
         .otherwise(F.abs(invoice - expected) <= 0.01)
 
 
-def clean_supply_orders(df: DataFrame) -> tuple[DataFrame, object]:
+@_expr_cache
+def _supply_order_exprs():
     qty = C.clean_integer_field("quantity")
     price = C.clean_numeric_field("price")
     invoice = C.clean_numeric_field("total_invoice")
     od = C.clean_date_field("order_date")
     sd = C.clean_date_field("shipped_date")
     dd = C.clean_date_field("delivered_date")
-    cleaned = df.select(
+    cols = [
         "supply_order_id",
         C.clean_integer_field("product_id").alias("product_id"),
         C.clean_integer_field("warehouse_id").alias("warehouse_id"),
@@ -208,13 +279,18 @@ def clean_supply_orders(df: DataFrame) -> tuple[DataFrame, object]:
         C.quality_score(
             [qty.isNull(), price.isNull(), od.isNull(),
              ~_calc_ok(invoice, qty, price)], 4).alias("quality_score"),
-    )
+    ]
     reason = (
         F.when(F.col("quantity").isNull(), "invalid_quantity")
         .when(F.col("price").isNull(), "invalid_price")
         .when(F.col("order_date").isNull(), "invalid_order_date")
     )
-    return cleaned, reason
+    return cols, reason
+
+
+def clean_supply_orders(df: DataFrame) -> tuple[DataFrame, object]:
+    cols, reason = _supply_order_exprs()
+    return df.select(*cols), reason
 
 
 _CLEANERS = {
@@ -246,6 +322,15 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
 
     def _process(name: str):
         raw = read_bronze(spark, warehouse, name)
+        if name in _SPREAD_TABLES:
+            # Spark packs tiny landing files into ONE scan partition
+            # (openCostInBytes packing), serializing the regex-heavy
+            # cleaning projection onto a single core — profiled at
+            # 2.4 s of the 50k bench's supply_orders chain. spread()
+            # re-spreads the scan across the cluster when (and only
+            # when) the layout underfills parallelism; at 100 TB the
+            # landing files outnumber cores and this is a no-op.
+            raw = spread(raw)
         cleaned, reason = _CLEANERS[name](raw)
         return _split_and_write(raw, cleaned, reason, name, warehouse, run_id)
 
@@ -254,27 +339,26 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
     with ThreadPoolExecutor(max_workers=len(order)) as pool:
         outcomes = list(pool.map(_process, order))
 
-    results = [res for res, _, _, _ in outcomes]
-    all_checks = [c for _, checks, _, _ in outcomes for c in checks]
+    results = [res for res, _, _ in outcomes]
+    all_checks = [c for _, checks, _ in outcomes for c in checks]
     rejected_all = None
-    for _, _, rejected, _ in outcomes:
+    for _, _, rejected in outcomes:
         rejected_all = rejected if rejected_all is None else rejected_all.unionByName(rejected)
-    try:
-        # the three audit sinks land in distinct directories, so their
-        # jobs overlap safely (the per-DIRECTORY committer constraint
-        # that batches all rejected rows into one append still holds)
-        with ThreadPoolExecutor(max_workers=3) as tail:
-            futs = [
-                tail.submit(lambda: rejected_all.write.mode("append").parquet(
-                    os.path.join(warehouse, "audit", "rejected_rows"))),
-                tail.submit(_write_etl_log, spark, warehouse, results, run_id),
-                tail.submit(_write_dq_results, spark, warehouse, all_checks),
-            ]
-            for f in futs:
-                f.result()
-    finally:
-        for _, _, _, flagged in outcomes:
-            flagged.unpersist()
+    # the three audit sinks land in distinct directories, so their
+    # jobs overlap safely (the per-DIRECTORY committer constraint
+    # that batches all rejected rows into one append still holds);
+    # the rejected union recomputes each table's cleaning projection
+    # off the bronze scan — cheaper than the persist it replaced
+    # (see _split_and_write) and overlapped here anyway
+    with ThreadPoolExecutor(max_workers=3) as tail:
+        futs = [
+            tail.submit(lambda: rejected_all.write.mode("append").parquet(
+                os.path.join(warehouse, "audit", "rejected_rows"))),
+            tail.submit(_write_etl_log, spark, warehouse, results, run_id),
+            tail.submit(_write_dq_results, spark, warehouse, all_checks),
+        ]
+        for f in futs:
+            f.result()
     return results
 
 
