@@ -27,11 +27,12 @@ from ..functions import cleaning as C
 from .bronze import read_bronze
 from .._util import spread, tiny_df
 
-#: fact-scale tables whose cleaning projections are CPU-heavy enough
-#: to justify re-spreading a degenerate (small-file-packed) scan; the
-#: row-count dims stay single-task — 32 near-empty tasks cost more
-#: than one tiny one.
-_SPREAD_TABLES = {"products", "inventory", "supply_orders"}
+#: tables whose cleaning projections are CPU-heavy enough (regex
+#: chains per column) to justify re-spreading a degenerate
+#: (small-file-packed) scan. inventory and the row-count dims stay
+#: single-task: their cleaning is one cheap field, and every extra
+#: output file taxes the marts that re-scan silver.
+_SPREAD_TABLES = {"products", "supply_orders"}
 
 SILVER_TABLES = ("suppliers", "products", "warehouses", "retail_stores",
                  "inventory", "supply_orders")
@@ -327,10 +328,17 @@ def run_silver(spark: SparkSession, warehouse: str, run_id: str | None = None) -
             # (openCostInBytes packing), serializing the regex-heavy
             # cleaning projection onto a single core — profiled at
             # 2.4 s of the 50k bench's supply_orders chain. spread()
-            # re-spreads the scan across the cluster when (and only
-            # when) the layout underfills parallelism; at 100 TB the
-            # landing files outnumber cores and this is a no-op.
-            raw = spread(raw)
+            # re-spreads the scan when (and only when) the layout
+            # underfills parallelism; at 100 TB the landing files
+            # outnumber cores and this is a no-op. The target is
+            # deliberately BELOW full parallelism: each cleaning task
+            # becomes one silver output file, and downstream marts
+            # re-scan these tables several times — 32 tiny files
+            # cost gold ~2x (3.8 s vs 1.9 s measured) in per-scan
+            # open/footer overhead, while 8-way cleaning already
+            # amortizes the regex straggler (2.4 s -> ~0.5 s).
+            raw = spread(raw, min_partitions=min(
+                8, spark.sparkContext.defaultParallelism))
         cleaned, reason = _CLEANERS[name](raw)
         return _split_and_write(raw, cleaned, reason, name, warehouse, run_id)
 
