@@ -213,9 +213,41 @@ def dedup_simhash_hamming(spark, sf_dir):
 
 def _incremental_dedup_oracle(k: int = 3, num_hashes: int = 16,
                               bands: int = 4, min_tokens: int = 3,
-                              threshold: float = 0.4) -> str:
+                              threshold: float = 0.4,
+                              max_bucket: int | None = None) -> str:
     sig = _sql_minhash_sig("xs", num_hashes)
     band_keys = _sql_band_keys(sig, bands)
+    if max_bucket:
+        # capped maintained index: the corpus side keeps only the
+        # max_bucket LOWEST doc ids per band bucket (band_index's
+        # deterministic cap); the batch side probes uncapped and
+        # new-vs-new pairs are unaffected
+        cand_src = f"""corpus_idx AS MATERIALIZED (
+    SELECT doc_id, band_key FROM (
+        SELECT doc_id, band_key,
+               ROW_NUMBER() OVER (PARTITION BY band_key
+                                  ORDER BY doc_id) AS rn
+        FROM banded WHERE doc_id % 10 <> 0
+    ) WHERE rn <= {max_bucket}
+), probe AS (
+    SELECT doc_id, band_key FROM corpus_idx
+    UNION ALL
+    SELECT doc_id, band_key FROM banded WHERE doc_id % 10 = 0
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM probe a JOIN banded b ON a.band_key = b.band_key
+    WHERE b.doc_id % 10 = 0
+      AND a.doc_id <> b.doc_id
+      AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+)"""
+    else:
+        cand_src = """cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band_key = b.band_key
+    WHERE b.doc_id % 10 = 0
+      AND a.doc_id <> b.doc_id
+      AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+)"""
     return f"""
 WITH sh AS MATERIALIZED (
     SELECT doc_id, {_sql_shingles("text", k)} AS shingles
@@ -227,13 +259,7 @@ WITH sh AS MATERIALIZED (
 ), banded AS MATERIALIZED (
     SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key
     FROM ints
-), cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b ON a.band_key = b.band_key
-    WHERE b.doc_id % 10 = 0
-      AND a.doc_id <> b.doc_id
-      AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
-), dsets AS MATERIALIZED (
+), {cand_src}, dsets AS MATERIALIZED (
     SELECT doc_id, list_distinct(shingles) AS ds FROM sh
 ), scored AS (
     SELECT id_a, id_b,
@@ -273,6 +299,38 @@ def dedup_incremental(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return D.incremental_near_duplicates(corpus, new)
+
+
+# --- dedup_incremental_capped ------------------------------------------------
+# The same probe with the crawl-scale maintained-index cap ENGAGED
+# (operators/dedup.py::band_index(max_bucket=), round-10 scale
+# mechanism, SCALING.md addendum 6): the corpus side keeps only the
+# N lowest doc ids per band bucket, so a boilerplate bucket stops
+# multiplying every matching newcomer's candidates by its size. The
+# cap is deliberately tiny (N=2) so it BINDS on the testdata's
+# near-dup families at both gate SFs and the capped candidate
+# geometry — not the uncapped one — is what the oracle hash-gates
+# (the flag-set-preservation-on-cliques contract is pinned separately
+# by test_capped_band_index_still_flags_every_clique_newcomer).
+
+_INC_CAP = 2
+
+
+@register("dedup_incremental_capped",
+          oracle=_incremental_dedup_oracle(max_bucket=_INC_CAP))
+def dedup_incremental_capped(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup probing a CAPPED maintained
+    index: band_index(max_bucket=2) keeps the 2 lowest corpus doc ids
+    per band bucket (deterministic), the batch side probes uncapped,
+    and each flagged doc reports its best match among the retained
+    members + lower-id batch docs. The DuckDB oracle replays the cap
+    (row_number over band buckets) exactly, hash-gating the capped
+    index path end-to-end."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = D.band_index(corpus, max_bucket=_INC_CAP)
+    return D.incremental_near_duplicates(corpus, new, corpus_index=idx)
 
 
 # ---------------------------------------------------------------------------
