@@ -33,15 +33,22 @@ FORECAST_SCHEMA = ("level string, entity_id string, ds date, yhat double, "
 MIN_SERIES_LEN = 14  # reference forecasting.py:58
 
 
+#: level -> silver supply_orders entity column NAME (names, not
+#: Column objects: this module imports inside applyInPandas workers,
+#: where building a Column would touch the absent executor-side
+#: SparkContext)
+_ENTITY_COLS = {
+    "product": "product_id",
+    "warehouse": "warehouse_id",
+    "store": "retail_store_id",
+}
+
+
 def build_series(orders: DataFrame, level: str) -> DataFrame:
     """Daily (ds, y) demand series per entity with a continuous date
     spine and zero-fill (reference forecasting.py:120-165) — the spine
     via sequence+explode, not a driver-side reindex."""
-    entity = {
-        "product": F.col("product_id"),
-        "warehouse": F.col("warehouse_id"),
-        "store": F.col("retail_store_id"),
-    }[level]
+    entity = F.col(_ENTITY_COLS[level])
     daily = (
         orders.filter(entity.isNotNull() & F.col("order_date").isNotNull())
         .groupBy(entity.cast("string").alias("entity_id"),
@@ -397,22 +404,76 @@ def run_global_forecast(spark: SparkSession, warehouse: str, level: str = "wareh
     return spark.read.parquet(path).filter(F.col("run_id") == run_id)
 
 
+def build_series_multi(orders: DataFrame,
+                       levels: tuple[str, ...]) -> DataFrame:
+    """All levels' daily (level, entity_id, ds, y) series in ONE pass:
+    each order row explodes to its (level, entity) pairs, then a
+    single groupBy + date spine covers every level. Row-for-row
+    identical to unioning :func:`build_series` per level (same
+    filters, same cast, same zero-fill) but the fact table is scanned
+    once instead of once per level and the whole stage chain —
+    aggregate, spine join, worker fan-out — runs as one shuffle
+    lineage keyed on (level, entity_id) instead of |levels| parallel
+    copies. At 100 TB that is |levels|-1 fewer full scans and
+    shuffle rounds."""
+    pairs = F.array(*[
+        F.struct(F.lit(lv).alias("level"),
+                 F.col(_ENTITY_COLS[lv]).cast("string").alias("entity_id"))
+        for lv in levels])
+    exploded = (
+        orders.filter(F.col("order_date").isNotNull())
+        .select(F.explode(pairs).alias("le"),
+                F.col("order_date").alias("ds"), "quantity")
+        .select("le.level", "le.entity_id", "ds", "quantity")
+        .filter(F.col("entity_id").isNotNull())
+    )
+    daily = exploded.groupBy("level", "entity_id", "ds").agg(
+        F.sum("quantity").alias("y"))
+    spine = (
+        daily.groupBy("level", "entity_id")
+        .agg(F.min("ds").alias("d0"), F.max("ds").alias("d1"))
+        .select("level", "entity_id",
+                F.explode(F.sequence("d0", "d1")).alias("ds"))
+    )
+    return (
+        spine.join(daily, ["level", "entity_id", "ds"], "left")
+        .select("level", "entity_id", "ds",
+                F.coalesce("y", F.lit(0)).cast("double").alias("y"))
+    )
+
+
+def make_forecast_worker_multi(horizon: int, run_id: str,
+                               model: str = "auto"):
+    """Level-dispatching form of :func:`make_forecast_worker` for the
+    single-pass fan-out: the group key carries (level, entity_id), so
+    the worker reads the level from the group's rows instead of a
+    per-level closure. Same models, same output schema."""
+    def worker(pdf: pd.DataFrame) -> pd.DataFrame:
+        return make_forecast_worker(
+            str(pdf["level"].iloc[0]), horizon, run_id, model)(pdf)
+
+    return worker
+
+
 def run_forecasts(spark: SparkSession, warehouse: str,
                   levels: tuple[str, ...] = ("product", "warehouse", "store"),
                   horizon: int = 14, run_id: str = "fc_default") -> DataFrame:
     """Fan out per-entity forecasts for every level; overwrite the
     run_id partition (the reference's DELETE WHERE run_id + append,
-    forecasting.py:86-105 -> partition overwrite in Spark)."""
+    forecasting.py:86-105 -> partition overwrite in Spark). All
+    levels run in one pass (:func:`build_series_multi`) — one fact
+    scan, one shuffle chain, one Arrow fan-out, instead of one per
+    level. Local wall is flat (the 50k stage is floor-bound: a NOOP
+    applyInPandas over the same 270k-row grouping measures 1.4-1.5 s
+    of shuffle+Arrow+worker fixed cost vs 2.3-2.6 s real); the win is
+    structural — |levels|-1 fewer fact scans and shuffle rounds,
+    which is what matters when the fact table is 100 TB, not 50k
+    rows. Row-for-row equality with the per-level union is pinned by
+    test_single_pass_forecast_equals_per_level."""
     orders = read_silver(spark, warehouse, "supply_orders")
-    outputs = []
-    for level in levels:
-        series = build_series(orders, level)
-        fc = series.groupBy("entity_id").applyInPandas(
-            make_forecast_worker(level, horizon, run_id), FORECAST_SCHEMA)
-        outputs.append(fc)
-    all_fc = outputs[0]
-    for other in outputs[1:]:
-        all_fc = all_fc.unionByName(other)
+    series = build_series_multi(orders, levels)
+    all_fc = series.groupBy("level", "entity_id").applyInPandas(
+        make_forecast_worker_multi(horizon, run_id), FORECAST_SCHEMA)
     path = os.path.join(warehouse, "gold", "forecasts")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     all_fc.write.mode("overwrite").partitionBy("run_id").parquet(path)

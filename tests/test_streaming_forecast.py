@@ -47,6 +47,46 @@ def test_streaming_session_windows(spark, tmp_path):
     assert out.filter(F.col("end_ms") < F.col("start_ms")).count() == 0
 
 
+def test_single_pass_forecast_equals_per_level(spark, tmp_path):
+    """run_forecasts' single-pass fan-out (build_series_multi + the
+    level-dispatching worker) must be row-for-row identical to the
+    per-level build_series + make_forecast_worker union it replaced —
+    same series, same models, same bounds, for every level."""
+    from medallion_data_pipeline_spark.plans import (
+        bronze, fixtures, forecasting, silver)
+
+    wh = str(tmp_path / "wh")
+    bronze.write_bronze(fixtures.generate_bronze(spark, n_orders=3000), wh)
+    silver.run_silver(spark, wh, run_id="t")
+    orders = silver.read_silver(spark, wh, "supply_orders")
+    levels = ("product", "warehouse", "store")
+
+    multi = forecasting.build_series_multi(orders, levels)
+    per_level = {}
+    for lv in levels:
+        for r in forecasting.build_series(orders, lv).collect():
+            per_level[(lv, r.entity_id, r.ds)] = r.y
+    got = {(r.level, r.entity_id, r.ds): r.y for r in multi.collect()}
+    assert got == per_level
+
+    fc_multi = {
+        (r.level, r.entity_id, r.ds): (r.yhat, r.yhat_lower, r.yhat_upper,
+                                       r.model)
+        for r in multi.groupBy("level", "entity_id").applyInPandas(
+            forecasting.make_forecast_worker_multi(7, "x"),
+            forecasting.FORECAST_SCHEMA).collect()}
+    fc_union = {}
+    for lv in levels:
+        fc = forecasting.build_series(orders, lv) \
+            .groupBy("entity_id").applyInPandas(
+                forecasting.make_forecast_worker(lv, 7, "x"),
+                forecasting.FORECAST_SCHEMA)
+        for r in fc.collect():
+            fc_union[(lv, r.entity_id, r.ds)] = (
+                r.yhat, r.yhat_lower, r.yhat_upper, r.model)
+    assert fc_multi == fc_union and len(fc_multi) > 0
+
+
 def test_forecast_fanout(spark, tmp_path):
     from medallion_data_pipeline_spark.plans import bronze, fixtures, forecasting, silver
 
