@@ -423,7 +423,8 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
                                 k: int = 3, num_hashes: int = 16, bands: int = 4,
                                 threshold: float = 0.4, min_tokens: int = 3,
                                 persist_intermediate: bool = True,
-                                corpus_index: DataFrame | None = None) -> DataFrame:
+                                corpus_index: DataFrame | None = None,
+                                new_index: DataFrame | None = None) -> DataFrame:
     """Flag near-duplicates in an INCOMING batch against an existing
     corpus (and against earlier docs of the same batch) — the daily
     shape of a production training-data pipeline: yesterday's 100 TB
@@ -449,6 +450,11 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
     by ``band_index`` to skip re-shingling the corpus; when omitted the
     index is computed from ``corpus`` (correctness-identical — same
     deterministic hash family — just pays the corpus scan).
+    ``new_index``: likewise for the BATCH side — a caller that also
+    needs the batch's band rows afterwards (the streaming sink appends
+    the keepers' rows to the maintained index) computes them once,
+    persists them, and passes them here, halving the per-batch
+    shingle/minhash work; the caller owns persist/unpersist.
 
     Boilerplate-clique note (100 TB): a giant corpus-side band bucket
     multiplies each matching NEW doc's candidates by the bucket size.
@@ -479,9 +485,16 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
         corpus_index = _bands(corpus)
     corpus_index = corpus_index.select("doc", "band_key").withColumn(
         "is_corpus", F.lit(True))
-    new_bands = _bands(new_docs)
-    if persist_intermediate:
-        new_bands = new_bands.persist()
+    if new_index is not None:
+        # caller already computed (and owns the lifecycle of) the
+        # batch's band rows — e.g. the streaming sink, which also
+        # appends them to the maintained index: one shingle/minhash
+        # pass per batch instead of two
+        new_bands = new_index.select("doc", "band_key")
+    else:
+        new_bands = _bands(new_docs)
+        if persist_intermediate:
+            new_bands = new_bands.persist()
 
     a = corpus_index.unionByName(
         new_bands.withColumn("is_corpus", F.lit(False))

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.bronze import PRIMARY_KEYS
 from .events import merge_sink
@@ -125,19 +126,32 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
             # replay guard: already-accepted ids are no-ops
             batch = batch.join(corpus.select("doc_id"), "doc_id", "left_anti")
         batch = batch.persist()
+        # the batch's band rows serve BOTH the dedup probe and the
+        # index append below — compute the shingle/minhash pass once
+        # and thread it through via new_index (one pass per batch
+        # instead of two; at crawl scale shingling IS the map cost).
+        # EAGER checkpoint, not persist: the rows' lineage includes
+        # the replay guard's read of docs_path, and the index append
+        # runs AFTER this batch's keepers were appended there — a
+        # cache miss at that point would recompute the guard against
+        # a listing that now contains the batch's own output and
+        # silently drop the keepers' rows (caught by the ingest test).
+        batch_bands = band_index(batch, k=k, num_hashes=num_hashes,
+                                 bands=bands).localCheckpoint(eager=True)
         try:
             if have_corpus:
                 idx = spark.read.parquet(idx_path)
                 flagged = incremental_near_duplicates(
                     corpus, batch, k=k, num_hashes=num_hashes, bands=bands,
                     threshold=threshold, corpus_index=idx,
+                    new_index=batch_bands,
                 ).select("doc_id")
             else:
                 # first batch: only within-batch dedup (empty corpus)
                 empty = batch.limit(0)
                 flagged = incremental_near_duplicates(
                     empty, batch, k=k, num_hashes=num_hashes, bands=bands,
-                    threshold=threshold,
+                    threshold=threshold, new_index=batch_bands,
                 ).select("doc_id")
             # Eager lineage truncation BEFORE the appends: keepers'
             # plan reads docs_path (replay guard + verify join), and
@@ -150,10 +164,12 @@ def dedup_ingest_sink(warehouse: str, threshold: float = 0.4,
             keepers = (batch.join(flagged, "doc_id", "left_anti")
                        .localCheckpoint(eager=True))
             keepers.write.mode("append").parquet(docs_path)
-            new_idx = band_index(keepers, k=k, num_hashes=num_hashes,
-                                 bands=bands)
+            # keepers' band rows = the cached batch rows filtered to
+            # the surviving ids — no second shingle/minhash pass
+            new_idx = batch_bands.join(
+                keepers.select(F.col("doc_id").alias("doc")), "doc",
+                "left_semi")
             if max_bucket:
-                from pyspark.sql import functions as F
                 from pyspark.sql.window import Window as W
 
                 new_idx = new_idx.withColumn(
