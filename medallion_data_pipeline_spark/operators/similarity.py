@@ -1139,7 +1139,7 @@ def pq_quantization_stats(emb: DataFrame, m: int = 2, k: int = 4,
 def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
                m: int = 2, n_codes: int = 4, iters: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64) -> DataFrame:
+               dim: int = 64, books: list | None = None) -> DataFrame:
     """Approximate top-k cosine via PQ asymmetric distance computation
     (ADC): the corpus is reduced to ``m`` small codes per vector; each
     query precomputes dot(q_sub, centroid) for every (subspace, code) —
@@ -1155,8 +1155,16 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Deterministic end-to-end (training, codes, tie-broken ranking), so
     the SQL oracle replays training AND scoring exactly.
+
+    ``books``: pre-trained codebooks (the :func:`pq_train` return
+    shape). PQ training is an OFFLINE amortized step in any production
+    ANN system — train once, serve many — so callers that search the
+    same corpus repeatedly pass their registry's codebooks here and
+    skip the per-call Lloyd jobs; omitted, training runs inline
+    (identical output — training is deterministic).
     """
-    books = pq_train(corpus, m, n_codes, iters, id_col, vec_col, dim)
+    if books is None:
+        books = pq_train(corpus, m, n_codes, iters, id_col, vec_col, dim)
     subdim = len(books[0][0][1])
     codes = pq_assign_long(corpus, books, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "subspace", "code")
@@ -1205,7 +1213,8 @@ def knn_pq_adc(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   shortlist: int = 50, m: int = 4, n_codes: int = 8,
                   iters: int = 1, id_col: str = "vec_id",
-                  vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                  vec_col: str = "embedding", dim: int = 64,
+                  books: list | None = None) -> DataFrame:
     """The full IVF-PQ search pattern: ADC over the compressed corpus
     produces a ``shortlist`` of candidates per query, then ONLY those
     |Q| x shortlist pairs fetch their raw vectors for exact cosine
@@ -1222,7 +1231,7 @@ def knn_pq_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     cand = knn_pq_adc(corpus, queries, k=shortlist, m=m, n_codes=n_codes,
                       iters=iters, id_col=id_col, vec_col=vec_col,
-                      dim=dim).select("query_id", "neighbor_id")
+                      dim=dim, books=books).select("query_id", "neighbor_id")
     qv = _as_double(F.col(vec_col))
     q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"),
                        V.norm(qv).alias("qn"))

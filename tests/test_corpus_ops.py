@@ -867,3 +867,24 @@ def test_oversized_star_preserves_clusters_on_clique(spark):
                                         oversized_star=8)
     assert ({r.doc_id for r in surv_full.collect()}
             == {r.doc_id for r in surv_star.collect()})
+
+
+def test_pq_books_registry_caches_and_invalidates(spark, tmp_path):
+    """The PQ codebook registry returns the SAME trained books for an
+    unchanged corpus file (no re-training jobs), retrains when the
+    file changes (mtime/size key), and — training being deterministic
+    — the retrained books are value-identical for identical bytes."""
+    import os
+    import shutil
+
+    from medallion_data_pipeline_spark.queries import llmops as L
+
+    sf = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                os.path.join(sf, "embeddings.parquet"))
+    b1 = L._pq_books(spark, sf)
+    assert L._pq_books(spark, sf) is b1  # cache hit, no retrain
+    os.utime(os.path.join(sf, "embeddings.parquet"))  # new mtime
+    b2 = L._pq_books(spark, sf)
+    assert b2 is not b1      # invalidated -> retrained
+    assert b2 == b1          # deterministic training, same bytes
