@@ -716,34 +716,23 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.42,
                          F.round("cos_raw", 6).alias("cosine"))
 
 
-def lloyd_assignments(emb: DataFrame, k: int = 4, iters: int = 2,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Final per-vector cell assignments from a deterministic Lloyd
-    run: seeds = the k lowest-id vectors, a fixed number of iterations,
-    argmin ties broken toward the lower cell index, and element-wise
-    centroid means computed as exact DECIMAL sums rounded to 6 dp
-    (order-independent across partitions — a plain double AVG would
-    hash-diverge between engines).
-
-    Per iteration: one scan with a codegen'd argmin over k broadcast
-    centroid literals (no shuffle), then a (cell, pos) aggregation —
-    k*dim groups — to rebuild centroids on the driver. The iterative
-    loop moves k*dim doubles per round; the data never re-shuffles, so
-    the pattern holds at 100 TB (each pass is a map + tiny agg).
-
-    Returns (id, dv, cell, d2) — d2 is the squared distance to the
-    final centroid. Shared by :func:`lloyd_kmeans_stats` (per-cell
-    stats) and :func:`semantic_dedup_cells` (SemDeDup bucketing).
-    """
+def lloyd_centroids(emb: DataFrame, k: int = 4, iters: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list:
+    """Train the deterministic Lloyd centroids and return them as
+    labeled (cell, centroid) pairs — the OFFLINE half of the k-means
+    family, split out so callers that cluster the same corpus
+    repeatedly (a codebook/centroid registry; production systems
+    train an index once and serve many) can skip the per-call
+    training jobs. Seeds = the k lowest-id vectors; per iteration one
+    argmin scan + one (cell, pos) decimal-mean aggregation collected
+    to the driver (k*dim doubles). Deterministic, so a cached result
+    is byte-identical to retraining on unchanged input."""
     v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
     cents = [(i, c) for i, c in
              enumerate(deterministic_centroids(emb, k, id_col, vec_col))]
-
-    def assign(df, cent_pairs):
-        return _staged_argmin(df, "dv", cent_pairs)
-
     for _ in range(iters):
-        a = assign(v, cents)
+        a = _staged_argmin(v, "dv", cents)
         m = (
             a.select("cell", F.posexplode("dv").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -757,16 +746,47 @@ def lloyd_assignments(emb: DataFrame, k: int = 4, iters: int = 2,
             new.setdefault(r.cell, {})[r.pos] = r.cx
         cents = [(cell, [d[p] for p in sorted(d)])
                  for cell, d in sorted(new.items())]
+    return cents
 
-    return assign(v, cents)
+
+def lloyd_assignments(emb: DataFrame, k: int = 4, iters: int = 2,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      centroids: list | None = None) -> DataFrame:
+    """Final per-vector cell assignments from a deterministic Lloyd
+    run: seeds = the k lowest-id vectors, a fixed number of iterations,
+    argmin ties broken toward the lower cell index, and element-wise
+    centroid means computed as exact DECIMAL sums rounded to 6 dp
+    (order-independent across partitions — a plain double AVG would
+    hash-diverge between engines).
+
+    Per iteration: one scan with a codegen'd argmin over k broadcast
+    centroid literals (no shuffle), then a (cell, pos) aggregation —
+    k*dim groups — to rebuild centroids on the driver. The iterative
+    loop moves k*dim doubles per round; the data never re-shuffles, so
+    the pattern holds at 100 TB (each pass is a map + tiny agg).
+
+    ``centroids``: pre-trained labeled pairs (:func:`lloyd_centroids`
+    return shape) — skips the training jobs entirely; the assignment
+    is then ONE argmin scan. Training is deterministic, so passing a
+    registry's centroids for unchanged input is result-identical.
+
+    Returns (id, dv, cell, d2) — d2 is the squared distance to the
+    final centroid. Shared by :func:`lloyd_kmeans_stats` (per-cell
+    stats) and :func:`semantic_dedup_cells` (SemDeDup bucketing).
+    """
+    if centroids is None:
+        centroids = lloyd_centroids(emb, k, iters, id_col, vec_col)
+    v = spread(emb).select(F.col(id_col), _as_double(F.col(vec_col)).alias("dv"))
+    return _staged_argmin(v, "dv", centroids)
 
 
 def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       centroids: list | None = None) -> DataFrame:
     """Per-cell stats over :func:`lloyd_assignments`: size,
     decimal-exact inertia, and an md5 digest of the ordered member ids
     certifying the exact clustering."""
-    final = lloyd_assignments(emb, k, iters, id_col, vec_col)
+    final = lloyd_assignments(emb, k, iters, id_col, vec_col, centroids)
     final = final.withColumn(
         "d2_6", F.round("d2", 6).cast("decimal(18,6)"))
     return final.groupBy("cell").agg(
@@ -839,7 +859,8 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          kernel: str = "blas", salt: int = 8,
                          max_group: int | None = 8192,
-                         n_rows: int | None = None) -> DataFrame:
+                         n_rows: int | None = None,
+                         centroids: list | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public paper):
     k-means cells bound the candidate space, exact cosine runs only
     WITHIN a cell. The standard embedding-dedup shape for web-scale
@@ -893,7 +914,7 @@ def semantic_dedup_cells(emb: DataFrame, k: int = 4, iters: int = 2,
     scoring stage carries a truncated lineage, not extra copies of
     the staged-argmin plan.
     """
-    a = lloyd_assignments(emb, k, iters, id_col, vec_col).select(
+    a = lloyd_assignments(emb, k, iters, id_col, vec_col, centroids).select(
         F.col(id_col).alias("vid"), "dv", "cell",
     ).withColumn("nrm", V.norm(F.col("dv"))).localCheckpoint(eager=False)
 
