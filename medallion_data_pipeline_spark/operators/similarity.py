@@ -458,7 +458,8 @@ def deterministic_centroids(corpus: DataFrame, n_cells: int = 8,
 
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            cents: list | None = None) -> DataFrame:
     """IVF-style ANN: route query + corpus vectors to centroid cells,
     search exactly within the query's cell. The 100 TB shape: one
     equi-join on cell id; recall tuned by probing >1 cell (nprobe).
@@ -468,8 +469,13 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 8,
     consumes them, re-substituting every per-centroid distance fold
     into the least()/when-chain references — a 276 KB plan with 161
     zip_with folds whose per-action analysis+codegen dominated the
-    query (measured 7.9 s -> 1.9 s at sf0.1 with the barrier)."""
-    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    query (measured 7.9 s -> 1.9 s at sf0.1 with the barrier).
+
+    ``cents``: pre-selected cell centroids (the registry pattern —
+    IVF index construction is offline in production); omitted, the
+    deterministic seed pick runs inline (identical result)."""
+    if cents is None:
+        cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"),
         V.norm(F.col("dv")).alias("cn"), "cell").localCheckpoint(eager=False)
@@ -800,7 +806,8 @@ def lloyd_kmeans_stats(emb: DataFrame, k: int = 4, iters: int = 2,
 
 def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   n_cells: int = 8, nprobe: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  cents: list | None = None) -> DataFrame:
     """IVF ANN with multi-cell probing: the query searches its
     ``nprobe`` nearest cells instead of 1 — the standard recall knob
     (recall grows with nprobe at proportional cost; nprobe = n_cells
@@ -808,8 +815,9 @@ def knn_ivf_probe(corpus: DataFrame, queries: DataFrame, k: int = 5,
     only the query side fans out, so the join cost scales with
     queries × nprobe, not corpus size. The corpus assignment is
     locally checkpointed (same CollapseProject plan blowup as
-    knn_ivf; see its docstring)."""
-    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    knn_ivf; see its docstring). ``cents`` as in :func:`knn_ivf`."""
+    if cents is None:
+        cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("dv").alias("cv"),
         V.norm(F.col("dv")).alias("cn"), "cell").localCheckpoint(eager=False)

@@ -950,7 +950,8 @@ def knn_cosine_ivf(spark, sf_dir):
     SQL: strict-less argmin == ORDER BY d2, cell_idx."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.knn_ivf(emb, queries, k=5)
+    return S.knn_ivf(emb, queries, k=5,
+                     cents=_ivf_cents(spark, sf_dir, 8))
 
 
 # ---------------------------------------------------------------------------
@@ -2077,7 +2078,8 @@ def knn_cosine_ivf_probe2(spark, sf_dir):
     oracle replays the 2-cell routing and the cross-cell DISTINCT."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.knn_ivf_probe(emb, queries, k=5, nprobe=2)
+    return S.knn_ivf_probe(emb, queries, k=5, nprobe=2,
+                           cents=_ivf_cents(spark, sf_dir, 8))
 
 
 # --- dedup_exact_segments --------------------------------------------------
@@ -2517,6 +2519,15 @@ def _pq_books(spark, sf_dir):
         sf_dir, "embeddings", ("pq", _PQ_M, _PQ_K),
         lambda: S.pq_train(t(spark, sf_dir, "embeddings"),
                            m=_PQ_M, k=_PQ_K, iters=1))
+
+
+def _ivf_cents(spark, sf_dir, n_cells):
+    """Seed-centroid registry for the IVF router (the degenerate
+    lowest-id pick — still one collect job per call without it)."""
+    return _trained_model(
+        sf_dir, "embeddings", ("ivf_seed", n_cells),
+        lambda: S.deterministic_centroids(
+            t(spark, sf_dir, "embeddings"), n_cells))
 
 
 def _lloyd_cents(spark, sf_dir, k, iters):
