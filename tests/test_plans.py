@@ -375,3 +375,15 @@ def test_readme_query_counts_match_registry():
     assert m, "README check_correctness line not found"
     assert int(m.group(1)) == n_oracles
     assert int(m.group(1)) + int(m.group(2)) == n_queries
+
+    # the PERFORMANCE.md headline makes the same derived claim —
+    # same guard (the drift recurred there in r10 after README was
+    # already test-pinned)
+    perf = open(os.path.join(os.path.dirname(__file__), "..",
+                             "docs", "PERFORMANCE.md")).read()
+    m = re.search(r"full registry is (\d+) queries \((\d+) "
+                  r"DuckDB-oracle hash-matched", perf)
+    assert m, "PERFORMANCE.md registry line not found"
+    assert (int(m.group(1)), int(m.group(2))) == (n_queries, n_oracles), (
+        f"PERFORMANCE.md says {m.group(1)}/{m.group(2)}; registry has "
+        f"{n_queries}/{n_oracles}")
