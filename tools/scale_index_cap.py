@@ -4,29 +4,29 @@ dedup (VERDICT r9 "Next round #3" — the documented-but-unbuilt scale
 mechanism, now implemented as band_index(max_bucket=) +
 streaming/ingest.py's append-time capacity check).
 
-The scenario is the daily crawl shape: a maintained 50k-doc corpus
-whose boilerplate clique (1.5k docs, one 60-token template + 3 unique
-tokens each, pairwise 3-shingle Jaccard ~0.85) owns one giant band
-bucket per band; a fixed 2k-doc incoming batch — half clique newcomers
-(every one a true near-dup the probe must flag), half fresh docs —
-probes the maintained (doc, band_key) index. Uncapped, each clique
-newcomer's candidates multiply by the FULL bucket size (1.5k corpus
-members x matching bands -> ~1.5M exact-Jaccard verifications for the
-1k newcomers); capped at N=64 lowest ids per bucket, candidates are
-bounded at 64 per newcomer per band and the verify work stops growing
-with corpus size. Correctness contract checked in-run: the FLAG SET is
-identical (every clique newcomer flagged both ways — any retained
-member still matches at J~0.85 >= 0.4), only dup_of/jaccard may name a
-different clique member. Also rowed: index build cost (one extra
-window shuffle when capped) and index sizes.
+The scenario is the daily crawl shape: a maintained ~50k-doc corpus
+whose boilerplate clique (one 60-token template + 3 unique tokens per
+doc, pairwise 3-shingle Jaccard ~0.85) owns one giant band bucket per
+band; a fixed 2k-doc incoming batch — half clique newcomers (every one
+a true near-dup the probe must flag), half fresh docs — probes the
+maintained (doc, band_key) index. Uncapped, each clique newcomer's
+candidates multiply by the FULL bucket size; capped at N=64 lowest ids
+per bucket, candidates are bounded at 64 per newcomer per band and the
+verify work stops growing with corpus size.
 
-At 100 TB the uncapped curve is the disqualifying one: the clique
-bucket grows with the crawl, so per-batch probe cost grows with
-|corpus| — the cap makes it O(batch x N), flat in corpus size.
+THE CURVE IS THE POINT, so the measurement runs at TWO clique sizes
+(1.5k and 6k members, same 50k tail, same fixed batch): the uncapped
+probe cost must grow with the clique while the capped probe stays
+flat — the shape that makes the uncapped index disqualifying at a
+real crawl's clique sizes. Correctness contract checked in-run at
+both sizes: the FLAG SET is identical capped vs uncapped (the clique
+is mutually >= threshold, so any retained member still matches every
+newcomer; only dup_of/jaccard may name a different member).
 
 Usage: python tools/scale_index_cap.py [--regen]
-Writes the measurement JSON to stdout; corpus parquet reused from
-tools/scale_skew.py's /tmp/mdp_skew_keep (regenerated if absent).
+Writes the measurement JSON to stdout; the base corpus parquet is
+reused from tools/scale_skew.py's /tmp/mdp_skew_keep (regenerated if
+absent).
 """
 
 from __future__ import annotations
@@ -50,15 +50,16 @@ N_CLIQUE_NEW = 1_000
 N_FRESH_NEW = 1_000
 IDX_DIR = "/tmp/mdp_index_cap"
 
+_TEMPLATE = " ".join(f"boiler{j}" for j in range(60))
+
 
 def build_batch(spark):
     """2k incoming docs: 1k clique newcomers (same 60-token template as
     the corpus clique + 3 unique tokens -> J~0.85 vs every member) and
     1k fresh docs with disjoint shingles."""
-    template = " ".join(f"boiler{j}" for j in range(60))
     clique_new = spark.range(N_CLIQUE_NEW).select(
         (F.col("id") + 60_000_000).alias("doc_id"),
-        F.concat(F.lit(template + " "),
+        F.concat(F.lit(_TEMPLATE + " "),
                  F.format_string("nw%da nw%db nw%dc",
                                  "id", "id", "id")).alias("text"),
     )
@@ -72,58 +73,73 @@ def build_batch(spark):
     return clique_new.unionByName(fresh)
 
 
+def make_clique(spark, n: int):
+    """n boilerplate docs in the same shape as scale_skew's clique
+    (ids 50M+, template + 3 unique tokens)."""
+    return spark.range(n).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.concat(F.lit(_TEMPLATE + " "),
+                 F.format_string("uq%da uq%db uq%dc",
+                                 "id", "id", "id")).alias("text"),
+    )
+
+
+def run_one(spark, corpus, batch, tag: str, n_clique: int) -> dict:
+    out = {"n_clique": n_clique, "n_corpus": corpus.count()}
+    os.makedirs(IDX_DIR, exist_ok=True)
+    for label, cap in (("uncapped", None), (f"capped{CAP}", CAP)):
+        dst = os.path.join(IDX_DIR, f"idx_{tag}_{label}.parquet")
+        t0 = time.time()
+        D.band_index(corpus, max_bucket=cap) \
+            .write.mode("overwrite").parquet(dst)
+        build_s = time.time() - t0
+        idx = spark.read.parquet(dst)
+        max_bucket = idx.groupBy("band_key").count() \
+            .agg(F.max("count")).first()[0]
+        print(f"[{tag}] index {label}: build={build_s:.1f}s "
+              f"rows={idx.count()} max_bucket={max_bucket}", flush=True)
+        out[f"index_{label}"] = {
+            "build_s": round(build_s, 1), "max_bucket": max_bucket}
+
+    flagged = {}
+    for label in ("uncapped", f"capped{CAP}"):
+        idx = spark.read.parquet(
+            os.path.join(IDX_DIR, f"idx_{tag}_{label}.parquet"))
+        out[f"probe_{label}"] = measure(
+            spark, f"[{tag}] probe_{label}",
+            lambda idx=idx: D.incremental_near_duplicates(
+                corpus, batch, corpus_index=idx))
+        flagged[label] = {
+            r.doc_id for r in D.incremental_near_duplicates(
+                corpus, batch, corpus_index=idx).select("doc_id").collect()}
+    same = flagged["uncapped"] == flagged[f"capped{CAP}"]
+    n_clique_flagged = sum(1 for d in flagged[f"capped{CAP}"]
+                           if 60_000_000 <= d < 70_000_000)
+    print(f"[{tag}] flag-set equal: {same}; clique newcomers flagged: "
+          f"{n_clique_flagged}/{N_CLIQUE_NEW}", flush=True)
+    out["flag_set_equal"] = same
+    out["clique_newcomers_flagged"] = n_clique_flagged
+    return out
+
+
 def main():
     spark = get_ui_spark()
     if "--regen" in sys.argv:
         import shutil
         shutil.rmtree(SKEW_DIR, ignore_errors=True)
     ensure_skew_documents(spark, SKEW_DIR)
-    corpus = load_table(spark, SKEW_DIR, "documents") \
-        .select("doc_id", "text")
+    base = load_table(spark, SKEW_DIR, "documents").select("doc_id", "text")
     batch = build_batch(spark).localCheckpoint()
 
-    out = {}
-    # maintained-index builds (one-shot; the streaming sink maintains
-    # the same invariant incrementally)
-    os.makedirs(IDX_DIR, exist_ok=True)
-    for label, cap in (("uncapped", None), (f"capped{CAP}", CAP)):
-        dst = os.path.join(IDX_DIR, f"idx_{label}.parquet")
-        t0 = time.time()
-        D.band_index(corpus, max_bucket=cap) \
-            .write.mode("overwrite").parquet(dst)
-        build_s = time.time() - t0
-        idx = spark.read.parquet(dst)
-        n_rows = idx.count()
-        max_bucket = idx.groupBy("band_key").count() \
-            .agg(F.max("count")).first()[0]
-        print(f"index {label}: build={build_s:.1f}s rows={n_rows} "
-              f"max_bucket={max_bucket}", flush=True)
-        out[f"index_{label}"] = {
-            "build_s": round(build_s, 1), "rows": n_rows,
-            "max_bucket": max_bucket}
-
-    print(f"== incremental_near_duplicates: fixed {N_CLIQUE_NEW + N_FRESH_NEW}"
-          f"-doc batch vs 51.5k corpus (1.5k clique) ==", flush=True)
-    flagged = {}
-    for label in ("uncapped", f"capped{CAP}"):
-        idx = spark.read.parquet(
-            os.path.join(IDX_DIR, f"idx_{label}.parquet"))
-        out[f"probe_{label}"] = measure(
-            spark, f"probe_{label}",
-            lambda idx=idx: D.incremental_near_duplicates(
-                corpus, batch, corpus_index=idx))
-        flagged[label] = {
-            r.doc_id for r in D.incremental_near_duplicates(
-                corpus, batch, corpus_index=idx).select("doc_id").collect()}
-
-    same = flagged["uncapped"] == flagged[f"capped{CAP}"]
-    n_clique_flagged = sum(1 for d in flagged[f"capped{CAP}"]
-                           if 60_000_000 <= d < 70_000_000)
-    print(f"flag-set equal: {same}; clique newcomers flagged: "
-          f"{n_clique_flagged}/{N_CLIQUE_NEW}", flush=True)
-    out["flag_set_equal"] = same
-    out["clique_newcomers_flagged"] = n_clique_flagged
-    print(json.dumps(out))
+    results = {}
+    # base corpus: the skew corpus's own 1.5k clique
+    results["clique1500"] = run_one(spark, base.localCheckpoint(),
+                                    batch, "c1500", 1_500)
+    # grown clique, SAME tail and SAME batch: only the clique quadruples
+    tail = base.filter(F.col("doc_id") < 50_000_000)
+    big = tail.unionByName(make_clique(spark, 6_000)).localCheckpoint()
+    results["clique6000"] = run_one(spark, big, batch, "c6000", 6_000)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
