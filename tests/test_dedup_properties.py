@@ -135,3 +135,30 @@ def test_span_intervals_catch_straddling_duplicates(spark):
     expected_kept = " ".join(b_toks[:7] + b_toks[19:])
     assert spans[2].kept_digest == hashlib.md5(expected_kept.encode()).hexdigest()
     assert spans[1].kept_digest == hashlib.md5(" ".join(a_toks).encode()).hexdigest()
+
+
+@given(corpus=corpus, cap=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_capped_band_index_keeps_lowest_ids(spark, corpus, cap):
+    """band_index(max_bucket=N) on RANDOM corpora: (a) every bucket
+    holds <= N rows, (b) the retained members are exactly the N lowest
+    doc ids of the uncapped bucket, (c) capped rows are a subset of
+    uncapped rows — the deterministic-cap contract the crawl-scale
+    incremental dedup relies on."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    full = [(r.doc, r.band_key) for r in D.band_index(docs).collect()]
+    capped = [(r.doc, r.band_key)
+              for r in D.band_index(docs, max_bucket=cap).collect()]
+    assert set(capped) <= set(full)
+    by_bucket: dict = {}
+    for doc, bk in full:
+        by_bucket.setdefault(bk, []).append(doc)
+    want = {(doc, bk)
+            for bk, members in by_bucket.items()
+            for doc in sorted(members)[:cap]}
+    assert set(capped) == want
+    counts: dict = {}
+    for _, bk in capped:
+        counts[bk] = counts.get(bk, 0) + 1
+    assert all(n <= cap for n in counts.values())
