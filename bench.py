@@ -249,9 +249,14 @@ def main() -> None:
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)))
+    # keep only numeric-suffixed names: a stray BENCH_rX.json matching
+    # the glob must not AttributeError the sort after all measurements
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    benches = [p for _, p in sorted(numbered)]
     if benches:
         try:
             with open(benches[-1]) as fh:

@@ -53,14 +53,25 @@ class MedallionEngine:
         for layer, name in self.list_tables():
             self.table(layer, name).createOrReplaceTempView(f"{layer}_{name}")
 
+    #: rows shipped to the driver as the query-runner preview page
+    PREVIEW_ROWS = 100
+
     # -- query runner ------------------------------------------------------
-    def sql(self, query: str) -> tuple[DataFrame, float]:
+    def sql(self, query: str) -> tuple[DataFrame, float, list]:
         """Ad-hoc SQL passthrough with the reference's timing metric
-        (app.py:1377-1394). Catalyst parses/optimizes/executes."""
+        (app.py:1377-1394). Catalyst parses/optimizes/executes.
+
+        Timing executes the full plan through the executor-side ``noop``
+        sink — nothing is materialized on the driver, so an unbounded
+        user query can't OOM the facade. Only a capped preview page
+        (``PREVIEW_ROWS``) is collected; callers page the rest via
+        :meth:`page` or their own ``df.limit(...)``.
+        """
         t0 = time.time()
         df = self.spark.sql(query)
-        df.collect()  # materialize for timing parity with the reference
-        return df, time.time() - t0
+        df.write.format("noop").mode("overwrite").save()
+        secs = time.time() - t0
+        return df, secs, df.limit(self.PREVIEW_ROWS).collect()
 
     def page(self, layer: str, name: str, limit: int = 50, offset: int = 0,
              order_by: str | None = None) -> DataFrame:

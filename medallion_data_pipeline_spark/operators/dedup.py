@@ -386,12 +386,21 @@ def band_index(docs: DataFrame, text_col: str = "text",
     index multiplies every matching newcomer's candidates by the
     bucket size — an m-member clique bucket makes each probing
     newcomer score m exact-Jaccard pairs per band, unbounded as the
-    crawl grows. Any retained member still flags a true boilerplate
-    newcomer (all clique members are mutually >= threshold by
-    definition of the clique, and incremental_near_duplicates returns
-    the BEST match), so capping changes only WHICH member `dup_of`
-    names, never whether the newcomer is flagged — the contract the
-    capped-index test pins. Costs one window shuffle at build time.
+    crawl grows. For a TRUE boilerplate clique (every bucket member
+    mutually >= threshold), any retained member still flags a matching
+    newcomer — incremental_near_duplicates returns the BEST match — so
+    capping changes only WHICH member `dup_of` names, never whether
+    the newcomer is flagged; that clique-scoped contract is what the
+    capped-index test pins. The guarantee does NOT extend to buckets
+    padded by band collisions between non-near-dups: if a newcomer's
+    only genuine >= threshold partner lands above the cap (higher doc
+    id) in such a mixed bucket AND the pair collides in no other band,
+    the newcomer goes unflagged — a residual false negative. Size
+    ``max_bucket`` well above the expected non-dup collision density
+    per bucket (collision mass is bounded by the band width, so tens
+    suffice in practice) and reserve tight caps for corpora where
+    oversized buckets are known boilerplate cliques. Costs one window
+    shuffle at build time.
     The same invariant is maintained incrementally (append-time
     capacity check) by streaming/ingest.py::dedup_ingest_sink."""
     staged = _staged_shingles(docs, text_col, id_col, k, min_tokens)

@@ -129,12 +129,22 @@ def _expr_cache(build):
     dominant cost of the 50k silver bench entry (tools/
     profile_silver.py). On a long-lived cluster driver this is the
     difference between paying tree construction per micro-batch/run
-    and paying it once."""
+    and paying it once. run_silver calls the cleaners from a
+    ThreadPoolExecutor, so the first build is double-checked-locked:
+    without the lock two threads could race past the empty check and
+    both pay the py4j build (defeating the cache on the run that
+    matters most) — and the pattern would silently misbehave for any
+    future non-idempotent builder."""
+    import threading
+
     box: list = []
+    lock = threading.Lock()
 
     def get():
         if not box:
-            box.append(build())
+            with lock:
+                if not box:
+                    box.append(build())
         return box[0]
     return get
 

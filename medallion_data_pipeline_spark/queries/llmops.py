@@ -2510,6 +2510,13 @@ def _trained_model(sf_dir: str, table: str, params: tuple, train):
     except OSError:
         return train()
     if key not in _MODEL_REGISTRY:
+        # a rewritten file (new mtime/size) obsoletes its old artifact
+        # — evict same (path, params) entries so a repeatedly re-laid
+        # corpus (bench layouts, test tmp dirs) can't grow the
+        # registry unboundedly over the process lifetime
+        for stale in [k for k in _MODEL_REGISTRY
+                      if k[0] == path and k[3:] == params]:
+            del _MODEL_REGISTRY[stale]
         _MODEL_REGISTRY[key] = train()
     return _MODEL_REGISTRY[key]
 

@@ -26,10 +26,15 @@ def test_engine_catalog_and_sql(spark, tmp_path):
     assert eng.row_count("bronze", "suppliers") == 100
 
     eng.register_views()
-    df, secs = eng.sql(
+    df, secs, preview = eng.sql(
         "SELECT status, COUNT(*) AS n FROM bronze_supply_orders GROUP BY status"
     )
     assert df.count() > 0 and secs >= 0
+    assert 0 < len(preview) <= MedallionEngine.PREVIEW_ROWS
+
+    # the preview page is capped even when the result is wide open
+    _, _, big = eng.sql("SELECT * FROM bronze_supply_orders")
+    assert len(big) == MedallionEngine.PREVIEW_ROWS
 
     page1 = eng.page("bronze", "suppliers", limit=10, offset=0).collect()
     page2 = eng.page("bronze", "suppliers", limit=10, offset=10).collect()

@@ -888,3 +888,37 @@ def test_pq_books_registry_caches_and_invalidates(spark, tmp_path):
     b2 = L._pq_books(spark, sf)
     assert b2 is not b1      # invalidated -> retrained
     assert b2 == b1          # deterministic training, same bytes
+
+
+def test_model_registry_evicts_rewritten_source(tmp_path):
+    """A rewritten corpus file must REPLACE its registry entry, not
+    accumulate next to it: bench re-layouts and test tmp dirs rewrite
+    the same path repeatedly, and keys retained forever would grow the
+    registry (and pin trained artifacts) for the process lifetime."""
+    import os
+
+    from medallion_data_pipeline_spark.queries import llmops as L
+
+    f = tmp_path / "embeddings.parquet"
+    real = os.path.realpath(str(f))
+    before = set(L._MODEL_REGISTRY)
+    try:
+        f.write_bytes(b"v1")
+        assert L._trained_model(
+            str(tmp_path), "embeddings", ("p", 1), lambda: "m1") == "m1"
+        f.write_bytes(b"v2-longer")  # new size (and mtime): stale key
+        assert L._trained_model(
+            str(tmp_path), "embeddings", ("p", 1), lambda: "m2") == "m2"
+        mine = [k for k in L._MODEL_REGISTRY
+                if k not in before and k[0] == real]
+        assert len(mine) == 1, f"stale entry not evicted: {mine}"
+        # a DIFFERENT params tuple for the same path is a different
+        # model — it must coexist, not be evicted
+        L._trained_model(str(tmp_path), "embeddings", ("q", 2),
+                         lambda: "m3")
+        mine = [k for k in L._MODEL_REGISTRY
+                if k not in before and k[0] == real]
+        assert len(mine) == 2
+    finally:
+        for k in [k for k in list(L._MODEL_REGISTRY) if k not in before]:
+            del L._MODEL_REGISTRY[k]

@@ -110,8 +110,9 @@ def test_query_runner_sample_queries(spark, warehouse):
     eng = MedallionEngine(spark, warehouse)
     eng.register_views()
     for name, sql in SAMPLE_QUERIES.items():
-        df, secs = eng.sql(sql)
+        df, secs, preview = eng.sql(sql)
         assert df.count() > 0, name
+        assert len(preview) > 0, name
 
 
 def test_silver_rerun_is_idempotent(spark, warehouse):

@@ -387,3 +387,26 @@ def test_readme_query_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_queries, n_oracles), (
         f"PERFORMANCE.md says {m.group(1)}/{m.group(2)}; registry has "
         f"{n_queries}/{n_oracles}")
+
+
+def test_expr_cache_builds_once_under_threads():
+    """run_silver drives the cached cleaners from a ThreadPoolExecutor;
+    the cache must build exactly once even when first touched by many
+    threads at once (the double-build race ADVICE r10 flagged)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from medallion_data_pipeline_spark.plans.silver import _expr_cache
+
+    calls = []
+
+    @_expr_cache
+    def slow_build():
+        calls.append(1)
+        time.sleep(0.05)  # widen the race window
+        return object()
+
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(lambda _: slow_build(), range(16)))
+    assert len(calls) == 1
+    assert all(r is results[0] for r in results)
