@@ -464,28 +464,14 @@ def ranking_functions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q — approximate sketches (rows-only: approx results are
-# engine-specific by design; the driver records the weaker check).
+# q — approximate sketches, oracle-gated through their error
+# contracts: raw HLL++/percentile_approx estimates are engine-specific
+# bit patterns no second engine reproduces, but each estimate's
+# documented BOUND against the exact ground truth is an exact,
+# SQL-expressible fact — so the query emits the exact values plus
+# booleans asserting every bound, and the oracle pins the booleans
+# TRUE against independently computed exact answers.
 # ---------------------------------------------------------------------------
-
-@register("approx_sketches", oracle=None)
-def approx_sketches(spark, sf_dir):
-    """approx_count_distinct (HLL++) and percentile_approx sketches
-    (SURVEY A15 'free in Spark'): the scalable duals of the exact
-    countDistinct/percentile used elsewhere — at 100 TB these are the
-    defaults and the exact forms are the special case."""
-    li = t(spark, sf_dir, "lineitem")
-    # Quartiles flattened to scalar columns: the driver's canonicalizer
-    # sorts/hashes result cells and cannot handle array-typed columns.
-    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-    return li.agg(
-        F.approx_count_distinct("l_extendedprice", rsd=0.01).alias("approx_distinct_prices"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_distinct_orders"),
-        q.getItem(0).alias("approx_q25"),
-        q.getItem(1).alias("approx_q50"),
-        q.getItem(2).alias("approx_q75"),
-    )
-
 
 _SKETCH_BOUNDS_SQL = """
 SELECT COUNT(DISTINCT l_orderkey)       AS exact_distinct_orders,
@@ -497,13 +483,20 @@ FROM lineitem
 """
 
 
-@register("approx_sketches_bounds", oracle=_SKETCH_BOUNDS_SQL)
-def approx_sketches_bounds(spark, sf_dir):
-    """The approx tier made oracle-gated: raw sketch estimates are
-    engine-specific (HLL++ vs DuckDB's sketch differ bit-for-bit), but
-    their ERROR CONTRACTS are exact, SQL-expressible facts — so this
-    query emits the exact ground truths plus booleans asserting each
-    estimate honors its documented bound, and the oracle pins the
+@register("approx_sketches", oracle=_SKETCH_BOUNDS_SQL)
+def approx_sketches(spark, sf_dir):
+    """approx_count_distinct (HLL++) and percentile_approx sketches
+    (SURVEY A15 'free in Spark'): the scalable duals of the exact
+    countDistinct/percentile used elsewhere — at 100 TB these are the
+    defaults and the exact forms are the special case.
+
+    Oracle-gated through the error contracts (formerly the separate
+    `approx_sketches_bounds` twin; merged r11 so the inventory carries
+    zero rows-only entries): raw sketch estimates are engine-specific
+    (HLL++ vs DuckDB's sketch differ bit-for-bit), but each estimate's
+    documented bound is an exact, SQL-expressible fact — so this query
+    computes the sketches, emits the exact ground truths plus booleans
+    asserting each estimate honors its bound, and the oracle pins the
     booleans TRUE against independently-computed exact values.
 
     Bounds checked (both deterministic for a fixed input, so the gate

@@ -1954,6 +1954,65 @@ def deterministic_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — per-source budget cap: the crawl-pipeline guard against
+# over-represented domains/sources — keep at most K docs per source,
+# chosen by hash order so the KEPT SET is a pure function of the ids
+# (identical members on any engine, partitioning, or rerun; the dual
+# of the rate-based stratified_sample, which cannot bound a group's
+# absolute size). At 100 TB Spark plans rank<=K without sorting whole
+# partitions: the same map-side WindowGroupLimit shape as the capped
+# band index prunes each input partition to K rows per source BEFORE
+# the exchange, so the shuffle carries O(sources*K*partitions), not
+# the corpus.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP_K = 10
+
+_SOURCE_CAP_SQL = f"""
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+), kept AS (
+    SELECT source, doc_id, n_chars FROM ranked WHERE rk <= {_SOURCE_CAP_K}
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS kept_digest
+FROM kept GROUP BY source
+"""
+
+
+@register("source_budget_cap", oracle=_SOURCE_CAP_SQL)
+def source_budget_cap(spark, sf_dir):
+    """Deterministic per-source budget cap (keep <= K docs per source
+    by md5 hash order): caps over-crawled domains without RNG state.
+    The digest column hashes the exact kept member set per source, so
+    the oracle certifies WHICH docs survive, not just how many."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars",
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+        .alias("h"))
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    kept = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP_K)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("doc_id")),
+            lambda x: x.cast("string")))).alias("kept_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q — PageRank over the symmetrized customer<->supplier trade graph:
 # the second iterative-algorithm flagship next to k-means and label
 # propagation. Two damped power iterations, decimal-exact mass sums,

@@ -38,11 +38,11 @@ def test_supplier_performance_plan_shape(spark):
 
 
 def test_sketch_bounds_has_no_expand(spark):
-    """approx_sketches_bounds splits its two exact distincts and the
+    """approx_sketches splits its two exact distincts and the
     sketch agg into separate 1-row subaggs precisely to avoid the
     Expand x3 + two-key ObjectHashAggregate the combined agg plans
     (measured 205 s vs 8 s at sf0.1); pin the split."""
-    plan = _plan(spark, "approx_sketches_bounds")
+    plan = _plan(spark, "approx_sketches")
     assert "Expand" not in plan
 
 
