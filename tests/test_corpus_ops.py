@@ -922,3 +922,35 @@ def test_model_registry_evicts_rewritten_source(tmp_path):
     finally:
         for k in [k for k in list(L._MODEL_REGISTRY) if k not in before]:
             del L._MODEL_REGISTRY[k]
+
+
+def test_source_budget_cap_keeps_lowest_hash_k_per_source(spark):
+    """The cap keeps EXACTLY the K lowest-(md5, doc_id) docs per
+    source, independent of input partitioning — the determinism that
+    makes the sample reproducible on any cluster layout."""
+    import hashlib
+
+    from medallion_data_pipeline_spark.queries import REGISTRY, _load
+    from medallion_data_pipeline_spark.queries.llmops import _SOURCE_CAP_K
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    _load()
+    out = {r["source"]: r for r in
+           REGISTRY["source_budget_cap"].fn(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents") \
+        .select("source", "doc_id", "n_chars").collect()
+
+    by_source: dict = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(out) == set(by_source)
+    for src, rows in by_source.items():
+        ranked = sorted(rows, key=lambda r: (
+            hashlib.md5(f"cap:{r['doc_id']}".encode()).hexdigest(),
+            r["doc_id"]))
+        kept = ranked[:_SOURCE_CAP_K]
+        assert out[src]["n_kept"] == len(kept)
+        assert out[src]["kept_chars"] == sum(r["n_chars"] for r in kept)
+        ids = ",".join(str(r["doc_id"]) for r in
+                       sorted(kept, key=lambda r: r["doc_id"]))
+        assert out[src]["kept_digest"] == hashlib.md5(ids.encode()).hexdigest()
