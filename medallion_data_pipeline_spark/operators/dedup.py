@@ -395,7 +395,10 @@ def band_index(docs: DataFrame, text_col: str = "text",
     padded by band collisions between non-near-dups: if a newcomer's
     only genuine >= threshold partner lands above the cap (higher doc
     id) in such a mixed bucket AND the pair collides in no other band,
-    the newcomer goes unflagged — a residual false negative. Size
+    the newcomer goes unflagged — a residual false negative
+    (constructed and pinned by
+    test_capped_band_index_false_negative_on_mixed_bucket, which also
+    shows a cap >= the observed bucket size restores the flag). Size
     ``max_bucket`` well above the expected non-dup collision density
     per bucket (collision mass is bounded by the band width, so tens
     suffice in practice) and reserve tight caps for corpora where

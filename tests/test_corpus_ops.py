@@ -954,3 +954,65 @@ def test_source_budget_cap_keeps_lowest_hash_k_per_source(spark):
         ids = ",".join(str(r["doc_id"]) for r in
                        sorted(kept, key=lambda r: r["doc_id"]))
         assert out[src]["kept_digest"] == hashlib.md5(ids.encode()).hexdigest()
+
+
+def test_capped_band_index_false_negative_on_mixed_bucket(spark):
+    """The cap's DOCUMENTED limitation, demonstrated (ADVICE r10 #1):
+    flag preservation is guaranteed only for true mutual->=threshold
+    clique buckets. This corpus builds a MIXED bucket — 13 docs that
+    share a 42-token core block (pairwise Jaccard 0.32 < 0.4, so NOT
+    near-dups) yet land in one band-0 bucket because that band's
+    minima all hash into the shared block — plus a newcomer X whose
+    only genuine >=threshold partner H (J=0.73) is the bucket's
+    highest id and collides with X in no other band. Capping below
+    the bucket size evicts H and silently unflags X; sizing the cap
+    at the bucket size (the docstring's guidance) restores the flag.
+    The member seeds were found by replaying the deterministic hash
+    family (md5 shingle ints + seeded affine maps) in pure Python."""
+    from medallion_data_pipeline_spark.operators import dedup as D
+
+    core = [f"core{i:02d}" for i in range(42)]
+    member_seeds = [17, 61, 72, 226, 248, 320, 330, 355, 428, 436,
+                    438, 520, 572]  # band-0 minima all fall in `core`
+
+    def member_tokens(seed):
+        return core + [f"b{seed}x{j}" for j in range(42)]
+
+    rows = []
+    for i, seed in enumerate(member_seeds[:-1]):
+        rows.append((i, " ".join(member_tokens(seed))))
+    h_id = 10_000  # H: highest id in the bucket -> first evicted
+    h_seed = member_seeds[-1]
+    rows.append((h_id, " ".join(member_tokens(h_seed))))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # X: the core block + 29 of H's 42 body tokens + fresh tail
+    x_tokens = core + member_tokens(h_seed)[42:][:29] \
+        + [f"f1y{j}" for j in range(13)]
+    new = spark.createDataFrame([(50_000, " ".join(x_tokens))],
+                                "doc_id long, text string")
+
+    # the mixed bucket exists and is NOT a clique
+    full = D.band_index(corpus)
+    bucket_sizes = full.groupBy("band_key").count()
+    assert bucket_sizes.agg(F.max("count")).first()[0] == len(member_seeds)
+
+    flags_full = {r.doc_id: r.dup_of for r in
+                  D.incremental_near_duplicates(
+                      corpus, new, corpus_index=full).collect()}
+    assert flags_full == {50_000: h_id}  # H is X's only real match
+
+    # cap below the bucket size -> H evicted -> SILENT false negative
+    capped = D.band_index(corpus, max_bucket=len(member_seeds) - 1)
+    assert capped.filter(F.col("doc") == h_id).count() < 4  # rows lost
+    flags_capped = {r.doc_id: r.dup_of for r in
+                    D.incremental_near_duplicates(
+                        corpus, new, corpus_index=capped).collect()}
+    assert flags_capped == {}, "expected the documented false negative"
+
+    # the sizing guidance: cap >= observed bucket size keeps the flag
+    sized = D.band_index(corpus, max_bucket=len(member_seeds))
+    flags_sized = {r.doc_id: r.dup_of for r in
+                   D.incremental_near_duplicates(
+                       corpus, new, corpus_index=sized).collect()}
+    assert flags_sized == {50_000: h_id}
