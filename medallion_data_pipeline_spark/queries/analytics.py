@@ -1552,3 +1552,68 @@ def forecast_backtest_accuracy(spark, sf_dir):
     # change must edit that block (and rewrite the SQL) first.
     return backtest_forecast(series, horizon=_BT_HORIZON, level="priority",
                              model=_BT_MODEL)
+
+
+# ---------------------------------------------------------------------------
+# q — Z-order clustering key (functions/layout.py): the multi-dim
+# data-clustering layout behind Delta's OPTIMIZE ZORDER BY. The query
+# gates the exact subtract-scale-interleave arithmetic (the oracle
+# regenerates the identical bit expression via layout.zorder_sql) and
+# SHOWS the locality it buys: grouped by the z-value's top 6 bits,
+# every bucket's per-dimension extent is a small fraction of the
+# global span — which is precisely why parquet min/max pruning works
+# for BOTH dimensions of a z-sorted layout (measured file-level in
+# tools/scale_zorder.py / SCALING.md addendum 9).
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from ..functions import layout as L
+
+    z = L.zorder_sql([("l_partkey", "pmin", "pmax"),
+                      ("l_suppkey", "smin", "smax")])
+    return f"""
+WITH mm AS (
+    SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+           MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+    FROM lineitem
+), z AS (
+    SELECT l_partkey, l_suppkey, {z} AS zval
+    FROM lineitem CROSS JOIN mm
+)
+SELECT zval >> 14 AS z_bucket, COUNT(*) AS n_li,
+       MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+       MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_locality", oracle=_zorder_oracle())
+def zorder_locality(spark, sf_dir):
+    """Z-values for lineitem over (l_partkey, l_suppkey), bucketed by
+    the top 6 bits: per-bucket row count and per-dimension min/max
+    extents. Min/max normalization bounds come from one tiny agg
+    (catalog stats at scale), broadcast to the scan; the interleave is
+    pure shift/mask codegen — no UDF, no extra shuffle beyond the
+    final 64-group agg."""
+    from ..functions import layout as L
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"))
+    staged = (
+        li.crossJoin(F.broadcast(mm))
+        .withColumn("px", L.normalize_dim(
+            F.col("l_partkey"), F.col("pmin"), F.col("pmax")))
+        .withColumn("py", L.normalize_dim(
+            F.col("l_suppkey"), F.col("smin"), F.col("smax")))
+        .withColumn("zval", L.interleave_bits([F.col("px"), F.col("py")]))
+    )
+    return staged.groupBy(
+        F.shiftright("zval", 14).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.min("l_partkey").alias("part_lo"),
+        F.max("l_partkey").alias("part_hi"),
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
+    )

@@ -13,6 +13,7 @@ have three Spark equivalents, each here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
@@ -61,6 +62,33 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
         .sortWithinPartitions(*cluster_cols)
         .write.mode(mode).parquet(path)
     )
+
+
+def write_zordered(df: DataFrame, path: str,
+                   dims: list[tuple[str, int, int]], files: int = 64,
+                   bits: int | None = None, mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet write — :func:`write_clustered`'s
+    multi-column upgrade (the engine's OPTIMIZE ZORDER BY): compute
+    the bit-interleaved key over ``dims = [(col, min, max), ...]``
+    (functions/layout.py — exact integer arithmetic, codegen'd, no
+    UDF), range-partition into ``files`` z-contiguous files, sort
+    within each, drop the key before writing. Every interleaved
+    dimension's footer min/max is then locally bounded per file, so
+    predicate pushdown prunes files for ANY of them — measured at
+    sf0.1/64 files (tools/scale_zorder.py, SCALING.md addendum 9):
+    a 10%×10% two-column box reads 4/64 files (linear sort: 7, and
+    only because the box also constrains its sort key; unsorted: 64),
+    and a second-column-only 10% range reads 12/64 where the linear
+    layout reads all 64."""
+    from ..functions import layout as L
+
+    kw = {} if bits is None else {"bits": bits}
+    keyed = df.withColumn("__z", L.zorder_key(
+        [(F.col(c), lo, hi) for c, lo, hi in dims], **kw))
+    (keyed.repartitionByRange(files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode(mode).parquet(path))
 
 
 def shuffle_free_join_plan(spark: SparkSession, left_table: str, right_table: str,

@@ -98,3 +98,4 @@ def export_orc(df: DataFrame, path: str, partition_by: str | None = None) -> Non
 def read_orc(spark, path: str) -> DataFrame:
     """ORC source: schema from file footers, pushdown-capable."""
     return spark.read.orc(path)
+
