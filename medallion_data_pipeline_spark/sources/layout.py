@@ -74,8 +74,12 @@ def write_zordered(df: DataFrame, path: str,
     UDF), range-partition into ``files`` z-contiguous files, sort
     within each, drop the key before writing. Every interleaved
     dimension's footer min/max is then locally bounded per file, so
-    predicate pushdown prunes files for ANY of them — measured at
-    sf0.1/64 files (tools/scale_zorder.py, SCALING.md addendum 9):
+    min/max pruning works for ANY of them — as row-group skipping
+    inside the vanilla parquet reader (pushdown reads the footer,
+    skips the data pages), and as whole-file skipping under a
+    stats-indexing table format (Delta/Iceberg) or any planner that
+    consults footers. Measured at sf0.1/64 files
+    (tools/scale_zorder.py, SCALING.md addendum 9):
     a 10%×10% two-column box reads 4/64 files (linear sort: 7, and
     only because the box also constrains its sort key; unsorted: 64),
     and a second-column-only 10% range reads 12/64 where the linear
