@@ -125,7 +125,18 @@ def measure(mem: str) -> None:
         return s.read.parquet(os.path.join(d, "lineitem.parquet")) \
             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
 
+    def wide_hash_agg(s, d):
+        # ~6M groups over 6M rows: HashAggregateExec exhausts its map
+        # and falls back to sort-based aggregation — the third
+        # spillable path next to ExternalSorter and the SMJ
+        li = s.read.parquet(os.path.join(d, "lineitem.parquet"))
+        return li.groupBy("l_orderkey", "l_linenumber").agg(
+            F.sum("l_extendedprice").alias("s1"),
+            F.sum("l_quantity").alias("s2"),
+            F.max("l_shipdate").alias("d1"))
+
     runs.append(("global_sort_lineitem", global_sort))
+    runs.append(("wide_hash_agg_6m_groups", wide_hash_agg))
 
     for name, fn in runs:
         spark.catalog.clearCache()
