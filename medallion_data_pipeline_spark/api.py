@@ -61,25 +61,45 @@ class MedallionEngine:
         """Ad-hoc SQL passthrough with the reference's timing metric
         (app.py:1377-1394). Catalyst parses/optimizes/executes.
 
-        Timing executes the full plan through the executor-side ``noop``
-        sink — nothing is materialized on the driver, so an unbounded
-        user query can't OOM the facade. Only a capped preview page
-        (``PREVIEW_ROWS``) is collected; callers page the rest via
-        :meth:`page` or their own ``df.limit(...)``.
+        The plan executes ONCE: it is persisted (memory, spilling to
+        disk — bounded driver memory regardless of result size), timed
+        through the executor-side ``noop`` sink, and the capped preview
+        page (``PREVIEW_ROWS``) is read back from that same cached
+        execution — so the preview rows are consistent with the timed
+        run even under nondeterministic ordering/sampling, and an
+        expensive query is not paid for twice. The timed seconds
+        include the cache write (the honest cost of serving a preview
+        from the same execution). The cache is released before
+        returning; re-running the returned DataFrame recomputes.
+        Callers page the rest via :meth:`page` or ``df.limit(...)``.
         """
-        t0 = time.time()
+        from pyspark import StorageLevel
+
         df = self.spark.sql(query)
-        df.write.format("noop").mode("overwrite").save()
-        secs = time.time() - t0
-        return df, secs, df.limit(self.PREVIEW_ROWS).collect()
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            secs = time.time() - t0
+            preview = df.limit(self.PREVIEW_ROWS).collect()
+        finally:
+            df.unpersist()
+        return df, secs, preview
 
     def page(self, layer: str, name: str, limit: int = 50, offset: int = 0,
              order_by: str | None = None) -> DataFrame:
-        """LIMIT/OFFSET pagination (app.py:1279-1282). A total order is
-        required for stable pages — defaults to the first column."""
+        """LIMIT/OFFSET pagination (app.py:1279-1282). Stable pages need
+        a TOTAL order, and a non-unique ``order_by`` column alone lets
+        rows repeat or vanish across pages — so every remaining column
+        is appended as a deterministic tiebreak (the registry's own
+        "every LIMIT has a total-order ORDER BY" contract, applied to
+        the facade). Rows identical in ALL columns are interchangeable,
+        which is total as a multiset: pages are disjoint and exhaustive."""
         df = self.table(layer, name)
         key = order_by or df.columns[0]
-        return df.orderBy(F.asc(key)).offset(offset).limit(limit)
+        tiebreak = [F.asc(c) for c in df.columns if c != key]
+        return (df.orderBy(F.asc(key), *tiebreak)
+                .offset(offset).limit(limit))
 
 
 #: Query-Runner sample queries (reference app.py:1344-1356) re-keyed to

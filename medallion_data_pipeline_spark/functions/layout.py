@@ -28,15 +28,34 @@ ZORDER_BITS = 10
 def normalize_dim(col: Column, vmin: Column | int, vmax: Column | int,
                   bits: int = ZORDER_BITS) -> Column:
     """Map an integer column into [0, 2**bits) preserving order:
-    ``(v - vmin) * 2**bits div (vmax - vmin + 1)``. Integral `div`
-    keeps the math exact (no double rounding); caller supplies the
-    min/max (one small agg job, or catalog stats at scale)."""
+    ``(v - vmin) * 2**bits div (vmax - vmin + 1)``, clamped into range.
+
+    Exactness: the division is Spark's IntegralDivide (the SQL ``div``
+    operator), NOT ``floor(a / b)`` — ``/`` is double division and for
+    spans >= ~2**48 the float64 quotient can round UP across an integer
+    boundary (e.g. span=2**48+5, v=56349970923521: floor-of-double says
+    205, exact div says 204), silently breaking the bit-for-bit oracle
+    replay. Precondition: ``(vmax - vmin + 1) * 2**bits`` must fit in
+    int64 — pre-scale huge domains (e.g. truncate ns timestamps to
+    seconds) before clustering; asserted when the bounds are literals.
+
+    Robustness: values outside the caller-supplied ``[vmin, vmax]``
+    (stale catalog stats at scale) are clamped to the edge buckets
+    instead of corrupting the key — an un-clamped ``v < vmin`` turns
+    every z-bit on via sign propagation, and ``v > vmax`` bleeds into
+    other dimensions' bit positions."""
+    if isinstance(vmin, int) and isinstance(vmax, int):
+        assert (vmax - vmin + 1) << bits < (1 << 63), (
+            "span * 2**bits overflows int64; pre-scale the column")
     vmin = F.lit(vmin) if isinstance(vmin, int) else vmin
     vmax = F.lit(vmax) if isinstance(vmax, int) else vmax
-    span = vmax - vmin + F.lit(1)
+    span = vmax.cast("long") - vmin.cast("long") + F.lit(1)
     scaled = (col.cast("long") - vmin.cast("long")) * F.lit(1 << bits)
-    # expr-free integral division: floor(a/b) == a div b for a,b >= 0
-    return F.floor(scaled / span).cast("long")
+    # exact integral division (IntegralDivide), then clamp into range
+    dim = F.call_function("div", scaled, span)
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit((1 << bits) - 1).cast("long"), dim))
 
 
 def interleave_bits(dims: list[Column], bits: int = ZORDER_BITS) -> Column:
@@ -44,6 +63,10 @@ def interleave_bits(dims: list[Column], bits: int = ZORDER_BITS) -> Column:
     ``i * len(dims) + d``. Pure shift/mask/sum — codegen'd, no UDF,
     and replayable in any engine with ``&``, ``<<``, ``>>``."""
     n = len(dims)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} z-bits shifts into the "
+            "long sign bit; lower bits so len(dims) * bits <= 63")
     terms = []
     for d, col in enumerate(dims):
         for i in range(bits):
@@ -67,10 +90,19 @@ def zorder_sql(cols: list[tuple[str, str, str]],
                bits: int = ZORDER_BITS) -> str:
     """The DuckDB replay of :func:`zorder_key` —
     ``cols = [(col_expr, min_expr, max_expr), ...]`` as SQL strings.
-    Kept next to the Spark form so the two can never drift apart."""
+    Kept next to the Spark form so the two can never drift apart:
+    same clamp, same ``len * bits <= 63`` guard. DuckDB's ``//``
+    floors where Spark's ``div`` truncates toward zero, but the two
+    only disagree on negative quotients, which the shared clamp maps
+    to 0 on both sides."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} z-bits shifts into the "
+            "long sign bit; lower bits so len(dims) * bits <= 63")
     dims = [
-        f"(({c} - {lo}) * {1 << bits}) // ({hi} - {lo} + 1)"
+        f"GREATEST(0, LEAST({(1 << bits) - 1},"
+        f" (({c} - {lo}) * {1 << bits}) // ({hi} - {lo} + 1)))"
         for c, lo, hi in cols
     ]
     terms = []

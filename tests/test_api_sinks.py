@@ -42,6 +42,28 @@ def test_engine_catalog_and_sql(spark, tmp_path):
     assert {r.supplier_id for r in page1}.isdisjoint({r.supplier_id for r in page2})
 
 
+def test_page_stable_on_duplicate_heavy_order_column(spark, tmp_path):
+    """LIMIT/OFFSET pages must be disjoint and exhaustive even when the
+    ordering column is massively duplicated — the facade appends every
+    remaining column as a deterministic tiebreak, so rows can't repeat
+    on one page and vanish from another (the classic unstable-sort
+    pagination bug)."""
+    wh = str(tmp_path / "wh")
+    # first column has only 4 distinct values over 200 rows
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("grp"), F.col("id").alias("row_id"))
+    df.write.parquet(os.path.join(wh, "bronze", "dupes"))
+
+    eng = MedallionEngine(spark, wh)
+    seen: list[tuple] = []
+    for off in range(0, 200, 30):
+        page = eng.page("bronze", "dupes", limit=30, offset=off).collect()
+        seen.extend((r.grp, r.row_id) for r in page)
+    assert len(seen) == 200
+    assert len(set(seen)) == 200, "a row repeated across pages"
+    assert set(seen) == {(i % 4, i) for i in range(200)}, "a row vanished"
+
+
 def test_csv_export_and_log_truncate(spark, tmp_path):
     df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
     out = str(tmp_path / "export")

@@ -137,6 +137,71 @@ def test_zorder_sql_matches_spark(spark):
     assert spark_z == duck_z
 
 
+def test_normalize_dim_exact_at_large_spans(spark):
+    """Regression: normalize_dim must use exact integral division, not
+    floor-of-double — at span = 2**48 + 5 the float64 quotient for
+    v = 56349970923521 rounds UP across an integer boundary (205) while
+    exact div (and DuckDB's ``//``, i.e. the oracle) says 204."""
+    import duckdb
+
+    from medallion_data_pipeline_spark.functions import layout as L
+
+    span = (1 << 48) + 5
+    vals = [56349970923521, 0, span - 1, 123456789012345, (1 << 47) + 3]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.d for r in df.select(
+        "v", L.normalize_dim(F.col("v"), 0, span - 1).alias("d")).collect()}
+    exact = {v: min((v * (1 << L.ZORDER_BITS)) // span,
+                    (1 << L.ZORDER_BITS) - 1) for v in vals}
+    assert got == exact
+    assert got[56349970923521] == 204  # floor-of-double would say 205
+    duck = {v: d for v, d in duckdb.connect().execute(
+        f"SELECT v, GREATEST(0, LEAST({(1 << L.ZORDER_BITS) - 1},"
+        f" (v * {1 << L.ZORDER_BITS}) // {span})) FROM (SELECT UNNEST($1) v)",
+        [vals]).fetchall()}
+    assert got == duck
+
+
+def test_normalize_dim_clamps_out_of_range(spark):
+    """Stale catalog stats must degrade gracefully: v < vmin clamps to
+    bucket 0 (not all-bits-on via sign propagation) and v > vmax clamps
+    to the top bucket (not bleeding into other dims' bit positions) —
+    identically in the Spark form and the zorder_sql oracle form."""
+    import duckdb
+
+    from medallion_data_pipeline_spark.functions import layout as L
+
+    top = (1 << L.ZORDER_BITS) - 1
+    df = spark.createDataFrame(
+        [(-50,), (0,), (99,), (100,), (750,)], "v long")
+    got = {r.v: r.d for r in df.select(
+        "v", L.normalize_dim(F.col("v"), 0, 99).alias("d")).collect()}
+    assert got[-50] == 0 and got[100] == top and got[750] == top
+    assert 0 <= got[0] <= got[99] <= top
+    # and the interleaved key stays within its dims' bit budget
+    z = df.select(L.zorder_key([(F.col("v"), 0, 99),
+                                (F.lit(5), 0, 99)]).alias("z")).collect()
+    assert all(0 <= r.z < (1 << (2 * L.ZORDER_BITS)) for r in z)
+    zsql = L.zorder_sql([("v", "0", "99"), ("5", "0", "99")])
+    duck = sorted(v for (v,) in duckdb.connect().execute(
+        f"SELECT {zsql} FROM (SELECT UNNEST($1) v)",
+        [[-50, 0, 99, 100, 750]]).fetchall())
+    assert sorted(r.z for r in z) == duck
+
+
+def test_zorder_bit_budget_guard():
+    """4 dims x 16 bits = 64 z-bits would shift into the long sign bit;
+    both the Spark form and the SQL oracle form must refuse."""
+    import pytest as _pytest
+
+    from medallion_data_pipeline_spark.functions import layout as L
+
+    with _pytest.raises(ValueError, match="sign bit"):
+        L.interleave_bits([F.lit(0)] * 4, bits=16)
+    with _pytest.raises(ValueError, match="sign bit"):
+        L.zorder_sql([("a", "0", "1")] * 4, bits=16)
+
+
 def test_write_zordered_bounds_every_dimension_per_file(spark, tmp_path):
     """After write_zordered, EVERY interleaved dimension's per-file
     extent is a small fraction of its global span (that is the whole
