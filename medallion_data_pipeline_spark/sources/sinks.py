@@ -17,6 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def derby_url(db_path: str, create: bool = True) -> tuple[str, dict]:
+    """(url, properties) for Spark's EMBEDDED Derby — the database
+    engine Spark already ships for its Hive metastore, so a real
+    ``write.jdbc`` → ``read.jdbc`` → :func:`verify_push` round-trip
+    runs with no external server (this is how the sandbox test suite
+    executes the S6/S7 path for real). Single-JVM engine: fine in
+    local mode and for tests; a cluster pushes to a networked RDBMS
+    via the same `push_jdbc` with a different url/driver. Note Derby
+    caps DECIMAL precision at 31 — cast wider decimals (or to double)
+    before pushing, exactly as you would for any dialect mismatch."""
+    url = f"jdbc:derby:{db_path}" + (";create=true" if create else "")
+    return url, {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
 def push_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
               batchsize: int = 5000, properties: dict | None = None) -> None:
     """Batched JDBC sink (S6): the reference's execute_values paging is
