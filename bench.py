@@ -111,21 +111,40 @@ def main() -> None:
         list(pool.map(_lay, TABLES))
     timings["layout_ingest"] = round(time.time() - t0, 3)
 
-    # min-of-3 with every rep logged: one measured run occasionally
+    # min-of-reps with every rep logged: one measured run occasionally
     # catches a multi-second JVM/host stall (observed 4s -> 44s on
-    # identical plans back to back), so the minimum of three warm runs
-    # is the plan's actual cost — and the full rep list in the output
+    # identical plans back to back), so the minimum of the warm runs
+    # is the plan's actual cost — and the full rep list in BENCH_DETAIL
     # lets a reader tell a real regression (all reps moved) from host
-    # noise (one outlier rep) when diffing BENCH_rN files.
+    # noise (one outlier rep) when diffing BENCH_rN files. Entries
+    # whose first rep exceeds ~1s get a 4th execution with rep 1
+    # demoted to untimed warm-up (_min_warm below).
     all_reps: dict[str, list[float]] = {}
+
+    def _min_warm(reps: list[float]) -> float:
+        """Heavy-tier stabilization (r11 driver artifact: six untouched
+        >1s entries drifted +10-40% while their reps were STILL falling
+        at rep 3, e.g. 2.53 -> 2.04 -> 1.98 — the sf0.001 codegen
+        warm-up doesn't touch the sf0.1 data path, so rep 1 also pays
+        page-cache fill + scale-dependent JIT). For entries whose first
+        rep exceeded ~1s, rep 1 is demoted to an UNTIMED warm-up: the
+        reported number is the min over the warm reps only. All reps
+        still land in BENCH_DETAIL.json unredacted."""
+        return min(reps[1:]) if reps[0] > 1.0 and len(reps) > 1 else min(reps)
+
     for name, q in bench_queries:
         reps = []
         for _ in range(3):
             t0 = time.time()
             q.fn(spark, layout_dir).write.format("noop").mode("overwrite").save()
             reps.append(round(time.time() - t0, 3))
+        if reps[0] > 1.0:
+            # one extra warm rep so the min is still over >=3 timed runs
+            t0 = time.time()
+            q.fn(spark, layout_dir).write.format("noop").mode("overwrite").save()
+            reps.append(round(time.time() - t0, 3))
         all_reps[name] = reps
-        timings[name] = min(reps)
+        timings[name] = _min_warm(reps)
         # several text/ANN queries persist()/localCheckpoint() interior
         # frames scoped to one invocation; each rep creates fresh ones,
         # so release BOTH kinds of block before the next entry —
@@ -146,13 +165,15 @@ def main() -> None:
 
     ev_path = os.path.join(layout_dir, "events.parquet")
     reps = []
-    for rep in range(2):
+    for rep in range(3):
+        if rep == 2 and reps[0] <= 1.0:
+            break  # third rep only when the entry runs hot (see _min_warm)
         t0 = time.time()
         stream = SE.read_event_stream(spark, ev_path, max_files_per_trigger=4)
         SE.run_to_memory(SE.hourly_rollup(stream), f"bench_stream_{rep}")
         reps.append(round(time.time() - t0, 3))
     all_reps["streaming_hourly_rollup"] = reps
-    timings["streaming_hourly_rollup"] = min(reps)
+    timings["streaming_hourly_rollup"] = _min_warm(reps)
     _release_cached_blocks(spark)
 
     shutil.rmtree(layout_dir, ignore_errors=True)
@@ -221,7 +242,9 @@ def main() -> None:
     from medallion_data_pipeline_spark.plans import corpus as corpus_plan
 
     reps = []
-    for _rep in range(2):
+    for _rep in range(3):
+        if _rep == 2 and reps[0] <= 1.0:
+            break  # third rep only when the entry runs hot (see _min_warm)
         cw = tempfile.mkdtemp(prefix="mdp_bench_corpus_")
         try:
             t0 = time.time()
@@ -231,7 +254,7 @@ def main() -> None:
             shutil.rmtree(cw, ignore_errors=True)
         _release_cached_blocks(spark)
     all_reps["pipeline_corpus_curation"] = reps
-    timings["pipeline_corpus_curation"] = min(reps)
+    timings["pipeline_corpus_curation"] = _min_warm(reps)
 
     # Methodologically homogeneous headline: `value`/`total_queries` sum
     # only the min-of-N measurements; the one-shot layout_ingest cost is

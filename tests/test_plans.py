@@ -70,6 +70,24 @@ def test_asof_join_is_single_window_no_join(spark):
     assert "Window" in plan
 
 
+def test_source_budget_cap_prunes_map_side(spark):
+    """source_budget_cap's docstring promises the rank<=K runs in the
+    map-side WindowGroupLimit shape: each input partition is pruned to
+    K rows per source BEFORE the exchange, so the shuffle carries
+    O(sources*K*partitions), not the corpus. Pin the Partial
+    WindowGroupLimit below the Exchange and that no GLOBAL sort is
+    planned (only partition-local sorts feeding the group limit)."""
+    plan = _plan(spark, "source_budget_cap")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[2], plan
+    # the Partial prune sits BELOW (prints after) the shuffle exchange
+    exchange_at = plan.index("Exchange hashpartitioning")
+    partial_at = plan.index(", Partial")
+    assert partial_at > exchange_at, "map-side prune not below exchange"
+    # all sorts are partition-local (global flag false): `Sort [...], false, 0`
+    assert ", true, 0" not in plan, "unexpected global sort"
+
+
 def test_column_pruning_reaches_scan(spark):
     """orders_page projects a few columns; the parquet ReadSchema must
     not contain the unused o_comment column."""
