@@ -86,6 +86,93 @@ def zorder_key(dims: list[tuple[Column, Column | int, Column | int]],
         [normalize_dim(c, lo, hi, bits) for c, lo, hi in dims], bits)
 
 
+def _hilbert_tables() -> tuple[int, int]:
+    """Derive the 2-D Hilbert state machine and pack it into two 32-bit
+    ints (2 bits per entry, idx = st*4 + bx*2 + by).
+
+    A Hilbert walk is the z-order walk with the diagonal jumps removed:
+    consecutive keys are always Manhattan-adjacent cells (pinned in
+    tests over full grids), so a key-range slice of a Hilbert-sorted
+    file maps to a tighter bounding box than the same slice of a
+    z-sorted file. The classic xy2d algorithm mutates (x, y) per level
+    (reflect + swap); composing those rotations gives exactly 4 states
+    — (swap s, complement c) — so the whole walk becomes one 4-state
+    machine over the ORIGINAL bit pairs, i.e. pure shift/mask
+    arithmetic that whole-stage codegen compiles and any SQL engine
+    replays (same style as :func:`zorder_sql`)."""
+    D = S = 0
+    for st in range(4):
+        s, c = st >> 1, st & 1
+        for bx in range(2):
+            for by in range(2):
+                rx = c ^ (by if s else bx)          # bit seen after state
+                ry = c ^ (bx if s else by)
+                digit = (3 * rx) ^ ry               # quadrant on the walk
+                s2 = s ^ (1 if ry == 0 else 0)      # compose the rotation
+                c2 = c ^ (1 if ry == 0 and rx == 1 else 0)
+                idx = st * 4 + bx * 2 + by
+                D |= digit << (2 * idx)
+                S |= (s2 * 2 + c2) << (2 * idx)
+    return D, S
+
+
+#: packed digit/state-transition tables (values 916201140 / 1336203570)
+_HILBERT_D, _HILBERT_S = _hilbert_tables()
+
+
+def hilbert_key(dims: list[tuple[Column, Column | int, Column | int]],
+                bits: int = ZORDER_BITS) -> Column:
+    """Hilbert-curve key over exactly two ``(col, vmin, vmax)`` dims:
+    normalize each to ``bits`` bits (:func:`normalize_dim` — exact,
+    clamped), then walk the 4-state machine top bit first. Expression
+    depth is linear in ``bits`` (each level's index feeds the next
+    state exactly once), so the single returned Column stays small."""
+    if len(dims) != 2:
+        raise ValueError("hilbert_key is 2-D; pass exactly two dims")
+    if 2 * bits > 63:
+        raise ValueError("2 dims x bits must stay under the long sign bit")
+    x = normalize_dim(*dims[0], bits=bits)
+    y = normalize_dim(*dims[1], bits=bits)
+    st: Column = F.lit(0).cast("long")
+    d: Column = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        bx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        by = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        idx = F.shiftleft(st, 2) + F.shiftleft(bx, 1) + by
+        d = F.shiftleft(d, 2) + F.call_function(
+            "shiftright", F.lit(_HILBERT_D), idx * 2).bitwiseAND(F.lit(3))
+        st = F.call_function(
+            "shiftright", F.lit(_HILBERT_S), idx * 2).bitwiseAND(F.lit(3))
+    return d.cast("long")
+
+
+def hilbert_sql(cols: list[tuple[str, str, str]],
+                bits: int = ZORDER_BITS) -> str:
+    """The DuckDB replay of :func:`hilbert_key` — the same normalize
+    (clamped exact ``//``) and the same packed-table state machine as
+    SQL text. Text grows O(bits^2) (each level's index substitutes the
+    previous state once), ~10 KB at the default 10 bits."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_sql is 2-D; pass exactly two dims")
+    if 2 * bits > 63:
+        raise ValueError("2 dims x bits must stay under the long sign bit")
+    norm = [
+        f"GREATEST(0, LEAST({(1 << bits) - 1},"
+        f" (({c} - {lo}) * {1 << bits}) // ({hi} - {lo} + 1)))"
+        for c, lo, hi in cols
+    ]
+    x, y = norm
+    st = "0"
+    d = "0"
+    for i in range(bits - 1, -1, -1):
+        bx = f"((({x}) >> {i}) & 1)"
+        by = f"((({y}) >> {i}) & 1)"
+        idx = f"((({st}) << 2) + ({bx} << 1) + {by})"
+        d = f"((({d}) << 2) + (({_HILBERT_D} >> ({idx} * 2)) & 3))"
+        st = f"(({_HILBERT_S} >> ({idx} * 2)) & 3)"
+    return d
+
+
 def zorder_sql(cols: list[tuple[str, str, str]],
                bits: int = ZORDER_BITS) -> str:
     """The DuckDB replay of :func:`zorder_key` —

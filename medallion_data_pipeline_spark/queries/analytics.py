@@ -1617,3 +1617,66 @@ def zorder_locality(spark, sf_dir):
         F.min("l_suppkey").alias("supp_lo"),
         F.max("l_suppkey").alias("supp_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — Hilbert-curve clustering key (functions/layout.py::hilbert_key):
+# the z-order walk with the diagonal jumps removed — consecutive keys
+# are always Manhattan-adjacent cells, so a key-range slice maps to a
+# tighter bounding box and prunes FEWER files for the same box
+# predicate (measured head-to-head at sf0.1/64 files: the 10%x10% box
+# reads 2/64 files vs z-order's 4/64, tools/scale_zorder.py /
+# SCALING.md addendum 10). The oracle regenerates the identical
+# 4-state shift/mask machine via layout.hilbert_sql, so the gate pins
+# the exact key arithmetic AND the per-bucket locality it buys.
+# ---------------------------------------------------------------------------
+
+def _hilbert_oracle() -> str:
+    from ..functions import layout as L
+
+    h = L.hilbert_sql([("l_partkey", "pmin", "pmax"),
+                       ("l_suppkey", "smin", "smax")])
+    return f"""
+WITH mm AS (
+    SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+           MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+    FROM lineitem
+), h AS (
+    SELECT l_partkey, l_suppkey, {h} AS hval
+    FROM lineitem CROSS JOIN mm
+)
+SELECT hval >> 14 AS h_bucket, COUNT(*) AS n_li,
+       MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+       MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi
+FROM h GROUP BY 1
+"""
+
+
+@register("hilbert_locality", oracle=_hilbert_oracle())
+def hilbert_locality(spark, sf_dir):
+    """Hilbert keys for lineitem over (l_partkey, l_suppkey), bucketed
+    by the top 6 bits: per-bucket row count and per-dimension min/max
+    extents — zorder_locality's twin on the jump-free curve. Same plan
+    shape: one tiny min/max agg broadcast into the scan, the 4-state
+    machine as pure shift/mask codegen (expression depth linear in
+    bits), a single 64-group agg."""
+    from ..functions import layout as L
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"))
+    staged = (
+        li.crossJoin(F.broadcast(mm))
+        .withColumn("hval", L.hilbert_key([
+            (F.col("l_partkey"), F.col("pmin"), F.col("pmax")),
+            (F.col("l_suppkey"), F.col("smin"), F.col("smax"))]))
+    )
+    return staged.groupBy(
+        F.shiftright("hval", 14).alias("h_bucket")).agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.min("l_partkey").alias("part_lo"),
+        F.max("l_partkey").alias("part_hi"),
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
+    )

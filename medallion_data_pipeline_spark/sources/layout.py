@@ -83,7 +83,10 @@ def write_zordered(df: DataFrame, path: str,
     a 10%×10% two-column box reads 4/64 files (linear sort: 7, and
     only because the box also constrains its sort key; unsorted: 64),
     and a second-column-only 10% range reads 12/64 where the linear
-    layout reads all 64."""
+    layout reads all 64. For 2-D clustering prefer :func:`write_hilbert`
+    (2/64 on the same box at equal write cost, addendum 10); z-order is
+    the shipped path for 3+ dims, where the interleave generalizes for
+    free."""
     from ..functions import layout as L
 
     kw = {} if bits is None else {"bits": bits}
@@ -92,6 +95,30 @@ def write_zordered(df: DataFrame, path: str,
     (keyed.repartitionByRange(files, "__z")
      .sortWithinPartitions("__z")
      .drop("__z")
+     .write.mode(mode).parquet(path))
+
+
+def write_hilbert(df: DataFrame, path: str,
+                  dims: list[tuple[str, int, int]], files: int = 64,
+                  bits: int | None = None, mode: str = "overwrite") -> None:
+    """Hilbert-curve-clustered parquet write — :func:`write_zordered`
+    with the space-filling curve swapped for one with NO diagonal
+    locality jumps (consecutive keys are always Manhattan-adjacent
+    cells; functions/layout.py::hilbert_key, exact shift/mask state
+    machine, no UDF). A key-range slice of a Hilbert-sorted file
+    therefore maps to a tighter bounding box than the same slice
+    z-sorted, which typically prunes fewer files for the same box
+    predicate (measured head-to-head in tools/scale_zorder.py /
+    SCALING.md addendum 10). 2-D only; z-order remains the shipped
+    default for 3+ dims."""
+    from ..functions import layout as L
+
+    kw = {} if bits is None else {"bits": bits}
+    keyed = df.withColumn("__h", L.hilbert_key(
+        [(F.col(c), lo, hi) for c, lo, hi in dims], **kw))
+    (keyed.repartitionByRange(files, "__h")
+     .sortWithinPartitions("__h")
+     .drop("__h")
      .write.mode(mode).parquet(path))
 
 

@@ -189,6 +189,69 @@ def test_normalize_dim_clamps_out_of_range(spark):
     assert sorted(r.z for r in z) == duck
 
 
+def _py_hilbert(x: int, y: int, bits: int) -> int:
+    """Classic xy2d reference (reflect+swap per level) — structurally
+    independent of the packed-table state machine shipped in
+    functions/layout.py, so agreement is meaningful."""
+    n = 1 << bits
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = (n - 1) ^ x, (n - 1) ^ y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_walk(spark):
+    """The Spark hilbert_key equals the classic xy2d algorithm on the
+    full 16x16 grid (bits=4), is a bijection onto 0..255, and — the
+    defining Hilbert property z-order lacks — CONSECUTIVE keys are
+    always Manhattan-adjacent cells (no diagonal locality jumps)."""
+    from medallion_data_pipeline_spark.functions import layout as L
+
+    bits, n = 4, 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long")
+    got = grid.select("x", "y", L.hilbert_key(
+        [(F.col("x"), 0, n - 1), (F.col("y"), 0, n - 1)],
+        bits=bits).alias("h")).collect()
+    pts = {}
+    for r in got:
+        assert r.h == _py_hilbert(r.x, r.y, bits), (r.x, r.y)
+        pts[r.h] = (r.x, r.y)
+    assert sorted(pts) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pts[d], pts[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
+
+
+def test_hilbert_sql_matches_spark(spark):
+    """hilbert_sql (the DuckDB oracle form) and hilbert_key (the Spark
+    form) produce identical values — the can't-drift guarantee, same
+    contract as test_zorder_sql_matches_spark — including out-of-range
+    values hitting the shared clamp, at the default 10 bits."""
+    import duckdb
+
+    from medallion_data_pipeline_spark.functions import layout as L
+
+    rows = [(i * 37 % 501 - 25, i * 91 % 257) for i in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    spark_h = sorted(
+        r.h for r in df.select(L.hilbert_key(
+            [(F.col("a"), 0, 450), (F.col("b"), 0, 256)]).alias("h"))
+        .collect())
+    hsql = L.hilbert_sql([("a", "0", "450"), ("b", "0", "256")])
+    duck_h = sorted(v for (v,) in duckdb.connect().execute(
+        f"SELECT {hsql} FROM (SELECT UNNEST($1) a, UNNEST($2) b)",
+        [[r[0] for r in rows], [r[1] for r in rows]]).fetchall())
+    assert spark_h == duck_h
+
+
 def test_zorder_bit_budget_guard():
     """4 dims x 16 bits = 64 z-bits would shift into the long sign bit;
     both the Spark form and the SQL oracle form must refuse."""
@@ -241,6 +304,44 @@ def test_write_zordered_bounds_every_dimension_per_file(spark, tmp_path):
     # y-span would be ~1.0 for EVERY file.)
     import statistics
 
+    assert statistics.mean(s["x"] for s in spans) <= 0.45
+    assert statistics.mean(s["y"] for s in spans) <= 0.45
+    tight = sum(1 for s in spans if s["x"] <= 0.55 and s["y"] <= 0.55)
+    assert tight >= 12, spans
+
+
+def test_write_hilbert_bounds_every_dimension_per_file(spark, tmp_path):
+    """write_hilbert gives the same both-dimensions-bounded per-file
+    property as write_zordered — with the jump-free walk the bounds
+    are at least as tight (measured 2/64 vs 4/64 files for the 2-D box
+    at sf0.1, SCALING.md addendum 10)."""
+    import glob
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),
+        (F.col("id") * 40503 % n).alias("y"))
+    path = str(tmp_path / "h")
+    layout.write_hilbert(df, path, [("x", 0, n - 1), ("y", 0, n - 1)],
+                         files=16)
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = {}, {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                cname = col.path_in_schema
+                st = col.statistics
+                lo[cname] = min(lo.get(cname, st.min), st.min)
+                hi[cname] = max(hi.get(cname, st.max), st.max)
+        spans.append({c: (hi[c] - lo[c]) / n for c in ("x", "y")})
+    assert len(spans) == 16
     assert statistics.mean(s["x"] for s in spans) <= 0.45
     assert statistics.mean(s["y"] for s in spans) <= 0.45
     tight = sum(1 for s in spans if s["x"] <= 0.55 and s["y"] <= 0.55)

@@ -6,7 +6,9 @@ Lays sf0.1 lineitem (~600 K rows) three ways into the same file count:
 
 - natural:  hash repartition (every file spans the whole keyspace)
 - linear:   range-partition + sort by l_partkey (clusters ONE column)
-- zorder:   sources.sinks.write_zordered over (l_partkey, l_suppkey)
+- zorder:   sources.layout.write_zordered over (l_partkey, l_suppkey)
+- hilbert:  sources.layout.write_hilbert over the same dims (no
+            diagonal jumps -> tighter per-file bounding boxes)
 
 then evaluates a two-dimensional box predicate (a ~10% range on EACH
 key — the dashboard/retrieval shape "this part family at these
@@ -104,6 +106,12 @@ def main() -> None:
             [("l_partkey", pmin, pmax), ("l_suppkey", smin, smax)],
             files=FILES)
         layouts["zorder"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        slayout.write_hilbert(
+            li, os.path.join(root, "hilbert"),
+            [("l_partkey", pmin, pmax), ("l_suppkey", smin, smax)],
+            files=FILES)
+        layouts["hilbert"] = round(time.time() - t0, 2)
         out["write_walls_s"] = layouts
 
         predicates = {
@@ -115,7 +123,7 @@ def main() -> None:
         for pname, pred in predicates.items():
             counts = set()
             out[pname] = {}
-            for layout in ("natural", "linear", "zorder"):
+            for layout in ("natural", "linear", "zorder", "hilbert"):
                 path = os.path.join(root, layout)
                 hit, total = footer_overlap(path, pred)
                 cond = None
