@@ -40,13 +40,34 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
 
 def write_sized(df: DataFrame, path: str, target_file_mb: int = 128,
                 approx_row_bytes: int = 100, mode: str = "overwrite") -> None:
-    """Repartition-on-write to a target file size. Uses a cheap row
-    estimate; at scale prefer AQE's coalescePartitions + a final
-    rebalance hint instead of an exact count."""
+    """Repartition-on-write to a target file size from a cheap row
+    estimate. Costs one extra `count()` pass over the input — fine for
+    a one-time layout job; the hot-path form is
+    :func:`write_sized_aqe`, which sizes files from runtime shuffle
+    statistics with no extra pass."""
     n_rows = df.count()
     total_mb = max(n_rows * approx_row_bytes / (1024 * 1024), 1)
     n_files = max(int(total_mb / target_file_mb), 1)
     df.repartition(n_files).write.mode(mode).parquet(path)
+
+
+def write_sized_aqe(df: DataFrame, path: str, target_file_mb: int = 128,
+                    mode: str = "overwrite") -> None:
+    """Size output files WITHOUT the extra count() pass: the REBALANCE
+    hint asks AQE to split/coalesce the final shuffle's partitions to
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` using the
+    actual runtime byte statistics — no row-size guess, and skewed
+    output partitions are split, which a fixed ``repartition(n)``
+    cannot do. This is the 100 TB form: one shuffle that the write was
+    usually paying anyway, sized by measurement."""
+    spark = df.sparkSession
+    advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(advisory)
+    spark.conf.set(advisory, f"{target_file_mb}m")
+    try:
+        df.hint("rebalance").write.mode(mode).parquet(path)
+    finally:
+        spark.conf.set(advisory, old)
 
 
 def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],

@@ -56,6 +56,25 @@ def test_write_sized_bounds_file_count(spark, tmp_path):
     assert 1 <= len(files) <= 4
 
 
+def test_write_sized_aqe_splits_without_count_pass(spark, tmp_path):
+    """write_sized_aqe must produce multiple advisory-sized files from
+    AQE's runtime statistics (no count() pass), and restore the
+    advisory-size conf afterwards."""
+    import glob
+
+    advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(advisory)
+    # ~7 MB of incompressible payload in one input partition
+    df = spark.range(200000).coalesce(1).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload"))
+    path = str(tmp_path / "sized_aqe")
+    layout.write_sized_aqe(df, path, target_file_mb=1)
+    files = glob.glob(f"{path}/part-*")
+    assert 2 <= len(files) <= 12, "files not advisory-sized"
+    assert spark.conf.get(advisory) == before
+    assert spark.read.parquet(path).count() == 200000
+
+
 def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
     """write_clustered must yield files whose [min,max] ranges on the
     cluster column do not overlap — the property that makes parquet
