@@ -88,6 +88,26 @@ def test_source_budget_cap_prunes_map_side(spark):
     assert ", true, 0" not in plan, "unexpected global sort"
 
 
+def test_locality_key_queries_plan_shape(spark):
+    """zorder_locality and hilbert_locality promise: key arithmetic as
+    pure shift/mask codegen (no Python UDF), the min/max bounds from
+    one tiny agg BROADCAST into the scan (a 1-row BroadcastNestedLoop
+    cross join — the allowed bounded-side shape), and no shuffle
+    beyond the single-partition bounds agg + the final 64-group agg."""
+    for name in ("zorder_locality", "hilbert_locality"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name      # no Python UDF
+        assert "ArrowEvalPython" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") == 1, name
+        assert "CartesianProduct" not in plan, name
+        # exactly one data shuffle (the final group agg); the other
+        # exchanges are the 1-row bounds agg + its broadcast
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert plan.count("Exchange SinglePartition") == 1, name
+        assert plan.count("BroadcastExchange") == 1, name
+        assert "shiftright" in plan, name               # key is shift/mask
+
+
 def test_column_pruning_reaches_scan(spark):
     """orders_page projects a few columns; the parquet ReadSchema must
     not contain the unused o_comment column."""
