@@ -209,15 +209,49 @@ def merge_sink(path: str, pk: list[str]):
     return _sink
 
 
+def jdbc_merge_sink(url: str, table: str, pk: list[str],
+                    properties: dict | None = None):
+    """foreachBatch body: idempotently MERGE each micro-batch into a
+    serving RDBMS keyed on ``pk`` — the stream-to-dashboard-database
+    shape (the reference serves its dashboards from PostgreSQL;
+    gold/push.py). Each batch is deduped on pk, staged with the
+    batched JDBC writer, and folded in with one server-side MERGE
+    (sources/sinks.py::upsert_jdbc), so update-mode re-emissions and
+    post-restart replays collapse to last-write-wins: exactly-once
+    results over at-least-once delivery, same contract as
+    :func:`merge_sink`. Executed in-sandbox against embedded Derby."""
+    from ..sources.sinks import upsert_jdbc
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_jdbc(batch_df.dropDuplicates(pk), url, table, pk,
+                    properties=properties)
+
+    return _sink
+
+
 def run_merge_stream(stream_df: DataFrame, path: str, pk: list[str],
                      checkpoint_dir: str) -> None:
     """Drive an update-mode streaming aggregation into an idempotent
     keyed parquet target via foreachBatch (the production sink shape
     promised in the module docstring), synchronously to exhaustion."""
+    _run_update_stream(stream_df, merge_sink(path, pk), checkpoint_dir)
+
+
+def run_merge_stream_jdbc(stream_df: DataFrame, url: str, table: str,
+                          pk: list[str], checkpoint_dir: str,
+                          properties: dict | None = None) -> None:
+    """`run_merge_stream` with the RDBMS target: update-mode stream →
+    foreachBatch → staged server-side MERGE per micro-batch."""
+    _run_update_stream(
+        stream_df, jdbc_merge_sink(url, table, pk, properties),
+        checkpoint_dir)
+
+
+def _run_update_stream(stream_df: DataFrame, sink, checkpoint_dir: str) -> None:
     q = (
         stream_df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(merge_sink(path, pk))
+        .foreachBatch(sink)
         .start()
     )
     try:

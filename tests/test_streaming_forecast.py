@@ -265,6 +265,56 @@ def test_foreach_batch_merge_sink_idempotent(spark, tmp_path):
     assert got2 == expected
 
 
+def test_foreach_batch_jdbc_merge_idempotent(spark, tmp_path):
+    """The stream-to-serving-database shape EXECUTED end-to-end:
+    hourly_rollup -> foreachBatch -> staged server-side MERGE into
+    embedded Derby. Final table equals the batch aggregation, and a
+    full replay (fresh checkpoint, same database) leaves it unchanged
+    — exactly-once results over at-least-once delivery, same contract
+    as the parquet merge_sink test above, now against a real RDBMS."""
+    from medallion_data_pipeline_spark.sources import sinks
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_jdbc_merge")
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    url, props = sinks.derby_url(str(tmp_path / "servingdb"))
+    pk = ["window_start", "event_type"]
+
+    def run(checkpoint):
+        stream = SE.read_event_stream(spark, src, max_files_per_trigger=1)
+        SE.run_merge_stream_jdbc(SE.hourly_rollup(stream), url,
+                                 "hourly_rollup", pk,
+                                 str(tmp_path / checkpoint),
+                                 properties=props)
+
+    run("cp_jdbc1")
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            batch.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:00").alias("window_start"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)"))
+                 .cast("double").alias("total_value"))
+            .collect())
+    }
+
+    def read_target():
+        df = (spark.read.format("jdbc").option("url", url)
+              .option("dbtable", "hourly_rollup").options(**props).load())
+        return {(r.window_start, r.event_type): (r.n_events, r.total_value)
+                for r in df.collect()}
+
+    assert read_target() == expected
+    run("cp_jdbc2")  # full replay into the same database: idempotent
+    assert read_target() == expected
+
+
 def test_streaming_bronze_csv_ingest(spark, tmp_path):
     """File-watch CSV -> keyed merge into bronze: later files upsert on
     pk, incremental runs only process new files, silver can read the
