@@ -2972,3 +2972,80 @@ def dedup_span_intervals(spark, sf_dir):
     oracle's window-function replay."""
     return D.duplicate_span_intervals(
         t(spark, sf_dir, "documents"), w=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# q — unigram corpus-frequency rarity: the transcendental-free form of
+# CCNet/KenLM-style LM quality filtering. A document whose tokens are
+# rare IN THIS CORPUS is an outlier (OCR noise, codes, gibberish,
+# wrong-language residue) — the classic filter scores mean log-prob under
+# a unigram LM, but ln/log2 are libm-dependent and not oracle-stable,
+# so the score here is the arithmetic-mean corpus frequency plus the
+# rare-token ratio, with the low-quality flag decided by EXACT integer
+# comparison (2*rare > n_toks). Same signal ordering, bit-for-bit
+# replayable. Shape at 100 TB: one explode -> token-count shuffle
+# (vocab-sized result), join freqs back to the exploded tokens, one
+# per-doc agg — work linear in corpus tokens, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_CNT = 2  # a token seen <= this many times corpus-wide is "rare"
+
+_UNIGRAM_RARITY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_WORDS.format("text")}) AS tok
+    FROM documents
+), freq AS (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), scored AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           SUM(f.cnt) AS sum_cnt,
+           SUM(CASE WHEN f.cnt <= {_RARE_MAX_CNT} THEN 1 ELSE 0 END) AS n_rare
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(CAST(sum_cnt AS DOUBLE) / CAST(n_toks AS DOUBLE) AS DOUBLE)
+           AS mean_tok_freq,
+       CAST(CAST(n_rare AS DOUBLE) / CAST(n_toks AS DOUBLE) AS DOUBLE)
+           AS rare_ratio,
+       (2 * n_rare > n_toks) AS low_quality
+FROM scored
+"""
+
+
+@register("unigram_rarity_quality", oracle=_UNIGRAM_RARITY_SQL)
+def unigram_rarity_quality(spark, sf_dir):
+    """Per-document unigram rarity score from a corpus-trained token
+    frequency table: mean corpus frequency of the doc's tokens, the
+    rare-token ratio (corpus count <= 2), and a low-quality flag
+    decided by exact integer comparison — the oracle-stable stand-in
+    for unigram-LM perplexity filtering (same ordering signal, no
+    libm log in the gate). The doubles are single IEEE divisions of
+    exact integers, so Spark and DuckDB agree bit-for-bit."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", X.words(F.col("text")).alias("toks"))
+    # persisted: the exploded frame feeds BOTH the vocab count and the
+    # join side (bench releases invocation-scoped blocks between entries)
+    toks = docs.select(
+        "doc_id", F.explode("toks").alias("tok")).persist()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.sum(F.when(F.col("cnt") <= _RARE_MAX_CNT, 1)
+                  .otherwise(0)).alias("n_rare"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        (F.col("sum_cnt").cast("double")
+         / F.col("n_toks").cast("double")).alias("mean_tok_freq"),
+        (F.col("n_rare").cast("double")
+         / F.col("n_toks").cast("double")).alias("rare_ratio"),
+        (2 * F.col("n_rare") > F.col("n_toks")).alias("low_quality"),
+    )
