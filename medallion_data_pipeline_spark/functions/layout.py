@@ -45,8 +45,11 @@ def normalize_dim(col: Column, vmin: Column | int, vmax: Column | int,
     every z-bit on via sign propagation, and ``v > vmax`` bleeds into
     other dimensions' bit positions."""
     if isinstance(vmin, int) and isinstance(vmax, int):
-        assert (vmax - vmin + 1) << bits < (1 << 63), (
-            "span * 2**bits overflows int64; pre-scale the column")
+        # a real raise, not assert: python -O must not strip the guard
+        # against silent int64 wraparound (ANSI off on the JVM side)
+        if (vmax - vmin + 1) << bits >= (1 << 63):
+            raise ValueError(
+                "span * 2**bits overflows int64; pre-scale the column")
     vmin = F.lit(vmin) if isinstance(vmin, int) else vmin
     vmax = F.lit(vmax) if isinstance(vmax, int) else vmax
     span = vmax.cast("long") - vmin.cast("long") + F.lit(1)

@@ -8,25 +8,27 @@ the small side across all salt values, equi-join on (key, salt) —
 the hot key's rows spread over n partitions.
 
 Measured head-to-head (tools/scale_skew_aqe.py, SCALING.md addendum
-11; 16M-row fact with 50% on one hot key, broadcast disabled):
+11; 16M-row fact with 50% on one hot key, broadcast disabled, all
+variants moving the SAME columns through the shuffle, minima over
+two tool runs of min-of-3):
 
 - **Shuffle JOINS: let AQE handle it first.** Runtime skew splitting
-  fixed the straggler as well as manual salting did (4.1 s unsplit ->
-  1.36 s AQE vs 1.50 s salted, `SortMergeJoin(skew=true)` in the
-  final plan) — at zero code cost and without the exploded small
-  side. Salting remains for: skew below AQE's byte thresholds
-  (default 256 MB AND 5x median — many moderately-hot keys can
-  straggle without tripping it), engines/paths with AQE unavailable,
-  and hot-on-BOTH-sides joins (AQE splits one side's partition and
-  replicates the other's — the N x M hot-cell explosion needs a
-  semantic fix, not routing).
+  beat manual salting at equal workload (4.36 s unsplit -> 1.35 s
+  AQE vs 1.95 s salted, `SortMergeJoin(skew=true)` in the final
+  plan) — zero code cost, and salting additionally pays the exploded
+  small side and the salt column in every shuffled row. Salting
+  remains for: skew below AQE's byte thresholds (default 256 MB AND
+  5x median — many moderately-hot keys can straggle without tripping
+  it), engines/paths with AQE unavailable, and hot-on-BOTH-sides
+  joins (AQE splits one side's partition and replicates the other's
+  — the N x M hot-cell explosion needs a semantic fix, not routing).
 - **Aggregations: AQE does NOT split them, but Spark's map-side
   partial aggregation already absorbs combinable skew** (sum/count/
   dup-heavy sets collapse before the shuffle). For DISTINCT-heavy
   per-key state, two-phase salting is a measured PESSIMIZATION
-  (23.7 s vs 3.7 s direct: nothing combines, so the second phase
+  (16.1 s vs 3.2 s direct: nothing combines, so the second phase
   re-shuffles every element into one fat merge task); the scale
-  answer is a mergeable sketch (approx_count_distinct: 0.95 s).
+  answer is a mergeable sketch (approx_count_distinct: 0.66 s).
   `salted_two_phase_agg` earns its keep only when partials SHRINK
   under merge or when one reducer's state exceeds memory.
 """

@@ -85,6 +85,21 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
     )
 
 
+def _write_curve_clustered(df: DataFrame, path: str, key, files: int,
+                           mode: str) -> None:
+    """Shared write recipe for the space-filling-curve layouts: attach
+    the curve key, range-partition into ``files`` key-contiguous
+    files, sort within each, drop the key before writing. One body so
+    write_zordered/write_hilbert can never drift apart (the same
+    adjacency contract their SQL duals get from living side by side)."""
+    tmp = "__curve_key"
+    (df.withColumn(tmp, key)
+     .repartitionByRange(files, tmp)
+     .sortWithinPartitions(tmp)
+     .drop(tmp)
+     .write.mode(mode).parquet(path))
+
+
 def write_zordered(df: DataFrame, path: str,
                    dims: list[tuple[str, int, int]], files: int = 64,
                    bits: int | None = None, mode: str = "overwrite") -> None:
@@ -111,12 +126,8 @@ def write_zordered(df: DataFrame, path: str,
     from ..functions import layout as L
 
     kw = {} if bits is None else {"bits": bits}
-    keyed = df.withColumn("__z", L.zorder_key(
-        [(F.col(c), lo, hi) for c, lo, hi in dims], **kw))
-    (keyed.repartitionByRange(files, "__z")
-     .sortWithinPartitions("__z")
-     .drop("__z")
-     .write.mode(mode).parquet(path))
+    _write_curve_clustered(df, path, L.zorder_key(
+        [(F.col(c), lo, hi) for c, lo, hi in dims], **kw), files, mode)
 
 
 def write_hilbert(df: DataFrame, path: str,
@@ -135,12 +146,8 @@ def write_hilbert(df: DataFrame, path: str,
     from ..functions import layout as L
 
     kw = {} if bits is None else {"bits": bits}
-    keyed = df.withColumn("__h", L.hilbert_key(
-        [(F.col(c), lo, hi) for c, lo, hi in dims], **kw))
-    (keyed.repartitionByRange(files, "__h")
-     .sortWithinPartitions("__h")
-     .drop("__h")
-     .write.mode(mode).parquet(path))
+    _write_curve_clustered(df, path, L.hilbert_key(
+        [(F.col(c), lo, hi) for c, lo, hi in dims], **kw), files, mode)
 
 
 def shuffle_free_join_plan(spark: SparkSession, left_table: str, right_table: str,

@@ -86,7 +86,15 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, pk: list[str],
     columns are created as VARCHAR (not the dialect's default
     CLOB/TEXT) — MERGE compares the pk columns, and LOB types are not
     comparable (Derby: 'Comparisons between CLOB and CLOB are not
-    supported')."""
+    supported').
+
+    Input contract, enforced here so the MERGE cannot misfire: rows
+    are deduplicated on ``pk`` (a multi-matching source row aborts a
+    SQL MERGE) and NULL-pk rows are DROPPED (NULL never matches an ON
+    clause, so replays would re-insert them forever — the opposite of
+    idempotence). Which duplicate survives is arbitrary; pre-reduce
+    upstream (e.g. max_by) if the choice matters."""
+    df = df.dropna(subset=pk).dropDuplicates(pk)
     staging = staging or f"{table}_staging"
     properties = dict(properties or {})
     if "createTableColumnTypes" not in properties:
@@ -99,13 +107,29 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, pk: list[str],
 
     spark = df.sparkSession
     jvm = spark._jvm
-    driver = (properties or {}).get("driver")
+    driver = properties.get("driver")
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # carry the connection properties (user/password/ssl...) into the
+    # driver-side MERGE connection, not just into the Spark writer —
+    # createTableColumnTypes etc. are writer-only and harmless here
+    jprops = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k not in ("driver", "createTableColumnTypes", "batchsize"):
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = conn.createStatement()
-        tables = conn.getMetaData().getTables(None, None, table.upper(), None)
+        md = conn.getMetaData()
+        # engines fold unquoted identifiers differently (Derby/Oracle
+        # -> UPPER, Postgres -> lower); ask the driver which
+        if md.storesUpperCaseIdentifiers():
+            lookup = table.upper()
+        elif md.storesLowerCaseIdentifiers():
+            lookup = table.lower()
+        else:
+            lookup = table
+        tables = md.getTables(None, None, lookup, None)
         if not tables.next():
             st.executeUpdate(
                 f"CREATE TABLE {table} AS SELECT * FROM {staging} "

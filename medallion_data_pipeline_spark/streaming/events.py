@@ -223,8 +223,8 @@ def jdbc_merge_sink(url: str, table: str, pk: list[str],
     from ..sources.sinks import upsert_jdbc
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_jdbc(batch_df.dropDuplicates(pk), url, table, pk,
-                    properties=properties)
+        # upsert_jdbc enforces the pk dedup + NULL-pk drop itself
+        upsert_jdbc(batch_df, url, table, pk, properties=properties)
 
     return _sink
 

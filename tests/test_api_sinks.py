@@ -133,6 +133,43 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         assert sinks.verify_push(df, remote)[0], name
 
 
+def test_upsert_jdbc_enforces_pk_contract(spark, tmp_path):
+    """upsert_jdbc must dedupe on pk (a multi-matching source row
+    aborts SQL MERGE) and DROP NULL-pk rows (NULL never matches an ON
+    clause, so replays would re-insert them forever); a replay of the
+    same frame leaves the target unchanged."""
+    url, props = sinks.derby_url(str(tmp_path / "pkdb"))
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "x"), (None, "y")],
+        "k long, v string")
+
+    sinks.upsert_jdbc(df, url, "tgt", ["k"], properties=props)
+    back = (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "tgt").options(**props).load())
+    rows = {r.k: r.v for r in back.collect()}
+    assert set(rows) == {1, 2}, "NULL pks must be dropped, dups collapsed"
+    assert rows[1] in ("a", "b") and rows[2] == "c"
+
+    sinks.upsert_jdbc(df, url, "tgt", ["k"], properties=props)  # replay
+    assert back.count() == 2, "replay must not grow the target"
+
+
+def test_page_skips_non_orderable_columns(spark, tmp_path):
+    """page() must not fail on tables with map columns (Spark cannot
+    sort maps) — the tiebreak uses only orderable columns."""
+    wh = str(tmp_path / "wh")
+    df = spark.range(40).select(
+        (F.col("id") % 3).alias("grp"), F.col("id").alias("row_id"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"))
+    df.write.parquet(os.path.join(wh, "bronze", "mapped"))
+    eng = MedallionEngine(spark, wh)
+    seen = []
+    for off in (0, 20):
+        seen += [(r.grp, r.row_id) for r in
+                 eng.page("bronze", "mapped", limit=20, offset=off).collect()]
+    assert len(seen) == 40 and len(set(seen)) == 40
+
+
 def test_reset_warehouse(spark, tmp_path):
     wh = _mk_warehouse(spark, tmp_path)
     assert os.path.isdir(os.path.join(wh, "bronze"))

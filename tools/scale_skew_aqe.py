@@ -17,7 +17,8 @@ sized for clusters; this local corpus lowers it to 16MB/8MB advisory
 (factor 2) so the trigger fires at sandbox scale (at 100 TB the defaults fire on
 their own).
 
-Cases (each min-of-2 warm, identical result counts asserted):
+Cases (each min-of-3 warm, identical result counts asserted;
+quote minima over >=2 tool runs — the host has noise windows):
   join_aqe_off   plain join, skewJoin disabled  -> one straggler task
   join_aqe_on    plain join, skewJoin enabled   -> runtime split
   join_salted    operators.skew.salted_join(32) -> compile-time spread
@@ -51,7 +52,7 @@ N_AGG = 8_000_000
 SALTS = 32
 
 
-def _timed(df, reps: int = 2) -> tuple[float, int]:
+def _timed(df, reps: int = 3) -> tuple[float, int]:
     """Wall via noop sink (a count() would let Catalyst PRUNE the
     expensive aggregate expressions — collect_set vanished entirely
     from the counted plan in the first version of this tool); row
@@ -141,7 +142,8 @@ def main() -> None:
             salted_join, salted_two_phase_agg)
         w, r = _timed(salted_join(bigf, dimf, key="user_id",
                                   n_salts=SALTS)
-                      .groupBy("segment").agg(F.sum("value")))
+                      .groupBy("segment")
+                      .agg(F.sum("value"), F.count("ballast")))
         out["join_salted"] = {"wall_s": w, "rows": r}
         counts.add(r)
         assert len(counts) == 1, f"join results differ: {counts}"
