@@ -93,6 +93,10 @@ def _write_curve_clustered(df: DataFrame, path: str, key, files: int,
     write_zordered/write_hilbert can never drift apart (the same
     adjacency contract their SQL duals get from living side by side)."""
     tmp = "__curve_key"
+    if tmp in df.columns:
+        raise ValueError(
+            f"input already has a {tmp!r} column; rename it before a "
+            "curve-clustered write (withColumn would overwrite it)")
     (df.withColumn(tmp, key)
      .repartitionByRange(files, tmp)
      .sortWithinPartitions(tmp)
