@@ -3049,3 +3049,137 @@ def unigram_rarity_quality(spark, sf_dir):
          / F.col("n_toks").cast("double")).alias("rare_ratio"),
         (2 * F.col("n_rare") > F.col("n_toks")).alias("low_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q — the full production ANN composition (FAISS IVFADC): IVF coarse
+# routing (nprobe=2) restricts the ADC scan to ~2/8 of the compressed
+# corpus, PQ-ADC scores only those codes, the top-50 shortlist
+# re-ranks exactly. knn_cosine_pq_adc/_rerank scan EVERY code
+# (memory solved, CPU not); knn_cosine_ivf_probe2 prunes candidates
+# but scores raw vectors (CPU per pair high) — this entry is the
+# composition every production vector store ships. The oracle replays
+# coarse routing + codebook training + code assignment + restricted
+# ADC + re-rank, all deterministic.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_CELLS = 8
+
+_IVFPQ_CODES_UNION = " UNION ALL ".join(
+    f"SELECT vec_id AS neighbor_id, {s} AS subspace, cell AS code FROM afs{s}"
+    for s in range(_PQ_M))
+_IVFPQ_CBOOKS_UNION = " UNION ALL ".join(
+    f"SELECT {s} AS subspace, cell AS code, cv FROM cbs{s}"
+    for s in range(_PQ_M))
+
+_IVFPQ_SQL = f"""{_PQ_PREAMBLE},
+icents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, dv AS cv
+    FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT {_IVFPQ_CELLS})
+), idists AS (
+    SELECT v.vec_id, c.cell_idx,
+           {_KM_D2.format(v='v.dv', c='c.cv')} AS d2
+    FROM v CROSS JOIN icents c
+), iassign AS (
+    SELECT vec_id, cell_idx AS cell FROM (
+        SELECT vec_id, cell_idx,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, cell_idx) AS rn
+        FROM idists)
+    WHERE rn = 1
+), qcells AS (
+    SELECT vec_id AS query_id, cell_idx AS cell FROM (
+        SELECT vec_id, cell_idx,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, cell_idx) AS rn
+        FROM idists WHERE vec_id % 50 = 0)
+    WHERE rn <= {_IVFPQ_NPROBE}
+), coded AS (
+    SELECT c.neighbor_id, i.cell, c.subspace, c.code
+    FROM ({_IVFPQ_CODES_UNION}) c
+    JOIN iassign i ON c.neighbor_id = i.vec_id
+), q AS (
+    SELECT vec_id AS query_id, dv AS qv,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS qn
+    FROM v WHERE vec_id % 50 = 0
+), qsub AS (
+    {_PQ_QSUB_UNION}
+), lut AS (
+    SELECT a.query_id, a.qn, a.subspace, b.code,
+           {_PQ_DOT.format(n=_PQ_SUBDIM, a='a.qs', b='b.cv')} AS qdot,
+           list_sum(list_transform(b.cv, x -> x * x)) AS cn2
+    FROM qsub a JOIN ({_IVFPQ_CBOOKS_UNION}) b ON a.subspace = b.subspace
+), scored AS (
+    SELECT l.query_id, c.neighbor_id,
+           SUM(l.qdot) AS dot_adc, SUM(l.cn2) AS cn2_sum, MIN(l.qn) AS qn
+    FROM coded c
+    JOIN qcells qc ON c.cell = qc.cell
+    JOIN lut l ON qc.query_id = l.query_id
+              AND c.subspace = l.subspace AND c.code = l.code
+    WHERE c.neighbor_id <> l.query_id
+    GROUP BY l.query_id, c.neighbor_id
+), cosd AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN qn * sqrt(cn2_sum) > 0
+                THEN dot_adc / (qn * sqrt(cn2_sum)) END AS cos_adc
+    FROM scored
+), cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_adc DESC, neighbor_id) AS rank
+        FROM cosd)
+    WHERE rank <= {_PQ_SHORTLIST}
+), qv2 AS (
+    SELECT vec_id AS query_id, dv AS qv2,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS qn2
+    FROM v WHERE vec_id % 50 = 0
+), cv2 AS (
+    SELECT vec_id AS neighbor_id, dv AS cv2,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS cn2x
+    FROM v
+), exact AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv2) + 1),
+                                   i -> q.qv2[i] * n.cv2[i]))
+             / (q.qn2 * n.cn2x) AS cos_raw
+    FROM cand c
+    JOIN qv2 q ON c.query_id = q.query_id
+    JOIN cv2 n ON c.neighbor_id = n.neighbor_id
+), rer AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM exact
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_raw, 6) AS cosine
+FROM rer WHERE rank <= 5
+"""
+
+
+@register("knn_cosine_ivf_pq", oracle=_IVFPQ_SQL, bench=True)
+def knn_cosine_ivf_pq(spark, sf_dir):
+    """IVF-routed PQ-ADC search with exact re-rank
+    (operators/similarity.py::knn_ivf_pq) — the FAISS-IVFADC
+    composition: nprobe=2 of 8 cells bounds the ADC scan to ~1/4 of
+    the compressed corpus, the 50-candidate shortlist re-ranks with
+    raw vectors, reported cosines are exact. Both trained artifacts
+    (coarse centroids, PQ codebooks) come from the model registry
+    (train once, serve many); the oracle retrains both in SQL and
+    replays the whole search.
+
+    Measured recall@5 vs knn_cosine_bruteforce on the uniform-random
+    synthetic corpus (quantization's hardest regime): 0.42 at sf0.01 —
+    matching the FULL-SCAN ADC rerank's 0.40, i.e. routing to 2/8
+    cells cost ~nothing while scanning 4x less — degrading to 0.185 at
+    sf0.1 at these FIXED parameters. That degradation is the expected
+    fixed-parameter behavior: the scale path grows nprobe/shortlist/
+    n_codes with n (k ~ sqrt(n) and n_planes ~ log2 n measured in
+    SCALING.md addenda; clustered production embeddings separate far
+    better than uniform noise)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_ivf_pq(
+        emb, queries, k=5, n_cells=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE,
+        shortlist=_PQ_SHORTLIST, m=_PQ_M, n_codes=_PQ_K, iters=1,
+        cents=_ivf_cents(spark, sf_dir, _IVFPQ_CELLS),
+        books=_pq_books(spark, sf_dir))
