@@ -1403,3 +1403,115 @@ def knn_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "rank", "neighbor_id",
                 F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def sq_train(emb: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64
+             ) -> tuple[list[float], list[float]]:
+    """Scalar-quantizer training: per-dimension (min, max) over the
+    corpus — the entire SQ 'codebook' is 2*dim doubles (FAISS
+    ScalarQuantizer QT_8bit recipe). ONE global aggregate with 2*dim
+    expressions (no explode, no shuffle beyond the map-side-combined
+    final merge); min/max are order-independent exact, so the SQL
+    oracle's per-position MIN/MAX reproduces them bit-for-bit."""
+    dv = _as_double(F.col(vec_col))
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at("dv", i + 1)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at("dv", i + 1)).alias(f"mx{i}"))
+    row = emb.select(dv.alias("dv")).agg(*aggs).collect()[0]
+    return ([row[f"mn{i}"] for i in range(dim)],
+            [row[f"mx{i}"] for i in range(dim)])
+
+
+def sq_assign(emb: DataFrame, vmins: list[float], vmaxs: list[float],
+              levels: int = 255, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """8-bit scalar-quantization codes: per element,
+    ``round((x - vmin_d) * levels / span_d)`` clamped to [0, levels]
+    (code 0 when the dimension is constant). Map-only — zip_with over
+    broadcast literal min/span arrays inside whole-stage codegen; the
+    output row is (id, array<int>) — the 1-byte-per-dimension
+    compressed corpus (64 B/vector vs 512 B raw at dim=64).
+
+    Every step is single IEEE ops in a fixed order (subtract, multiply,
+    divide, +0.5, floor), so the DuckDB oracle replays the exact codes.
+    Out-of-range values (queries quantized against stale stats) clamp
+    to the edge codes instead of corrupting neighbors — the same
+    graceful-degradation contract as functions/layout.normalize_dim."""
+    mn = V.lit_double_array(vmins)
+    span = V.lit_double_array([mx - mnv for mnv, mx in zip(vmins, vmaxs)])
+    lv = float(levels)
+    dv = _as_double(F.col(vec_col))
+    shifted = F.zip_with(dv, mn, lambda x, m: x - m)
+    codes = F.zip_with(
+        shifted, span,
+        lambda y, s: F.when(
+            s > 0,
+            F.floor(F.greatest(F.lit(0.0), F.least(
+                F.lit(lv), y * F.lit(lv) / s)) + F.lit(0.5))
+        ).otherwise(F.lit(0)).cast("int"))
+    return spread(emb).select(F.col(id_col), codes.alias("codes"))
+
+
+def knn_sq8(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            levels: int = 255, id_col: str = "vec_id",
+            vec_col: str = "embedding", dim: int = 64,
+            stats: tuple[list[float], list[float]] | None = None
+            ) -> DataFrame:
+    """Approximate top-k cosine over an 8-bit scalar-quantized corpus
+    (FAISS IndexScalarQuantizer / QT_8bit flat search). The corpus is
+    stored as 1-byte-per-dimension codes; each candidate dequantizes
+    ``vhat_d = vmin_d + code_d * span_d / levels`` at scan time and
+    scores exact cosine against the raw query vector (asymmetric:
+    query uncompressed, corpus compressed).
+
+    The 100 TB shape: exhaustive like knn_bruteforce, but the scanned
+    index is 8× smaller (64 B vs 512 B per vector at dim=64 float64,
+    4× vs float32) — the memory/IO axis of ANN, complementary to IVF's
+    CPU-pruning axis; compose with an IVF route for both (the
+    knn_ivf_pq precedent). Decode is map-only zip_with math in
+    whole-stage codegen; scoring is the same broadcast-|Q| pattern as
+    the rest of the family.
+
+    Deterministic end-to-end — training (order-independent min/max),
+    codes (fixed-order IEEE ops + floor), dequantize, tie-broken
+    ranking — so the DuckDB oracle replays training, quantization, and
+    scoring exactly. ``stats``: pre-trained (vmins, vmaxs) from a model
+    registry (train-once-serve-many, as the other ANN ops)."""
+    if stats is None:
+        stats = sq_train(corpus, id_col, vec_col, dim)
+    vmins, vmaxs = stats
+    mn = V.lit_double_array(vmins)
+    span = V.lit_double_array([mx - mnv for mnv, mx in zip(vmins, vmaxs)])
+    lv = float(levels)
+
+    coded = sq_assign(corpus, vmins, vmaxs, levels, id_col, vec_col)
+    # decode-at-scan: vhat derives from the CODES (the persisted form),
+    # never from the raw vector — information flows through 1 byte/dim.
+    vhat = F.zip_with(
+        F.zip_with(F.col("codes"), span, lambda c, s: c * s / F.lit(lv)),
+        mn, lambda x, m: x + m)
+    c = coded.select(F.col(id_col).alias("neighbor_id"),
+                     vhat.alias("vhat"))
+    c = c.select("neighbor_id", "vhat", V.norm(F.col("vhat")).alias("cn"))
+
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"),
+                       V.norm(qv).alias("qn"))
+    scored = (
+        c.join(F.broadcast(q),
+               F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.when(F.col("qn") * F.col("cn") > 0,
+                       V.dot(F.col("qv"), F.col("vhat"))
+                       / (F.col("qn") * F.col("cn"))).alias("cos_sq"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sq"),
+                                          F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos_sq", 6).alias("cosine_sq8"))
+    )
