@@ -3277,3 +3277,124 @@ def knn_cosine_sq8(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.knn_sq8(emb, queries, k=5, levels=_SQ8_LEVELS, dim=_SQ8_DIM,
                      stats=_sq_stats(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q — BM25 document ranking (Robertson/Sparck Jones; the Lucene/
+# Elasticsearch practical form with the always-positive idf
+# ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75). Completes the lexical
+# retrieval tier: tfidf_top_terms ranks TERMS, inverted_index_top_terms
+# builds the postings, this ranks DOCUMENTS for a query — the exact
+# scoring a retrieval-augmented data pipeline runs to mine training
+# documents for a topic. The query is the corpus's top-3 df terms
+# (derived in-plan, so the oracle replays term selection too).
+#
+# Determinism: dl and tf are exact integers; avgdl is exact (integer
+# sum < 2^53 in double, single division); idf is the one
+# transcendental — rounded to 6 dp immediately (the tfidf precedent);
+# the per-term contributions are summed in FIXED term-rank order
+# (c1 + c2 + c3, never a data-order fold), so the final round(6) sees
+# bit-identical doubles in both engines.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = "1.2"
+_BM25_1MB = "0.25"   # 1 - b
+_BM25_B = "0.75"
+_BM25_TERMS = 3
+_BM25_TOPK = 20
+
+_BM25_CONTRIB = (
+    "idf6 * (tf * 2.2) / (tf + {k1} * ({omb} + {b} * dl / avgdl))"
+).format(k1=_BM25_K1, omb=_BM25_1MB, b=_BM25_B)
+
+_BM25_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {_SQL_WORDS.format("text")} AS ws FROM documents
+), w AS (
+    SELECT doc_id, unnest(ws) AS word FROM d
+), dl AS (
+    SELECT doc_id, len(ws) AS dl FROM d
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), dfreq AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+), terms AS (
+    SELECT word, df,
+           ROW_NUMBER() OVER (ORDER BY df DESC, word ASC) AS tr
+    FROM dfreq QUALIFY tr <= {_BM25_TERMS}
+), tf AS (
+    SELECT w.doc_id, t.tr, t.df, COUNT(*) AS tf
+    FROM w JOIN terms t USING (word)
+    GROUP BY w.doc_id, t.tr, t.df
+), contrib AS (
+    SELECT tf.doc_id, tf.tr,
+           ROUND(ln(1 + (s.n_docs - tf.df + 0.5) / (tf.df + 0.5)), 6)
+               AS idf6,
+           tf.tf, dl.dl, s.avgdl
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s
+), per_doc AS (
+    SELECT doc_id,
+           COALESCE(MAX(CASE WHEN tr = 1 THEN {_BM25_CONTRIB} END), 0.0) AS c1,
+           COALESCE(MAX(CASE WHEN tr = 2 THEN {_BM25_CONTRIB} END), 0.0) AS c2,
+           COALESCE(MAX(CASE WHEN tr = 3 THEN {_BM25_CONTRIB} END), 0.0) AS c3,
+           MAX(dl) AS dl
+    FROM contrib GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id, dl, ROUND(c1 + c2 + c3, 6) AS score_bm25,
+           ROW_NUMBER() OVER (ORDER BY ROUND(c1 + c2 + c3, 6) DESC,
+                              doc_id ASC) AS rank
+    FROM per_doc
+)
+SELECT rank, doc_id, dl, score_bm25 FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@register("bm25_doc_ranking", oracle=_BM25_SQL, bench=True)
+def bm25_doc_ranking(spark, sf_dir):
+    """Top-20 documents by BM25 for the corpus's top-3 df terms.
+
+    Plan shape: ONE exploded-words frame persisted (feeds df, tf —
+    the InferFiltersFromGenerate guard, as tfidf_top_terms); the term
+    table is 3 rows -> broadcast; dl/avgdl ride the same doc frame;
+    the only O(corpus) shuffles are the two word-keyed counts. At
+    100 TB the terms broadcast makes the tf join map-side and the
+    per-doc pivot is a 20-row total-order top-k, so the plan scales
+    exactly like tfidf's.
+
+    Determinism contract (see _BM25_SQL header): exact-integer tf/dl,
+    exact avgdl, idf rounded to 6 dp at birth, fixed-order c1+c2+c3
+    sum — the oracle replays term selection, idf, and scoring
+    bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    d = td(spark, sf_dir).withColumn("ws", X.words(F.col("text")))
+    w_ = d.select("doc_id", F.explode("ws").alias("word")).persist()
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    n_docs = d.count()
+    avgdl = float(dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0])
+
+    dfreq = w_.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tr = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.desc("df"), F.asc("word")))
+    terms = dfreq.withColumn("tr", tr).filter(F.col("tr") <= _BM25_TERMS)
+
+    tf = (w_.join(F.broadcast(terms), "word")
+          .groupBy("doc_id", "tr", "df").agg(F.count(F.lit(1)).alias("tf")))
+    contrib_in = (
+        tf.join(dl, "doc_id")
+        .withColumn("idf6", F.round(F.log(
+            F.lit(1) + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))), 6))
+        .withColumn("avgdl", F.lit(avgdl)))
+    c = F.expr(_BM25_CONTRIB)
+    per_doc = contrib_in.groupBy("doc_id").agg(
+        F.coalesce(F.max(F.when(F.col("tr") == 1, c)), F.lit(0.0)).alias("c1"),
+        F.coalesce(F.max(F.when(F.col("tr") == 2, c)), F.lit(0.0)).alias("c2"),
+        F.coalesce(F.max(F.when(F.col("tr") == 3, c)), F.lit(0.0)).alias("c3"),
+        F.max("dl").alias("dl"))
+    score = F.round(F.col("c1") + F.col("c2") + F.col("c3"), 6)
+    rk = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(score.desc(), F.asc("doc_id")))
+    return (per_doc.withColumn("score_bm25", score)
+            .withColumn("rank", rk).filter(F.col("rank") <= _BM25_TOPK)
+            .select("rank", "doc_id", "dl", "score_bm25"))

@@ -1064,3 +1064,49 @@ def test_sq8_codes_roundtrip_and_recall(spark):
     bf = {(r.query_id, r.neighbor_id)
           for r in S.knn_bruteforce(emb, q, k=5).collect()}
     assert len(sq & bf) / len(bf) >= 0.9
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """bm25_doc_ranking's scores equal an independent pure-Python BM25
+    (k1=1.2, b=0.75, Lucene idf) computed from the same tokenization —
+    on the sf0.001 corpus, for every returned row, to 1e-6."""
+    import math
+
+    from medallion_data_pipeline_spark.queries.llmops import (
+        bm25_doc_ranking)
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf, "documents").collect()}
+
+    def toks(s):
+        return [w for w in " ".join(s.lower().split()).split(" ") if w]
+
+    words = {d: toks(t) for d, t in docs.items()}
+    n = len(words)
+    avgdl = sum(len(w) for w in words.values()) / n
+    dfreq: dict = {}
+    for ws in words.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    terms = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:3]
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            tf = words[d].count(t)
+            if not tf:
+                continue
+            idf6 = round(math.log(1 + (n - dfreq[t] + 0.5)
+                                  / (dfreq[t] + 0.5)), 6)
+            dl = len(words[d])
+            s += idf6 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return round(s, 6)
+
+    got = bm25_doc_ranking(spark, sf).collect()
+    assert len(got) == 20
+    expected_order = sorted(words, key=lambda d: (-score(d), d))[:20]
+    assert [r.doc_id for r in got] == expected_order
+    for r in got:
+        assert abs(r.score_bm25 - score(r.doc_id)) <= 1e-6
+        assert r.dl == len(words[r.doc_id])
