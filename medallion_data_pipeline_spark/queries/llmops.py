@@ -3398,3 +3398,77 @@ def bm25_doc_ranking(spark, sf_dir):
     return (per_doc.withColumn("score_bm25", score)
             .withColumn("rank", rk).filter(F.col("rank") <= _BM25_TOPK)
             .select("rank", "doc_id", "dl", "score_bm25"))
+
+
+# ---------------------------------------------------------------------------
+# q — JSONL ingest roundtrip (sources/jsonl.py): documents -> JSONL
+# shard set (the format web-crawl corpora actually arrive in) ->
+# permissive explicit-schema read -> per-(lang, source) audit
+# aggregate whose digest column hashes every (doc_id, text) pair. The
+# oracle aggregates the ORIGINAL parquet, so a hash match certifies
+# the JSONL hop is lossless for ids, text bytes, and counts — the
+# bronze ingest contract, executed (not stubbed) in-sandbox.
+# ---------------------------------------------------------------------------
+
+_JSONL_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(h, ',' ORDER BY h)) AS content_digest
+FROM (
+    SELECT lang, source, n_chars,
+           md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+    FROM documents
+)
+GROUP BY lang, source
+"""
+
+
+def _jsonl_shards(spark, sf_dir: str) -> str:
+    """Write the documents table as a JSONL shard set ONCE per
+    distinct source file (the _trained_model stat-keyed registry —
+    same rationale: the conversion is the amortized upstream step,
+    the query under test is the READ path)."""
+    import tempfile
+
+    def _write():
+        out = tempfile.mkdtemp(prefix="mdp_jsonl_")
+        from ..sources import jsonl as J
+        J.write_jsonl(t(spark, sf_dir, "documents"), out)
+        return out
+
+    return _trained_model(sf_dir, "documents", ("jsonl_shards",), _write)
+
+
+@register("jsonl_ingest_roundtrip", oracle=_JSONL_SQL)
+def jsonl_ingest_roundtrip(spark, sf_dir):
+    """Per-(lang, source) audit aggregate computed from a JSONL
+    re-ingest of the documents table (write_jsonl -> read_jsonl with
+    the explicit contract schema, PERMISSIVE + corrupt capture ->
+    split_rejects). content_digest md5s the sorted per-row
+    md5(doc_id:text) hashes, so the oracle (which reads the original
+    parquet) certifies byte-level text fidelity through the JSON
+    encode/decode, not just row counts. The read is one pass: schema
+    is the contract, never inferred (inference = a full extra scan at
+    100 TB)."""
+    from pyspark.sql import types as T
+
+    from ..sources import jsonl as J
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    raw = J.read_jsonl(spark, _jsonl_shards(spark, sf_dir), schema)
+    good, _ = J.split_rejects(raw)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("text")))
+    return (good.withColumn("h", h)
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.md5(F.concat_ws(",", F.sort_array(
+                     F.collect_list("h")))).alias("content_digest")))

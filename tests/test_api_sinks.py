@@ -437,3 +437,88 @@ def test_sheets_ingest_skips_broken_ranges_loudly(spark, tmp_path):
         assert landed.count() == 2
     finally:
         srv.shutdown()
+
+
+def test_jsonl_corrupt_capture_and_split(spark, tmp_path):
+    """PERMISSIVE JSONL read: good lines parse, malformed lines land
+    whole in _corrupt_record with data fields NULL; split_rejects
+    separates them losslessly; DROPMALFORMED drops exactly the bad
+    lines."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.sources import jsonl as J
+
+    shard = tmp_path / "part-00000.json"
+    good_lines = [
+        '{"doc_id": 1, "text": "hello world", "n_chars": 11}',
+        '{"doc_id": 2, "text": "quoted \\"x\\"", "n_chars": 10}',
+        '{"doc_id": 3, "text": null, "n_chars": 0}',
+    ]
+    bad_lines = [
+        '{"doc_id": 4, "text": "truncated',       # unterminated string
+        'not json at all',
+        '{"doc_id": "not_a_long", "text": "type drift", "n_chars": 9}',
+    ]
+    shard.write_text("\n".join(good_lines + bad_lines) + "\n")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    df = J.read_jsonl(spark, str(tmp_path), schema)
+    assert J.CORRUPT_COL in df.columns
+    n_rows, n_good, n_rejects = J.ingest_audit(df)
+    assert (n_rows, n_good, n_rejects) == (6, 3, 3)
+    good, bad = J.split_rejects(df)
+    # NEITHER side supports a bare count(): count prunes every data
+    # column, so the corrupt-col filter leaves the scan referencing
+    # the corrupt column alone,
+    # which Spark disallows (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    # sanctioned reject ops are write/collect (full projection) and
+    # ingest_audit above. Land the rejects like the pipeline would:
+    rej_path = str(tmp_path / "rejects")
+    bad.write.mode("overwrite").parquet(rej_path)
+    assert spark.read.parquet(rej_path).count() == 3
+
+    got = {r.doc_id: r for r in good.collect()}
+    assert got[1].text == "hello world" and got[1].n_chars == 11
+    assert got[2].text == 'quoted "x"'
+    assert got[3].text is None and got[3].n_chars == 0
+    # rejects carry the raw line verbatim (audit-don't-drop) AND any
+    # fields that DID parse (type drift nulls only the drifted field)
+    rej = {r.raw_line: r for r in bad.collect()}
+    assert set(bad_lines) <= set(rej)
+    drift = rej['{"doc_id": "not_a_long", "text": "type drift", "n_chars": 9}']
+    assert drift.doc_id is None and drift.text == "type drift" \
+        and drift.n_chars == 9
+
+    dropped = J.read_jsonl(spark, str(tmp_path), schema,
+                           mode="DROPMALFORMED")
+    assert sorted(r.doc_id for r in dropped.collect()) == [1, 2, 3]
+
+
+def test_jsonl_roundtrip_gzip_and_float_fidelity(spark, tmp_path):
+    """write_jsonl(gzip) -> read_jsonl reproduces the embeddings table
+    exactly — including every float32 of the vector column (JSON
+    shortest-round-trip encoding is lossless for floats) — and the
+    gzip shards actually carry the .gz suffix."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.sources import jsonl as J
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "emb_jsonl")
+    J.write_jsonl(emb, out, compression="gzip")
+    assert glob.glob(os.path.join(out, "*.json.gz"))
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    back = J.read_jsonl(spark, out, schema)
+    a = {r.vec_id: (r.embedding, r.label) for r in emb.collect()}
+    b = {r.vec_id: (r.embedding, r.label) for r in back.collect()}
+    assert a == b
