@@ -232,3 +232,68 @@ def run_dedup_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def read_jsonl_stream(spark: SparkSession, jsonl_dir: str, schema,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """PERMISSIVE streaming JSONL source over a crawl landing
+    directory (sources/jsonl.py's contract, streamed): explicit
+    schema + corrupt-record capture, one-object-per-line framing.
+    Crawl shards arrive continuously; this is the same unified-model
+    story as read_csv_stream — downstream plans don't know whether
+    the shards came as files or a Kafka topic."""
+    from ..sources.jsonl import CORRUPT_COL, corrupt_capture_schema
+
+    return (
+        spark.readStream.schema(corrupt_capture_schema(schema))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("multiLine", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(jsonl_dir)
+    )
+
+
+def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str]):
+    """foreachBatch body for crawl-shard ingest: split each
+    micro-batch on the corrupt column; good rows take the idempotent
+    keyed merge into bronze/<table>; reject rows (raw line + whatever
+    fields DID parse) land under audit/<table>_jsonl_rejects/
+    batch_id=<n> — a replayed batch rewrites ITS OWN partition dir,
+    so rejects are exactly-once over at-least-once delivery without
+    needing a pk they don't have."""
+    from ..sources.jsonl import split_rejects
+
+    good_sink = merge_sink(os.path.join(warehouse, "bronze", table), pk)
+    rejects_root = os.path.join(warehouse, "audit",
+                                f"{table}_jsonl_rejects")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = split_rejects(batch_df)
+        good_sink(good, batch_id)
+        out = os.path.join(rejects_root, f"batch_id={batch_id}")
+        bad.write.mode("overwrite").parquet(out)
+
+    return _sink
+
+
+def run_jsonl_ingest(spark: SparkSession, jsonl_dir: str, warehouse: str,
+                     table: str, schema, checkpoint_dir: str,
+                     pk: list[str],
+                     max_files_per_trigger: int = 1) -> None:
+    """Drain all currently-available crawl shards into bronze/<table>
+    (+ the reject audit trail), synchronously. Restart-safe for the
+    same reasons as run_csv_ingest; additionally the reject partition
+    scheme keeps the no-pk audit rows idempotent under replay."""
+    stream = read_jsonl_stream(spark, jsonl_dir, schema,
+                               max_files_per_trigger)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(jsonl_bronze_sink(warehouse, table, pk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

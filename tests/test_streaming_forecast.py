@@ -761,3 +761,56 @@ def test_backtest_perfect_periodic_series_scores_100(spark):
     assert m["accuracy_pct"] == 100.0
     assert m["smape"] == 0.0
     assert m["interval_coverage"] == 1.0
+
+
+def test_streaming_jsonl_crawl_ingest(spark, tmp_path):
+    """Crawl-shard JSONL -> keyed merge into bronze + per-batch reject
+    partitions: later shards upsert on doc_id, malformed lines land in
+    the audit trail with their raw text, and a full replay (fresh
+    checkpoint, same landing dir) converges to the same bronze AND
+    reject state."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    (land / "shard1.json").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        'garbage line\n')
+    wh = str(tmp_path / "wh")
+
+    SI.run_jsonl_ingest(spark, str(land), wh, "docs", schema,
+                        str(tmp_path / "cp1"), pk=["doc_id"])
+    bronze = f"{wh}/bronze/docs"
+    rejects = f"{wh}/audit/docs_jsonl_rejects"
+    got = {r.doc_id: r.text for r in spark.read.parquet(bronze).collect()}
+    assert got == {1: "alpha", 2: "beta"}
+    rej = spark.read.parquet(rejects).collect()
+    assert [r.raw_line for r in rej] == ["garbage line"]
+
+    # second shard: pk update + new doc + another bad line
+    (land / "shard2.json").write_text(
+        '{"doc_id": 2, "text": "beta v2"}\n'
+        '{"doc_id": 3, "text": "gamma"}\n'
+        '{"doc_id": 4, "text": "trunc\n')
+    SI.run_jsonl_ingest(spark, str(land), wh, "docs", schema,
+                        str(tmp_path / "cp1"), pk=["doc_id"])
+    got = {r.doc_id: r.text for r in spark.read.parquet(bronze).collect()}
+    assert got == {1: "alpha", 2: "beta v2", 3: "gamma"}
+    raws = sorted(r.raw_line for r in spark.read.parquet(rejects).collect())
+    assert raws == ["garbage line", '{"doc_id": 4, "text": "trunc']
+
+    # full replay, fresh checkpoint: same bronze state, same reject
+    # SET (each replayed batch overwrites its own partition)
+    SI.run_jsonl_ingest(spark, str(land), wh, "docs", schema,
+                        str(tmp_path / "cp2"), pk=["doc_id"])
+    got2 = {r.doc_id: r.text for r in spark.read.parquet(bronze).collect()}
+    assert got2 == got
+    raws2 = sorted(r.raw_line for r in spark.read.parquet(rejects).collect())
+    assert raws2 == raws
