@@ -448,3 +448,37 @@ def test_expr_cache_builds_once_under_threads():
         results = list(ex.map(lambda _: slow_build(), range(16)))
     assert len(calls) == 1
     assert all(r is results[0] for r in results)
+
+
+def test_bm25_top_k_is_take_ordered_not_global_window(spark):
+    """bm25_doc_ranking's two rank<=K windows (term top-3, doc top-20)
+    must plan as distributed TakeOrderedAndProject (Spark rewrites the
+    rank-filter pattern), NOT a single-partition global Window over
+    the corpus; the term join must broadcast; no sort-merge join."""
+    plan = _plan(spark, "bm25_doc_ranking")
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "TakeOrderedAndProject(limit=3" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sq8_quantize_is_map_only_scoring_broadcasts_queries(spark):
+    """knn_cosine_sq8: quantize/dequantize is map-side column math (no
+    join, no aggregation shuffle on the corpus side); the scoring join
+    broadcasts the bounded query side (BroadcastNestedLoopJoin — the
+    same allowed shape as knn_cosine_bruteforce); the only exchanges
+    are the spread() round-robin, the top-k window's hash partition,
+    and the query broadcast."""
+    plan = _plan(spark, "knn_cosine_sq8")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_jsonl_roundtrip_single_agg_shuffle(spark):
+    """jsonl_ingest_roundtrip: one partial+final aggregation pair over
+    the re-ingested shards — the digest aggregate must not introduce
+    joins or extra shuffles."""
+    plan = _plan(spark, "jsonl_ingest_roundtrip")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
