@@ -365,3 +365,65 @@ def test_write_hilbert_bounds_every_dimension_per_file(spark, tmp_path):
     assert statistics.mean(s["y"] for s in spans) <= 0.45
     tight = sum(1 for s in spans if s["x"] <= 0.55 and s["y"] <= 0.55)
     assert tight >= 12, spans
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a selective filter on the DIM side
+    of a partition-key join must prune fact partitions at RUNTIME —
+    the executed plan carries the dynamicpruning subquery (broadcast
+    reuse), and the join returns exactly the filtered year's rows.
+    This is the mechanism that makes the partitioned gold layout pay
+    off for dimension-driven queries at 100 TB: the fact scan reads
+    1/7 of the directories without any literal year in the query."""
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_dpp")
+    layout.write_partitioned(orders, path, ["order_year"])
+    fact = spark.read.parquet(path)
+
+    years = sorted(r.order_year
+                   for r in fact.select("order_year").distinct().collect())
+    dim = spark.createDataFrame([(y, f"tag{y}") for y in years],
+                                "order_year int, tag string")
+    j = fact.join(dim.filter(F.col("tag") == f"tag{years[0]}"),
+                  "order_year")
+    rows = j.collect()  # DPP instantiates on execution (AQE)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "SubqueryAdaptiveBroadcast" in plan
+    want = fact.filter(F.col("order_year") == years[0]).count()
+    assert len(rows) == want > 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime row-level bloom filter: when a shuffle join's build
+    side is selective, Spark injects might_contain(...) on the probe
+    side so non-matching rows drop BEFORE the exchange. Size
+    thresholds are tuned down to fire at test scale — the pin is that
+    the session leaves the feature ON and the mechanism engages (at
+    100 TB the default thresholds are the realistic regime)."""
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders") \
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert n > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
