@@ -1515,3 +1515,43 @@ def knn_sq8(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "rank", "neighbor_id",
                 F.round("cos_sq", 6).alias("cosine_sq8"))
     )
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model
+    training: per query, the top-k most-cosine-similar corpus vectors
+    whose LABEL DIFFERS from the query's — the near-misses a triplet
+    or InfoNCE loss learns most from (easy negatives are already far;
+    these are the boundary cases).
+
+    Same broadcast-|Q| exhaustive shape as knn_bruteforce with the
+    label-mismatch predicate fused into the join condition, so
+    same-label pairs are dropped BEFORE scoring ever materializes —
+    at 100 TB the pruned pairs never enter the pair stream. Swap the
+    corpus side for an IVF/SQ8-indexed variant exactly as the main
+    search tier does when exhaustive stops paying."""
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("query_label"),
+                       qv.alias("qv"), V.norm(qv).alias("qn"))
+    cv = _as_double(F.col(vec_col))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(label_col).alias("neighbor_label"),
+                      cv.alias("cv"), V.norm(cv).alias("cn"))
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("query_id") != F.col("neighbor_id"))
+               & (F.col("query_label") != F.col("neighbor_label")))
+        .select("query_id", "query_label", "neighbor_id",
+                "neighbor_label", _paired_cosine().alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                          F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "rank", "neighbor_id",
+                "neighbor_label", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -3535,3 +3535,166 @@ def ann_recall_certification(spark, sf_dir):
         "method", F.lit(n_true).alias("n_true"), "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(float(n_true)), 6)
         .alias("recall"))
+
+
+# ---------------------------------------------------------------------------
+# q — sliding-window document chunking (the RAG / long-context
+# pretraining chunker): fixed W-token windows at stride S (50%
+# overlap), last window truncated, every doc yields >= 1 chunk. All
+# arithmetic is exact integers (ceil-div via `div`, never
+# floor-of-double — the layout-tier lesson); chunk text is certified
+# by an md5 digest per chunk, so the oracle pins the exact window
+# boundaries AND content, not just counts.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 40
+_CHUNK_S = 20
+
+_CHUNK_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {_SQL_WORDS.format("text")} AS ws FROM documents
+), sized AS (
+    SELECT doc_id, ws, len(ws) AS n,
+           1 + (GREATEST(len(ws) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+               // {_CHUNK_S} AS n_chunks
+    FROM d
+), chunks AS (
+    SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_id, ws
+    FROM sized
+)
+SELECT doc_id, chunk_id,
+       len(ws[chunk_id * {_CHUNK_S} + 1 :
+              LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)]) AS n_toks,
+       md5(array_to_string(ws[chunk_id * {_CHUNK_S} + 1 :
+              LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)], ' '))
+           AS chunk_digest
+FROM chunks
+"""
+
+
+@register("doc_chunking_stride", oracle=_CHUNK_SQL)
+def doc_chunking_stride(spark, sf_dir):
+    """Overlapping W=40/S=20 token windows per document: (doc_id,
+    chunk_id, token count, md5 of the chunk text). Map-only — the
+    token array is staged once per row, chunk ids come from an
+    in-plan sequence explode, each chunk is a slice of the staged
+    array; no shuffle at all (the explode multiplies rows ~n/S x,
+    which at 100 TB is the chunker's inherent output size, streamed
+    straight to the sink). Chunk-boundary arithmetic is exact-integer
+    ceil division; the digest certifies boundaries + content against
+    the oracle."""
+    d = td(spark, sf_dir).select(
+        "doc_id", X.words(F.col("text")).alias("ws")).persist()
+    sized = d.select(
+        "doc_id", "ws", F.size("ws").alias("n"),
+        (F.lit(1) + F.expr(
+            f"(GREATEST(size(ws) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) "
+            f"div {_CHUNK_S}").cast("int")).alias("n_chunks"))
+    chunks = sized.select(
+        "doc_id", "n", "ws",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+        .alias("chunk_id"))
+    chunk = F.slice(F.col("ws"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return chunks.select(
+        "doc_id", "chunk_id",
+        F.size(chunk).alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"))
+
+
+# ---------------------------------------------------------------------------
+# q — hard-negative mining (contrastive training pairs): per query,
+# the top-3 most-similar corpus vectors with a DIFFERENT label — the
+# boundary cases a triplet/InfoNCE loss learns most from. The label
+# predicate is fused into the join condition (pruned before the pair
+# stream exists), the rest is the exact bruteforce machinery, so the
+# oracle replay is _KNN_SQL with the label join + mismatch filter.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+    SELECT vec_id AS neighbor_id, label AS neighbor_label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+), scored AS (
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+             / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos_raw
+    FROM q, c
+    WHERE query_id <> neighbor_id AND query_label <> neighbor_label
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, query_label, rank, neighbor_id, neighbor_label,
+       ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("hard_negative_mining", oracle=_HARDNEG_SQL)
+def hard_negative_mining(spark, sf_dir):
+    """Top-3 different-label near neighbors per query
+    (operators/similarity.py::hard_negatives) — the contrastive
+    training-pair miner. Exhaustive broadcast-|Q| baseline at the
+    oracle-pinned scale; the corpus side swaps for the IVF/SQ8 index
+    when exhaustive stops paying, exactly as the search tier."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.hard_negatives(emb, queries, k=3)
+
+
+# ---------------------------------------------------------------------------
+# q — curriculum interleave: domain-balanced training order. Within
+# each source, docs rank by a quality proxy (n_chars DESC, doc_id
+# tiebreak); the global order then takes every source's rank-1 doc
+# (sources alphabetical), then every rank-2, ... — the round-robin
+# interleave that keeps any single over-crawled domain from
+# monopolizing a training window while still front-loading each
+# domain's best documents. Pure window arithmetic, total order, no
+# RNG.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_K = 60
+
+_CURRICULUM_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+), ordered AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rk ASC, source ASC, doc_id ASC)
+               AS position
+    FROM ranked
+)
+SELECT position, doc_id, source, rk, n_chars
+FROM ordered WHERE position <= {_CURRICULUM_K}
+"""
+
+
+@register("curriculum_interleave", oracle=_CURRICULUM_SQL)
+def curriculum_interleave(spark, sf_dir):
+    """First 60 positions of the round-robin curriculum order: within-
+    source quality rank (n_chars proxy — swap in any scored column),
+    interleaved across sources. The per-source rank is a distributed
+    window; the global position<=K filter plans as the map-side-pruned
+    top-k (TakeOrderedAndProject / WindowGroupLimit shape), never a
+    single-partition sort of the corpus."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    ranked = d.withColumn("rk", rk)
+    pos = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(
+            F.asc("rk"), F.asc("source"), F.asc("doc_id")))
+    return (ranked.withColumn("position", pos)
+            .filter(F.col("position") <= _CURRICULUM_K)
+            .select("position", "doc_id", "source", "rk", "n_chars"))

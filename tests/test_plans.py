@@ -482,3 +482,34 @@ def test_jsonl_roundtrip_single_agg_shuffle(spark):
     plan = _plan(spark, "jsonl_ingest_roundtrip")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_chunking_is_map_only_no_shuffle(spark):
+    """doc_chunking_stride: token staging + sequence explode + slices
+    — zero exchanges, zero joins (the chunk multiplication is inherent
+    output size, not shuffle)."""
+    plan = _plan(spark, "doc_chunking_stride")
+    # the only exchange is the loader's deliberate round-robin spread
+    # (degenerate single-row-group parquet guard) — no hash shuffle
+    hash_exchanges = [ln for ln in plan.splitlines()
+                      if "Exchange" in ln and "RoundRobin" not in ln]
+    assert hash_exchanges == []
+    assert "Join" not in plan
+
+
+def test_hard_negatives_fuse_label_filter_into_join(spark):
+    """hard_negative_mining: label mismatch must live IN the
+    broadcast join condition (pairs pruned before the stream exists),
+    not a post-join filter; same single-BNLJ shape as bruteforce."""
+    plan = _plan(spark, "hard_negative_mining")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "NOT (query_label" in plan or "query_label#" in plan.split(
+        "BroadcastNestedLoopJoin")[1].split("\n")[0]
+
+
+def test_curriculum_top_k_is_take_ordered(spark):
+    """curriculum_interleave's global position<=K plans as distributed
+    TakeOrderedAndProject feeding a K-row bounded window — never a
+    single-partition sort of the corpus."""
+    plan = _plan(spark, "curriculum_interleave")
+    assert "TakeOrderedAndProject(limit=60" in plan
