@@ -427,3 +427,34 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """Footer-stat aggregate pushdown: with the v2 parquet reader,
+    MIN/MAX/COUNT over an unfiltered scan must be answered from
+    parquet metadata (PushedAggregation in the BatchScan) — at 100 TB
+    that is a catalog-speed statistics query instead of a full read.
+    The engine's layout tools write plain parquet precisely so these
+    footer paths (also row-group skipping, addenda 9-10) stay
+    available."""
+    confs = {"spark.sql.parquet.aggregatePushdown": "true",
+             "spark.sql.sources.useV1SourceList": ""}
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        agg = df.agg(F.min("l_quantity").alias("mn"),
+                     F.max("l_quantity").alias("mx"),
+                     F.count(F.lit(1)).alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan
+        assert "min(l_quantity)" in plan  # pushed INTO the BatchScan
+        row = agg.collect()[0]
+        # values must equal the row-decoded answer
+        want = df.selectExpr("min(l_quantity)", "max(l_quantity)",
+                             "count(1)").collect()[0]
+        assert (row.mn, row.mx, row.n) == tuple(want)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
