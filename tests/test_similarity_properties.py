@@ -145,3 +145,79 @@ def test_lit_double_array_empty_is_typed(spark):
     df = spark.range(1).select(lit_double_array([]).alias("a"))
     assert df.schema["a"].dataType.simpleString() == "array<double>"
     assert df.collect()[0].a == []
+
+
+# --- SQ8 quantization: adversarial-float properties ------------------------
+
+_sq_floats = st.floats(min_value=-1e300, max_value=1e300,
+                       allow_nan=False, allow_infinity=False)
+
+_sq_corpora = st.lists(
+    st.lists(_sq_floats, min_size=3, max_size=3),
+    min_size=2, max_size=6,
+)
+
+
+@given(vecs=_sq_corpora, widen=st.floats(min_value=0.0, max_value=1e5))
+@settings(**_SETTINGS)
+def test_sq8_codes_match_numpy_mirror_and_stay_in_range(
+        spark, vecs, widen):
+    """For ANY finite doubles — huge magnitudes whose (x-vmin)*255
+    overflows to inf, near-zero spans, stats WIDER than the data
+    (stale-catalog case: values land strictly inside [vmin, vmax]) —
+    the engine's codes must (a) equal a numpy mirror of the exact op
+    order, (b) stay in [0, 255], (c) be 0 on zero-span dims. This is
+    the same class of edge the z-order floor-of-double bug hid in
+    (functions/layout.py history): pin the arithmetic, not the happy
+    path."""
+    import numpy as np
+
+    arr = np.array(vecs, dtype="float64")
+    vmins = arr.min(axis=0) - widen
+    vmaxs = arr.max(axis=0) + widen
+    if not (np.isfinite(vmins).all() and np.isfinite(vmaxs).all()):
+        return
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: np.array(r.codes)
+           for r in S.sq_assign(df, list(vmins), list(vmaxs)).collect()}
+
+    span = vmaxs - vmins
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = (arr - vmins) * 255.0 / span
+    want = np.floor(np.clip(scaled, 0.0, 255.0) + 0.5)
+    want = np.where(span > 0, want, 0.0).astype("int64")
+
+    for i in range(len(vecs)):
+        assert (got[i] >= 0).all() and (got[i] <= 255).all()
+        assert (got[i] == want[i]).all(), (vecs[i], got[i], want[i])
+
+
+@given(vecs=_sq_corpora)
+@settings(**_SETTINGS)
+def test_sq8_out_of_range_values_clamp_to_edge_codes(spark, vecs):
+    """Stale stats (values OUTSIDE the trained [vmin, vmax]) must clamp
+    to codes 0/255 — degrade, never corrupt (the normalize_dim
+    contract, mirrored)."""
+    import numpy as np
+
+    arr = np.array(vecs, dtype="float64")
+    # train on the interior rows only, then quantize everything
+    vmins = (arr.min(axis=0) + 1.0).tolist()
+    vmaxs = [mn + 2.0 for mn in vmins]
+    got = {r.vec_id: np.array(r.codes) for r in S.sq_assign(
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+            "vec_id long, embedding array<double>"),
+        vmins, vmaxs).collect()}
+    # at |v| >= 2^53 the +1/+2 construction collapses (ulp > 1) and the
+    # span degenerates to 0 — there the zero-span contract (code 0,
+    # pinned by the mirror property above) applies, not the clamp
+    span = np.array(vmaxs) - np.array(vmins)
+    for i, row in enumerate(arr):
+        below = (row < np.array(vmins)) & (span > 0)
+        above = (row > np.array(vmaxs)) & (span > 0)
+        assert (got[i][below] == 0).all()
+        assert (got[i][above] == 255).all()
