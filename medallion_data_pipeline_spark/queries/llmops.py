@@ -3307,8 +3307,9 @@ _BM25_CONTRIB = (
     "idf6 * (tf * 2.2) / (tf + {k1} * ({omb} + {b} * dl / avgdl))"
 ).format(k1=_BM25_K1, omb=_BM25_1MB, b=_BM25_B)
 
-_BM25_SQL = f"""
-WITH d AS (
+# the CTE chain up to per-doc scores, shared by bm25_doc_ranking and
+# hybrid_rrf_fusion (which needs the FULL lexical ranking, not top-20)
+_BM25_CTES = f"""d AS (
     SELECT doc_id, {_SQL_WORDS.format("text")} AS ws FROM documents
 ), w AS (
     SELECT doc_id, unnest(ws) AS word FROM d
@@ -3339,7 +3340,10 @@ WITH d AS (
            COALESCE(MAX(CASE WHEN tr = 3 THEN {_BM25_CONTRIB} END), 0.0) AS c3,
            MAX(dl) AS dl
     FROM contrib GROUP BY doc_id
-), ranked AS (
+)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CTES}, ranked AS (
     SELECT doc_id, dl, ROUND(c1 + c2 + c3, 6) AS score_bm25,
            ROW_NUMBER() OVER (ORDER BY ROUND(c1 + c2 + c3, 6) DESC,
                               doc_id ASC) AS rank
@@ -3349,22 +3353,11 @@ SELECT rank, doc_id, dl, score_bm25 FROM ranked WHERE rank <= {_BM25_TOPK}
 """
 
 
-@register("bm25_doc_ranking", oracle=_BM25_SQL, bench=True)
-def bm25_doc_ranking(spark, sf_dir):
-    """Top-20 documents by BM25 for the corpus's top-3 df terms.
-
-    Plan shape: ONE exploded-words frame persisted (feeds df, tf —
-    the InferFiltersFromGenerate guard, as tfidf_top_terms); the term
-    table is 3 rows -> broadcast; dl/avgdl ride the same doc frame;
-    the only O(corpus) shuffles are the two word-keyed counts. At
-    100 TB the terms broadcast makes the tf join map-side and the
-    per-doc pivot is a 20-row total-order top-k, so the plan scales
-    exactly like tfidf's.
-
-    Determinism contract (see _BM25_SQL header): exact-integer tf/dl,
-    exact avgdl, idf rounded to 6 dp at birth, fixed-order c1+c2+c3
-    sum — the oracle replays term selection, idf, and scoring
-    bit-for-bit."""
+def _bm25_per_doc(spark, sf_dir):
+    """Per-document BM25 scores for the corpus's top-3 df terms (the
+    CTE chain _BM25_CTES mirrors) — shared by bm25_doc_ranking and
+    hybrid_rrf_fusion. Returns (doc_id, dl, score_bm25) for every doc
+    containing >= 1 query term."""
     from pyspark.sql import Window as W
 
     d = td(spark, sf_dir).withColumn("ws", X.words(F.col("text")))
@@ -3393,10 +3386,33 @@ def bm25_doc_ranking(spark, sf_dir):
         F.coalesce(F.max(F.when(F.col("tr") == 3, c)), F.lit(0.0)).alias("c3"),
         F.max("dl").alias("dl"))
     score = F.round(F.col("c1") + F.col("c2") + F.col("c3"), 6)
+    return per_doc.withColumn("score_bm25", score)
+
+
+@register("bm25_doc_ranking", oracle=_BM25_SQL, bench=True)
+def bm25_doc_ranking(spark, sf_dir):
+    """Top-20 documents by BM25 for the corpus's top-3 df terms.
+
+    Plan shape: ONE exploded-words frame persisted (feeds df, tf —
+    the InferFiltersFromGenerate guard, as tfidf_top_terms); the term
+    table is 3 rows -> broadcast; dl/avgdl ride the same doc frame;
+    the only O(corpus) shuffles are the two word-keyed counts. At
+    100 TB the terms broadcast makes the tf join map-side and the
+    per-doc pivot is a 20-row total-order top-k, so the plan scales
+    exactly like tfidf's.
+
+    Determinism contract (see _BM25_CTES header): exact-integer tf/dl,
+    exact avgdl, idf rounded to 6 dp at birth, fixed-order c1+c2+c3
+    sum — the oracle replays term selection, idf, and scoring
+    bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    per_doc = _bm25_per_doc(spark, sf_dir)
     rk = F.row_number().over(
-        W.partitionBy(F.lit(1)).orderBy(score.desc(), F.asc("doc_id")))
-    return (per_doc.withColumn("score_bm25", score)
-            .withColumn("rank", rk).filter(F.col("rank") <= _BM25_TOPK)
+        W.partitionBy(F.lit(1)).orderBy(F.desc("score_bm25"),
+                                        F.asc("doc_id")))
+    return (per_doc.withColumn("rank", rk)
+            .filter(F.col("rank") <= _BM25_TOPK)
             .select("rank", "doc_id", "dl", "score_bm25"))
 
 
@@ -3698,3 +3714,215 @@ def curriculum_interleave(spark, sf_dir):
     return (ranked.withColumn("position", pos)
             .filter(F.col("position") <= _CURRICULUM_K)
             .select("position", "doc_id", "source", "rk", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# q — Count-Min Sketch word frequencies (Cormode/Muthukrishnan): the
+# classic streaming frequency sketch next to approx_sketches' HLL.
+# d=4 rows x w=64 buckets of exact-integer counters built from the
+# SAME seeded md5-affine hash family as minhash (portable across
+# engines), so the sketch — and therefore every estimate — is
+# bit-reproducible and the DuckDB oracle replays construction AND
+# query. Certified per top-10 word: the one-sided guarantee
+# (est >= exact, provably always true) and the eps=2/w Markov bound
+# (est <= exact + 2N//w) as computed booleans — the gate pins that
+# both engines derive identical verdicts from identical sketches,
+# the same contract style approx_sketches uses.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOPK = 10
+
+
+def _cms_oracle() -> str:
+    params = X.minhash_params(_CMS_D)
+    hh = "CAST('0x' || substr(md5(word), 1, 8) AS BIGINT)"
+    bks = ", ".join(
+        f"(({a} * h + {b}) % {X.MINHASH_PRIME}) % {_CMS_W} AS b{j}"
+        for j, (a, b) in enumerate(params))
+    unpiv = " UNION ALL ".join(
+        f"SELECT word, {j} AS j, b{j} AS b FROM buck"
+        for j in range(_CMS_D))
+    return f"""
+WITH w AS (
+    SELECT unnest({_SQL_WORDS.format("text")}) AS word FROM documents
+), buck AS (
+    SELECT word, {bks} FROM (SELECT word, {hh} AS h FROM w)
+), long_ AS (
+    {unpiv}
+), counters AS (
+    SELECT j, b, COUNT(*) AS c FROM long_ GROUP BY j, b
+), exact AS (
+    SELECT word, COUNT(*) AS exact_cnt FROM w GROUP BY word
+), top AS (
+    SELECT word, exact_cnt,
+           ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, word) AS rk
+    FROM exact QUALIFY rk <= {_CMS_TOPK}
+), est AS (
+    SELECT t.word, t.exact_cnt, t.rk, MIN(c.c) AS cms_est
+    FROM top t
+    JOIN (SELECT DISTINCT word, j, b FROM long_) tj ON tj.word = t.word
+    JOIN counters c ON c.j = tj.j AND c.b = tj.b
+    GROUP BY t.word, t.exact_cnt, t.rk
+), n AS (SELECT COUNT(*) AS n_words FROM w)
+SELECT rk, word, exact_cnt, cms_est,
+       cms_est >= exact_cnt AS over_ok,
+       cms_est <= exact_cnt + 2 * n.n_words // {_CMS_W} AS within_bound
+FROM est CROSS JOIN n
+"""
+
+
+@register("cms_frequency_sketch", oracle=_cms_oracle())
+def cms_frequency_sketch(spark, sf_dir):
+    """Count-Min Sketch estimates for the top-10 exact words: the
+    256-counter sketch (4x64) is ONE map-side-combined aggregation
+    over the word stream — at 100 TB the sketch stays 256 rows no
+    matter the corpus, which is the entire point (memory O(d*w),
+    single pass, mergeable across partitions by construction since
+    counter addition commutes). Estimates broadcast-join the tiny
+    counter table. over_ok is the sketch's provable one-sided
+    guarantee; within_bound is the eps=2/w Markov bound — both
+    replayed as values by the oracle (certified identical, not
+    asserted true: the bound is probabilistic by theorem,
+    deterministic for a fixed corpus + seeded family)."""
+    from pyspark.sql import Window as W
+
+    params = X.minhash_params(_CMS_D)
+    d = td(spark, sf_dir).select(
+        F.explode(X.words(F.col("text"))).alias("word"))
+    w_ = d.withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    ).persist()
+
+    buckets = [((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.MINHASH_PRIME)
+                % F.lit(_CMS_W)).alias(f"b{j}")
+               for j, (a, b) in enumerate(params)]
+    long_ = w_.select("word", *buckets).select(
+        "word", F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
+            for j in range(_CMS_D)])).alias("e")
+    ).select("word", "e.j", "e.b")
+    counters = long_.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = w_.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    rk = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.desc("exact_cnt"), F.asc("word")))
+    top = exact.withColumn("rk", rk).filter(F.col("rk") <= _CMS_TOPK)
+
+    tj = long_.dropDuplicates(["word", "j", "b"]).join(
+        F.broadcast(top.select("word")), "word")
+    est = (tj.join(F.broadcast(counters), ["j", "b"])
+           .groupBy("word").agg(F.min("c").alias("cms_est"))
+           .join(F.broadcast(top), "word"))
+    n_words = w_.count()
+    bound = F.lit(int(2 * n_words) // _CMS_W)
+    return est.select(
+        "rk", "word", "exact_cnt", "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("over_ok"),
+        (F.col("cms_est") <= F.col("exact_cnt") + bound)
+        .alias("within_bound"))
+
+
+# ---------------------------------------------------------------------------
+# q — hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.):
+# the standard production fusion of a lexical ranking (BM25) and a
+# vector ranking (cosine to a query embedding) — rrf = sum over lists
+# of 1/(60 + rank). Ranks are exact integers from total-order sorts;
+# the only floats are the two reciprocals, summed in FIXED list order
+# (lex then vec) and rounded at birth, so the fused ordering is
+# hash-stable. Docs absent from a list (no query term / the query doc
+# itself) contribute 0 from it — the standard union semantics.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 15
+_RRF_QVEC = 0  # the query document/vector id
+
+_RRF_SQL = f"""
+WITH {{bm25}}, lex AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY ROUND(c1 + c2 + c3, 6) DESC,
+                              doc_id ASC) AS rank_lex
+    FROM per_doc
+), qv AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id = {_RRF_QVEC}
+), vec AS (
+    SELECT neighbor_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rank_vec
+    FROM (
+        SELECT c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] * cv[i]))
+                 / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(cv, x -> x * x))))
+                   AS cos_raw
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id <> {_RRF_QVEC}) c
+        CROSS JOIN qv q
+    )
+), fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.rank_lex, v.rank_vec,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + v.rank_vec), 0.0), 6)
+               AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+), out AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+               AS rank
+    FROM fused
+)
+SELECT rank, doc_id, rank_lex, rank_vec, rrf_score
+FROM out WHERE rank <= {_RRF_TOPK}
+""".format(bm25=_BM25_CTES)
+
+
+@register("hybrid_rrf_fusion", oracle=_RRF_SQL)
+def hybrid_rrf_fusion(spark, sf_dir):
+    """Top-15 documents by RRF over (BM25 for the corpus top-3 terms)
+    x (cosine to document 0's embedding) — the hybrid search shape
+    every production retrieval stack ships, composed entirely from
+    the engine's own gated pieces. Both rankings are distributed
+    (the lexical per-doc scores reuse _bm25_per_doc; the vector side
+    broadcasts ONE query vector); fusion is a tiny full-outer join of
+    two rank columns; the final top-15 is a rank<=K total order."""
+    from pyspark.sql import Window as W
+
+    lex = _bm25_per_doc(spark, sf_dir).select(
+        "doc_id", F.row_number().over(
+            W.partitionBy(F.lit(1)).orderBy(
+                F.desc("score_bm25"), F.asc("doc_id"))).alias("rank_lex"))
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        S._as_double(F.col("embedding")).alias("qv"))
+    c = emb.filter(F.col("vec_id") != _RRF_QVEC).select(
+        F.col("vec_id").alias("doc_id"),
+        S._as_double(F.col("embedding")).alias("cv"))
+    from ..functions import vectors as V
+    scored = c.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        (V.dot(F.col("qv"), F.col("cv"))
+         / (V.norm(F.col("qv")) * V.norm(F.col("cv")))).alias("cos_raw"))
+    vec = scored.select(
+        "doc_id", F.row_number().over(
+            W.partitionBy(F.lit(1)).orderBy(
+                F.desc("cos_raw"), F.asc("doc_id"))).alias("rank_vec"))
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id", "rank_lex", "rank_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_vec")),
+                         F.lit(0.0)), 6).alias("rrf_score"))
+    rk = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.desc("rrf_score"),
+                                        F.asc("doc_id")))
+    return (fused.withColumn("rank", rk)
+            .filter(F.col("rank") <= _RRF_TOPK)
+            .select("rank", "doc_id", "rank_lex", "rank_vec", "rrf_score"))
