@@ -513,3 +513,24 @@ def test_curriculum_top_k_is_take_ordered(spark):
     single-partition sort of the corpus."""
     plan = _plan(spark, "curriculum_interleave")
     assert "TakeOrderedAndProject(limit=60" in plan
+
+
+def test_cms_sketch_joins_broadcast(spark):
+    """cms_frequency_sketch: the 256-row counter table and the 10-row
+    top-word table must broadcast into the estimate joins (never a
+    sort-merge); word top-k plans as TakeOrderedAndProject."""
+    plan = _plan(spark, "cms_frequency_sketch")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fusion_shape(spark):
+    """hybrid_rrf_fusion: both rank lists and the fused top-15 plan as
+    TakeOrderedAndProject; the full-outer rank fusion is the one
+    sort-merge join (full outer cannot broadcast-hash — two slim
+    (doc_id, rank) columns is the correct at-scale shape)."""
+    plan = _plan(spark, "hybrid_rrf_fusion")
+    assert len([ln for ln in plan.splitlines()
+                if "SortMergeJoin" in ln and "FullOuter" in ln]) == 1
+    assert "TakeOrderedAndProject" in plan
