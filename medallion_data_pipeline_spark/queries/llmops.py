@@ -3788,32 +3788,19 @@ def cms_frequency_sketch(spark, sf_dir):
     deterministic for a fixed corpus + seeded family)."""
     from pyspark.sql import Window as W
 
-    params = X.minhash_params(_CMS_D)
-    d = td(spark, sf_dir).select(
-        F.explode(X.words(F.col("text"))).alias("word"))
-    w_ = d.withColumn(
-        "h", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
-    ).persist()
+    from ..operators import sketch as K
 
-    buckets = [((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.MINHASH_PRIME)
-                % F.lit(_CMS_W)).alias(f"b{j}")
-               for j, (a, b) in enumerate(params)]
-    long_ = w_.select("word", *buckets).select(
-        "word", F.explode(F.array(*[
-            F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("b"))
-            for j in range(_CMS_D)])).alias("e")
-    ).select("word", "e.j", "e.b")
-    counters = long_.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    w_ = td(spark, sf_dir).select(
+        F.explode(X.words(F.col("text"))).alias("word")).persist()
+    counters = K.cms_counters(w_, d=_CMS_D, w=_CMS_W)
 
     exact = w_.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
     rk = F.row_number().over(
         W.partitionBy(F.lit(1)).orderBy(F.desc("exact_cnt"), F.asc("word")))
     top = exact.withColumn("rk", rk).filter(F.col("rk") <= _CMS_TOPK)
 
-    tj = long_.dropDuplicates(["word", "j", "b"]).join(
-        F.broadcast(top.select("word")), "word")
-    est = (tj.join(F.broadcast(counters), ["j", "b"])
-           .groupBy("word").agg(F.min("c").alias("cms_est"))
+    est = (K.cms_estimate(top.select("word"), counters,
+                          d=_CMS_D, w=_CMS_W)
            .join(F.broadcast(top), "word"))
     n_words = w_.count()
     bound = F.lit(int(2 * n_words) // _CMS_W)

@@ -297,3 +297,57 @@ def run_jsonl_ingest(spark: SparkSession, jsonl_dir: str, warehouse: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def cms_stream_sink(warehouse: str, text_col: str = "text"):
+    """foreachBatch body for a STREAMING Count-Min Sketch: each
+    micro-batch's partial sketch (256 exact-integer counters,
+    operators/sketch.py) lands under sketch/cms/batch_id=<n> — a
+    replayed batch rewrites its own partition, so the accumulated
+    sketch is exactly-once over at-least-once delivery. The live
+    sketch is read with read_cms_counters (SUM over batch partitions):
+    sketch merge IS counter addition, which is the whole reason CMS
+    survives distribution."""
+    from ..functions import text as X
+    from ..operators import sketch as K
+
+    root = os.path.join(warehouse, "sketch", "cms")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        words = batch_df.select(
+            F.explode(X.words(F.col(text_col))).alias("word"))
+        out = os.path.join(root, f"batch_id={batch_id}")
+        K.cms_counters(words).write.mode("overwrite").parquet(out)
+
+    return _sink
+
+
+def read_cms_counters(spark: SparkSession, warehouse: str) -> DataFrame:
+    """The live merged sketch: SUM of all per-batch partial sketches."""
+    from ..operators import sketch as K
+
+    root = os.path.join(warehouse, "sketch", "cms")
+    return K.merge_counters(spark.read.parquet(root).select("j", "b", "c"))
+
+
+def run_cms_stream(spark: SparkSession, docs_dir: str, warehouse: str,
+                   checkpoint_dir: str, schema="doc_id BIGINT, text STRING",
+                   max_files_per_trigger: int = 1) -> None:
+    """Drain available doc shards into the accumulated CMS,
+    synchronously — the streaming twin of cms_frequency_sketch's batch
+    construction."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(docs_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(cms_stream_sink(warehouse))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

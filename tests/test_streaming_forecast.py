@@ -814,3 +814,46 @@ def test_streaming_jsonl_crawl_ingest(spark, tmp_path):
     assert got2 == got
     raws2 = sorted(r.raw_line for r in spark.read.parquet(rejects).collect())
     assert raws2 == raws
+
+
+def test_streaming_cms_accumulates_and_replays_idempotently(spark, tmp_path):
+    """Streaming CMS: per-batch partial sketches sum to EXACTLY the
+    batch sketch of the full corpus (merge = counter addition, the
+    distributive property executed); estimates from the merged sketch
+    upper-bound exact counts; a full replay (fresh checkpoint)
+    converges to the same counters."""
+    from medallion_data_pipeline_spark.operators import sketch as K
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    (land / "s1.json").write_text(
+        '{"doc_id": 1, "text": "spark join join scan"}\n'
+        '{"doc_id": 2, "text": "hash join spark"}\n')
+    (land / "s2.json").write_text(
+        '{"doc_id": 3, "text": "scan scan window spark"}\n')
+    wh = str(tmp_path / "wh")
+
+    SI.run_cms_stream(spark, str(land), wh, str(tmp_path / "cp1"))
+    merged = {(r.j, r.b): r.c
+              for r in SI.read_cms_counters(spark, wh).collect()}
+
+    # the merged stream sketch equals the one-shot batch sketch
+    all_words = spark.createDataFrame(
+        [(w,) for w in ("spark join join scan hash join spark "
+                        "scan scan window spark").split()], "word string")
+    batch = {(r.j, r.b): r.c for r in K.cms_counters(all_words).collect()}
+    assert merged == batch
+
+    # estimates from the merged sketch upper-bound exact counts
+    est = {r.word: r.cms_est for r in K.cms_estimate(
+        all_words, SI.read_cms_counters(spark, wh)).collect()}
+    exact = {"spark": 3, "join": 3, "scan": 3, "hash": 1, "window": 1}
+    for w, c in exact.items():
+        assert est[w] >= c
+
+    # full replay with a fresh checkpoint: identical counters
+    SI.run_cms_stream(spark, str(land), wh, str(tmp_path / "cp2"))
+    again = {(r.j, r.b): r.c
+             for r in SI.read_cms_counters(spark, wh).collect()}
+    assert again == merged
