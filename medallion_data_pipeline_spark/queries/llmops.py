@@ -3913,3 +3913,155 @@ def hybrid_rrf_fusion(spark, sf_dir):
     return (fused.withColumn("rank", rk)
             .filter(F.col("rank") <= _RRF_TOPK)
             .select("rank", "doc_id", "rank_lex", "rank_vec", "rrf_score"))
+
+
+# ---------------------------------------------------------------------------
+# q — DSIR-style importance weights (Data Selection via Importance
+# Resampling, Xie et al. 2023): score every document by how much its
+# unigram distribution looks like a TARGET domain vs the raw corpus —
+# log importance = sum over token occurrences of
+# ln(p_target(w) / p_source(w)), add-1 smoothed. The modern
+# data-selection op for "give me more data like my eval domain".
+#
+# Hash-exactness: the probability RATIO is computed as one division
+# of exact integer products ((ct+1)(Ns+V)) / ((cs+1)(Nt+V)) — both
+# engines see identical doubles; the single transcendental ln is
+# rounded to 6 dp at birth (the tfidf/BM25 precedent); the PER-DOC
+# SUM of hundreds of those terms runs as DECIMAL(18,6) — exact and
+# order-independent, so no FP-fold drift can enter the ranking.
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOPK = 30
+
+_DSIR_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, unnest({_SQL_WORDS.format("text")}) AS word
+    FROM documents
+), stats AS (
+    SELECT word, COUNT(*) AS cs,
+           COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS ct
+    FROM w GROUP BY word
+), scal AS (
+    SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt,
+           COUNT(*) AS v
+    FROM stats
+), scored AS (
+    SELECT w.doc_id,
+           CAST(ROUND(ln(
+               CAST((s.ct + 1) * (c.ns + c.v) AS DOUBLE)
+               / CAST((s.cs + 1) * (c.nt + c.v) AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS r
+    FROM w JOIN stats s USING (word) CROSS JOIN scal c
+), per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_toks,
+           CAST(SUM(r) AS DOUBLE) AS log_importance
+    FROM scored GROUP BY doc_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY log_importance DESC,
+                                 doc_id ASC) AS rank
+    FROM per_doc
+)
+SELECT r.rank, r.doc_id, d.lang, r.n_toks,
+       ROUND(r.log_importance, 6) AS log_importance
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rank <= {_DSIR_TOPK}
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_SQL)
+def dsir_importance_weights(spark, sf_dir):
+    """Top-30 documents by DSIR unigram log-importance toward the
+    'en'-language target slice. Plan: one exploded-words frame
+    (persisted — feeds the stats agg AND the scoring join), the
+    word-stats table joined back on word (broadcast at test scale, a
+    plain shuffle join at 100 TB — word stats ARE the model), the
+    per-doc sum as exact decimal, rank<=K total order. The target
+    slice is declarative (lang = target) so retargeting is a
+    predicate swap."""
+    from pyspark.sql import Window as W
+
+    w_ = td(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.explode(X.words(F.col("text"))).alias("word")).persist()
+    stats = w_.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("ct"))
+    row = stats.agg(F.sum("cs"), F.sum("ct"), F.count(F.lit(1))).collect()[0]
+    ns, nt, v = int(row[0]), int(row[1]), int(row[2])
+
+    r = F.round(F.log(
+        ((F.col("ct") + 1) * F.lit(ns + v)).cast("double")
+        / ((F.col("cs") + 1) * F.lit(nt + v)).cast("double")), 6) \
+        .cast("decimal(18,6)")
+    per_doc = (w_.join(stats.withColumn("r", r).select("word", "r"), "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_toks"),
+                    F.sum("r").cast("double").alias("log_importance")))
+    rk = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.desc("log_importance"),
+                                        F.asc("doc_id")))
+    langs = td(spark, sf_dir).select("doc_id", "lang")
+    return (per_doc.withColumn("rank", rk)
+            .filter(F.col("rank") <= _DSIR_TOPK)
+            .join(langs, "doc_id")
+            .select("rank", "doc_id", "lang", "n_toks",
+                    F.round("log_importance", 6).alias("log_importance")))
+
+
+# ---------------------------------------------------------------------------
+# q — weighted sampling without replacement (Efraimidis-Spirakis
+# A-ES via exponential race): doc i gets clock e_i = -ln(u_i) / w_i
+# with u_i a DETERMINISTIC md5-derived uniform and w_i its weight
+# (n_chars — longer docs proportionally more likely); the k smallest
+# clocks ARE a weighted sample without replacement. No RNG state, no
+# driver round-trips — the sample is a rank<=K total order, re-runs
+# and engines agree bit-for-bit (u is an exact rational of the hash;
+# the one ln rounds to 12 dp, 9 orders coarser than ulp).
+# The distributed-sampling workhorse for building training mixes.
+# ---------------------------------------------------------------------------
+
+_WRS_K = 40
+_WRS_SALT = "wrs:"
+_WRS_DEN = float((1 << 32) + 1)
+
+_WRS_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           ROUND(-ln((CAST('0x' || substr(md5('{_WRS_SALT}'
+                          || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      + 1) / {_WRS_DEN!r})
+                 / n_chars, 12) AS race_key
+    FROM documents WHERE n_chars > 0
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY race_key ASC, doc_id ASC) AS rank
+    FROM keyed
+)
+SELECT rank, doc_id, source, n_chars, race_key
+FROM ranked WHERE rank <= {_WRS_K}
+"""
+
+
+@register("weighted_sample_race", oracle=_WRS_SQL)
+def weighted_sample_race(spark, sf_dir):
+    """40-doc weighted sample without replacement (weight = n_chars)
+    via the deterministic exponential race. Map-only key computation;
+    the k-smallest is a TakeOrderedAndProject — at 100 TB each
+    partition surfaces its local top-k and the driver never sees more
+    than k rows per partition. Companion to deterministic_sample
+    (uniform) and temperature_resample (category-level): this one is
+    the per-item weighted primitive."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.conv(F.substring(F.md5(
+        F.concat(F.lit(_WRS_SALT), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") + 1) / F.lit(_WRS_DEN)
+    keyed = d.select(
+        "doc_id", "source", "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 12).alias("race_key"))
+    rk = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.asc("race_key"), F.asc("doc_id")))
+    return (keyed.withColumn("rank", rk)
+            .filter(F.col("rank") <= _WRS_K)
+            .select("rank", "doc_id", "source", "n_chars", "race_key"))
