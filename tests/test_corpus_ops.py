@@ -8,6 +8,8 @@ co-broken oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -1110,3 +1112,67 @@ def test_bm25_matches_pure_python_reference(spark):
     for r in got:
         assert abs(r.score_bm25 - score(r.doc_id)) <= 1e-6
         assert r.dl == len(words[r.doc_id])
+
+
+def test_bm25_degenerate_corpora(spark, tmp_path):
+    """BM25 must stay well-defined on degenerate corpora: a 1-doc
+    corpus (df == N for every term — the Lucene idf ln(1 + ~0.33)
+    stays positive) and a 2-word vocabulary (fewer terms than the
+    top-3 query: missing ranks contribute COALESCE 0, never null).
+    Built as a synthetic sf_dir so the REGISTERED query runs
+    unmodified."""
+    from medallion_data_pipeline_spark.queries.llmops import (
+        bm25_doc_ranking)
+
+    one = str(tmp_path / "one")
+    os.makedirs(one)
+    spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(one, "documents.parquet"))
+    got = bm25_doc_ranking(spark, one).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.doc_id == 1 and r.dl == 3
+    assert r.score_bm25 > 0          # positive idf even at df == N
+
+    two = str(tmp_path / "two")
+    os.makedirs(two)
+    spark.createDataFrame(
+        [(1, "x y x", "en", "s", 5), (2, "y y", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(two, "documents.parquet"))
+    rows = {r.doc_id: r for r in bm25_doc_ranking(spark, two).collect()}
+    assert set(rows) == {1, 2}
+    assert all(r.score_bm25 is not None and r.score_bm25 > 0
+               for r in rows.values())
+
+
+def test_jsonl_shards_registry_keyed_by_file_stat(spark, tmp_path):
+    """_jsonl_shards reuses the shard dir for an unchanged source file
+    and re-converts when the file changes (the _trained_model
+    stat-keyed contract, applied to the conversion artifact)."""
+    import shutil
+
+    from medallion_data_pipeline_spark.queries import llmops as L
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    src = os.path.join(sf, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(src)
+
+    d1 = L._jsonl_shards(spark, sf)
+    assert d1 == L._jsonl_shards(spark, sf)       # cache hit, same dir
+
+    # rewrite the source (different bytes -> different stat key)
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(1, "a b", "en", "s", 3), (2, "c d e", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(src)
+    d2 = L._jsonl_shards(spark, sf)
+    assert d2 != d1                                # re-converted
+    assert spark.read.json(d2).count() == 2
