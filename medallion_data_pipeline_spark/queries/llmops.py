@@ -3490,67 +3490,6 @@ def jsonl_ingest_roundtrip(spark, sf_dir):
                      F.collect_list("h")))).alias("content_digest")))
 
 
-# ---------------------------------------------------------------------------
-# q — ANN recall certification: the tier's recall claims as a GATED
-# artifact instead of prose. One query computes recall@5 vs the exact
-# bruteforce for one representative of each approximation axis —
-# IVF nprobe=2 (CPU pruning), PQ-ADC (codebook compression), SQ8
-# (scalar compression) — by replaying all four searches and counting
-# pair intersections. The oracle nests the four searches' own SQL
-# duals as derived tables, so the gate certifies BOTH each search's
-# result set and the recall arithmetic. Counts are exact integers;
-# the only float is the final ratio, rounded at birth.
-# ---------------------------------------------------------------------------
-
-def _recall_oracle() -> str:
-    pairs = [("ivf_probe2", _IVF_PROBE_SQL),
-             ("pq_adc", _PQ_ADC_SQL),
-             ("sq8", _SQ8_SQL)]
-    parts = [f"""
-SELECT '{name}' AS method,
-       (SELECT COUNT(*) FROM bf) AS n_true,
-       COUNT(*) AS n_hits,
-       ROUND(CAST(COUNT(*) AS DOUBLE)
-             / (SELECT COUNT(*) FROM bf), 6) AS recall
-FROM (SELECT query_id, neighbor_id FROM ({sql}) m_{name}) m
-JOIN bf USING (query_id, neighbor_id)""" for name, sql in pairs]
-    return (f"WITH bf AS (SELECT query_id, neighbor_id FROM ({_KNN_SQL}) b)"
-            + " UNION ALL ".join(parts))
-
-
-@register("ann_recall_certification", oracle=_recall_oracle())
-def ann_recall_certification(spark, sf_dir):
-    """recall@5 of knn_cosine_ivf_probe2 / _pq_adc / _sq8 against
-    knn_cosine_bruteforce, as (method, n_true, n_hits, recall) rows.
-
-    Runs the four searches (trained artifacts come from the model
-    registry, so the approximate three reuse the codebooks/centroids
-    their own gated queries train) and counts exact pair hits. The
-    measured hierarchy this pins at sf0.01: sq8 ~0.98 (near-lossless
-    scalar codes) > ivf_probe2 (cell-boundary misses only) > pq_adc
-    ~0.4 (2-subspace/4-code resolution floor on uniform-random
-    vectors — the regime quantization hates most; see the PQ
-    queries' docstrings for the rerank/parameter-growth remedies)."""
-    bf = knn_cosine_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id")
-    methods = [("ivf_probe2", knn_cosine_ivf_probe2),
-               ("pq_adc", knn_cosine_pq_adc),
-               ("sq8", knn_cosine_sq8)]
-    outs = []
-    for name, fn in methods:
-        m = fn(spark, sf_dir).select("query_id", "neighbor_id")
-        outs.append(
-            m.join(bf, ["query_id", "neighbor_id"])
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-            .select(F.lit(name).alias("method"), F.col("n_hits")))
-    hits = outs[0]
-    for o in outs[1:]:
-        hits = hits.unionByName(o)
-    n_true = bf.count()
-    return hits.select(
-        "method", F.lit(n_true).alias("n_true"), "n_hits",
-        F.round(F.col("n_hits").cast("double") / F.lit(float(n_true)), 6)
-        .alias("recall"))
 
 
 # ---------------------------------------------------------------------------
@@ -4282,3 +4221,69 @@ def bigram_surprisal_quality(spark, sf_dir):
             .join(docs.select("doc_id", "lang"), "doc_id")
             .select("rank", "doc_id", "lang", "n_bigrams",
                     "mean_surprisal"))
+
+
+# ---------------------------------------------------------------------------
+# q — ANN recall certification: the tier's recall claims as a GATED
+# artifact instead of prose. One query computes recall@5 vs the exact
+# bruteforce for one representative of each approximation axis —
+# IVF nprobe=2 (CPU pruning), PQ-ADC (codebook compression), SQ8
+# (scalar compression) — by replaying all four searches and counting
+# pair intersections. The oracle nests the four searches' own SQL
+# duals as derived tables, so the gate certifies BOTH each search's
+# result set and the recall arithmetic. Counts are exact integers;
+# the only float is the final ratio, rounded at birth.
+# ---------------------------------------------------------------------------
+
+def _recall_oracle() -> str:
+    pairs = [("ivf_probe2", _IVF_PROBE_SQL),
+             ("pq_adc", _PQ_ADC_SQL),
+             ("sq8", _SQ8_SQL),
+             ("ivf_sq8", _IVFSQ_SQL)]
+    parts = [f"""
+SELECT '{name}' AS method,
+       (SELECT COUNT(*) FROM bf) AS n_true,
+       COUNT(*) AS n_hits,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM bf), 6) AS recall
+FROM (SELECT query_id, neighbor_id FROM ({sql}) m_{name}) m
+JOIN bf USING (query_id, neighbor_id)""" for name, sql in pairs]
+    return (f"WITH bf AS (SELECT query_id, neighbor_id FROM ({_KNN_SQL}) b)"
+            + " UNION ALL ".join(parts))
+
+
+@register("ann_recall_certification", oracle=_recall_oracle())
+def ann_recall_certification(spark, sf_dir):
+    """recall@5 of knn_cosine_ivf_probe2 / _pq_adc / _sq8 / _ivf_sq8
+    against knn_cosine_bruteforce, as (method, n_true, n_hits, recall)
+    rows.
+
+    Runs the four searches (trained artifacts come from the model
+    registry, so the approximate three reuse the codebooks/centroids
+    their own gated queries train) and counts exact pair hits. The
+    measured hierarchy this pins at sf0.01: sq8 ~0.98 (near-lossless
+    scalar codes) > ivf_probe2 == ivf_sq8 at 0.52 (quantization free,
+    loss is pure cell routing) > pq_adc ~0.4 (2-subspace/4-code
+    resolution floor on uniform-random vectors — the regime quantization hates most; see the PQ
+    queries' docstrings for the rerank/parameter-growth remedies)."""
+    bf = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    methods = [("ivf_probe2", knn_cosine_ivf_probe2),
+               ("pq_adc", knn_cosine_pq_adc),
+               ("sq8", knn_cosine_sq8),
+               ("ivf_sq8", knn_cosine_ivf_sq8)]
+    outs = []
+    for name, fn in methods:
+        m = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        outs.append(
+            m.join(bf, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("method"), F.col("n_hits")))
+    hits = outs[0]
+    for o in outs[1:]:
+        hits = hits.unionByName(o)
+    n_true = bf.count()
+    return hits.select(
+        "method", F.lit(n_true).alias("n_true"), "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(float(n_true)), 6)
+        .alias("recall"))
