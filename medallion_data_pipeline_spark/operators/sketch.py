@@ -76,8 +76,16 @@ def cms_estimate(words: DataFrame, counters: DataFrame,
                  w: int = CMS_W) -> DataFrame:
     """Point estimates for a (small) set of distinct tokens: min over
     the d counters each token hashes to. The token set broadcasts; the
-    counter table is d*w rows — both joins are map-side."""
+    counter table is d*w rows — both joins are map-side.
+
+    The counter join is a LEFT join with absent buckets coalesced to 0:
+    a sketch stores only touched buckets, so an untouched bucket means
+    a true count of 0 — an inner join would take the min over only the
+    dense buckets (inflating the estimate) and would drop a token whose
+    d buckets are all empty entirely. Matters for point queries against
+    small or streaming sketches; invisible on dense w=64 corpora."""
     coords = cms_long(words.select(token_col).dropDuplicates([token_col]),
                       token_col, d, w)
-    return (coords.join(F.broadcast(counters), ["j", "b"])
+    return (coords.join(F.broadcast(counters), ["j", "b"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
             .groupBy(token_col).agg(F.min("c").alias("cms_est")))

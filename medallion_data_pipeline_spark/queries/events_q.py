@@ -494,7 +494,17 @@ def salted_two_phase_agg(spark, sf_dir):
     """Skew-safe aggregation (operators/skew.py::salted_two_phase_agg)
     on event_type — 5 hot keys that would each land on one reducer in
     a naive plan. The oracle is the plain direct aggregation, so the
-    hash match proves salting changes the route, never the result."""
+    hash match proves salting changes the route, never the result.
+
+    WARNING (measured, docs/SCALING.md addendum 11): salting pays off
+    ONLY when the phase-1 partial agg collapses state — algebraic
+    aggregates (count/sum/min/max, as here) over few hot keys. On
+    all-distinct state (e.g. collect_set / exact count-distinct) the
+    salted plan measured a 5x PESSIMIZATION (16.1 s vs 3.16 s direct
+    at sf10): the salt multiplies the shuffled state instead of
+    shrinking it. For distinct-heavy skew use approx_count_distinct /
+    sketches (operators/sketch.py) or AQE skew-join splitting — do not
+    copy this pattern for those shapes. Guidance: operators/skew.py."""
     from ..operators.skew import salted_two_phase_agg as _sagg
     ev = t(spark, sf_dir, "events").withColumn(
         "vdec", F.col("value").cast("decimal(18,2)"))

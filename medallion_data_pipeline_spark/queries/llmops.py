@@ -3507,7 +3507,8 @@ _CHUNK_S = 20
 
 _CHUNK_SQL = f"""
 WITH d AS (
-    SELECT doc_id, {_SQL_WORDS.format("text")} AS ws FROM documents
+    SELECT doc_id, {_SQL_WORDS.format("COALESCE(text, '')")} AS ws
+    FROM documents
 ), sized AS (
     SELECT doc_id, ws, len(ws) AS n,
            1 + (GREATEST(len(ws) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
@@ -3520,8 +3521,8 @@ WITH d AS (
 SELECT doc_id, chunk_id,
        len(ws[chunk_id * {_CHUNK_S} + 1 :
               LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)]) AS n_toks,
-       md5(array_to_string(ws[chunk_id * {_CHUNK_S} + 1 :
-              LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)], ' '))
+       md5(COALESCE(array_to_string(ws[chunk_id * {_CHUNK_S} + 1 :
+              LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)], ' '), ''))
            AS chunk_digest
 FROM chunks
 """
@@ -3537,9 +3538,15 @@ def doc_chunking_stride(spark, sf_dir):
     which at 100 TB is the chunker's inherent output size, streamed
     straight to the sink). Chunk-boundary arithmetic is exact-integer
     ceil division; the digest certifies boundaries + content against
-    the oracle."""
+    the oracle. NULL text coalesces to '' in BOTH engines (the JSONL
+    crawl tier makes null text representable): without it Spark's
+    F.size(words(NULL)) = -1 (legacy sizeOfNull) emits one n_toks=-1
+    chunk while DuckDB's range(0, NULL) emits zero rows — here a null
+    doc yields exactly one empty chunk, preserving the >=1-chunk-per-
+    doc contract."""
     d = td(spark, sf_dir).select(
-        "doc_id", X.words(F.col("text")).alias("ws")).persist()
+        "doc_id",
+        X.words(F.coalesce(F.col("text"), F.lit(""))).alias("ws")).persist()
     sized = d.select(
         "doc_id", "ws", F.size("ws").alias("n"),
         (F.lit(1) + F.expr(
@@ -3888,8 +3895,8 @@ WITH w AS (
 ), scored AS (
     SELECT w.doc_id,
            CAST(ROUND(ln(
-               CAST((s.ct + 1) * (c.ns + c.v) AS DOUBLE)
-               / CAST((s.cs + 1) * (c.nt + c.v) AS DOUBLE)), 6)
+               (CAST(s.ct + 1 AS DOUBLE) * CAST(c.ns + c.v AS DOUBLE))
+               / (CAST(s.cs + 1 AS DOUBLE) * CAST(c.nt + c.v AS DOUBLE))), 6)
              AS DECIMAL(18,6)) AS r
     FROM w JOIN stats s USING (word) CROSS JOIN scal c
 ), per_doc AS (
@@ -3929,9 +3936,15 @@ def dsir_importance_weights(spark, sf_dir):
     row = stats.agg(F.sum("cs"), F.sum("ct"), F.count(F.lit(1))).collect()[0]
     ns, nt, v = int(row[0]), int(row[1]), int(row[2])
 
+    # Each factor is cast to double BEFORE the multiply (Spark side and
+    # oracle SQL alike): at real corpus scale (ct+1)*(ns+v) exceeds
+    # 2^63 as an integer product and Spark would silently wrap
+    # (non-ANSI) while DuckDB errors. IEEE-754 double multiply is
+    # deterministic across both engines, so the 6-dp ratio stays
+    # bit-identical and cannot overflow.
     r = F.round(F.log(
-        ((F.col("ct") + 1) * F.lit(ns + v)).cast("double")
-        / ((F.col("cs") + 1) * F.lit(nt + v)).cast("double")), 6) \
+        ((F.col("ct") + 1).cast("double") * F.lit(float(ns + v)))
+        / ((F.col("cs") + 1).cast("double") * F.lit(float(nt + v)))), 6) \
         .cast("decimal(18,6)")
     per_doc = (w_.join(stats.withColumn("r", r).select("word", "r"), "word")
                .groupBy("doc_id")
@@ -4266,8 +4279,11 @@ def ann_recall_certification(spark, sf_dir):
     loss is pure cell routing) > pq_adc ~0.4 (2-subspace/4-code
     resolution floor on uniform-random vectors — the regime quantization hates most; see the PQ
     queries' docstrings for the rerank/parameter-growth remedies)."""
+    # The bruteforce frame is consumed five times (four hit-joins +
+    # n_true count) — persist it so the exhaustive search executes
+    # once, not five times.
     bf = knn_cosine_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id")
+        "query_id", "neighbor_id").persist()
     methods = [("ivf_probe2", knn_cosine_ivf_probe2),
                ("pq_adc", knn_cosine_pq_adc),
                ("sq8", knn_cosine_sq8),

@@ -1176,3 +1176,40 @@ def test_jsonl_shards_registry_keyed_by_file_stat(spark, tmp_path):
     d2 = L._jsonl_shards(spark, sf)
     assert d2 != d1                                # re-converted
     assert spark.read.json(d2).count() == 2
+
+
+def test_doc_chunking_null_text_parity_with_oracle(spark, tmp_path):
+    """NULL text (representable via the JSONL crawl tier) must chunk
+    identically in Spark and the DuckDB oracle (ADVICE r12): both
+    coalesce to '' and emit exactly ONE empty chunk — without the
+    coalesce Spark emits a chunk with n_toks = -1 (legacy sizeOfNull)
+    while DuckDB's range(0, NULL) emits zero rows. Synthetic sf_dir so
+    the REGISTERED query and its registered oracle run unmodified."""
+    import duckdb
+
+    from medallion_data_pipeline_spark.queries import REGISTRY, _load
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq_path = os.path.join(sf, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5), (2, None, "en", "s", 0),
+         (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(pq_path)
+
+    _load()
+    entry = REGISTRY["doc_chunking_stride"]
+    got = {(r.doc_id, r.chunk_id): (r.n_toks, r.chunk_digest)
+           for r in entry.fn(spark, sf).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{pq_path}/*.parquet')")
+    exp = {(d, c): (n, h)
+           for d, c, n, h in con.execute(entry.oracle).fetchall()}
+    assert got == exp
+    # null + empty text each yield exactly one 0-token chunk
+    assert got[(2, 0)][0] == 0 and got[(3, 0)][0] == 0
+    assert got[(2, 0)] == got[(3, 0)]

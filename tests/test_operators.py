@@ -270,3 +270,32 @@ def test_describe_plus_exact_stats(spark):
     assert abs(r["q25"] - 2.0) < 1e-9            # pos 2.75 between 2,2
     assert abs(r["median"] - 5.5) < 1e-9         # between 4 and 7
     assert abs(r["q75"] - 12.25) < 1e-9          # between 11 and 16
+
+
+def test_cms_estimate_absent_token_is_zero(spark):
+    """cms_estimate on a SPARSE sketch: a token none of whose d buckets
+    were ever touched must estimate 0 (and must not vanish from the
+    output), and a token sharing SOME empty buckets must not have its
+    min taken over only the dense ones. Pins the left-join + coalesce-0
+    contract (ADVICE r12): an inner join against stored counters
+    silently drops all-empty tokens and inflates partially-empty ones.
+    """
+    from medallion_data_pipeline_spark.operators import sketch as K
+
+    corpus = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("alpha",)], "word string")
+    counters = K.cms_counters(corpus)           # 4 dense buckets only
+    assert counters.count() <= K.CMS_D
+
+    probe = spark.createDataFrame(
+        [("alpha",), ("zeta",), ("omega",)], "word string")
+    est = {r.word: r.cms_est
+           for r in K.cms_estimate(probe, counters).collect()}
+    # every probed token appears, even with all buckets empty
+    assert set(est) == {"alpha", "zeta", "omega"}
+    assert est["alpha"] == 3
+    # absent tokens: CMS never underestimates, and with d*w = 256
+    # mostly-empty buckets the min over d rows is 0 for these tokens
+    # (deterministic hash family — stable across runs/engines)
+    assert est["zeta"] == 0
+    assert est["omega"] == 0
