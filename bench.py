@@ -55,6 +55,90 @@ def _release_cached_blocks(spark, wait_s: float = 2.0) -> int:
         _time.sleep(0.05)
 
 
+class _Calibration:
+    """Host-weather calibration (VERDICT r12 #1: two rounds running,
+    the like-for-like bench delta measured the HOST, not the code —
+    +12.5% on byte-identical binaries in one window, +23% artifact
+    drift in another, while a quiet-window re-run reproduced old
+    levels within 0.2%).
+
+    A fixed synthetic probe — 6M-row md5 + 997-key shuffle agg, no
+    file I/O, 32 fixed partitions, data from spark.range so the work
+    is bit-identical on every host forever — runs as median-of-3 at a
+    checkpoint after warm-up, then every EVERY entries, then once at
+    the end. The run's host-speed factor is
+    ``REF_SEC / median(checkpoints)`` and every entry's normalized
+    wall is ``raw * factor``. REF_SEC is pinned from a measured quiet
+    window on the round-13 host.
+
+    Granularity, measured on a live shifted window
+    (tools/bench_norm_control.py + the correlation experiment in
+    docs/PERFORMANCE.md): the probe tracks MULTI-MINUTE ambient
+    trends (probe median 0.93 in a slow window vs 0.66 recovered,
+    while fixed queries moved 4.85->2.64 / 7.57->4.95 in lockstep)
+    but NOT second-scale bursts — iteration-level probe and query
+    walls are uncorrelated within a window, which is why the factor
+    is a run-level median rather than per-entry neighbor
+    interpolation (neighbor checkpoints ranged 0.48-1.31 inside one
+    run and would inject that noise into individual entries). The
+    correction is partial, not total: on the measured window it cut a
+    -39% raw weather drift to -13.5% normalized. Raw walls remain the
+    primary artifact; normalized totals are the series to diff
+    round-over-round, and the committed checkpoint list lets a reader
+    judge each round's window quality directly. The authoritative
+    adjudication for a suspected regression remains the r12
+    discipline: re-bench the prior round's byte-identical commit in a
+    worktree within the same window."""
+
+    REF_SEC = 0.65
+    EVERY = 5
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.points: list[tuple[int, float]] = []  # (entries done, wall)
+        self.pos = 0
+        self._since = 0
+        self.entry_pos: dict[str, int] = {}  # measurement order, for
+        # reading the checkpoint list against the entry sequence
+        self._one()  # untimed: pay the probe plan's own codegen once
+
+    def _one(self) -> float:
+        from pyspark.sql import functions as F
+        t0 = time.time()
+        (self.spark.range(0, 6_000_000, 1, 32)
+            .select((F.col("id") % 997).alias("k"),
+                    F.md5(F.col("id").cast("string")).alias("h"))
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                              F.min("h").alias("lo"),
+                              F.max("h").alias("hi"))
+            .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+
+    def probe(self) -> None:
+        walls = sorted(self._one() for _ in range(3))
+        self.points.append((self.pos, round(walls[1], 3)))  # median-of-3
+        self._since = 0
+
+    def tick(self, name: str) -> None:
+        """Record that entry `name` was measured at the current
+        sequence position; probe every EVERY entries."""
+        self.entry_pos.setdefault(name, self.pos)
+        self.pos += 1
+        self._since += 1
+        if self._since >= self.EVERY:
+            self.probe()
+
+    def factor(self) -> float:
+        import statistics
+        if not self.points:
+            return 1.0
+        return self.REF_SEC / statistics.median(w for _, w in self.points)
+
+    def normalize(self, timings: dict[str, float]) -> dict[str, float]:
+        f = self.factor()
+        return {k: round(v * f, 3) for k, v in timings.items()}
+
+
 def main() -> None:
     _load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,6 +161,8 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    cal = _Calibration(spark)
+    cal.probe()  # post-warm-up baseline checkpoint
 
     # Curated storage layout (timed, reported as its own entry): the
     # driver testdata arrives as ONE parquet row group per table, so
@@ -110,6 +196,7 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=len(TABLES)) as pool:
         list(pool.map(_lay, TABLES))
     timings["layout_ingest"] = round(time.time() - t0, 3)
+    cal.tick("layout_ingest")
 
     # min-of-reps with every rep logged: one measured run occasionally
     # catches a multi-second JVM/host stall (observed 4s -> 44s on
@@ -152,6 +239,7 @@ def main() -> None:
         # (see _release_cached_blocks) — so no entry pays memory
         # pressure created by another entry's dead blocks.
         _release_cached_blocks(spark)
+        cal.tick(name)
 
     # Structured Streaming throughput over the same events table: file
     # source micro-batches (4 files/trigger over the 8-file layout, so
@@ -175,6 +263,7 @@ def main() -> None:
     all_reps["streaming_hourly_rollup"] = reps
     timings["streaming_hourly_rollup"] = _min_warm(reps)
     _release_cached_blocks(spark)
+    cal.tick("streaming_hourly_rollup")
 
     shutil.rmtree(layout_dir, ignore_errors=True)
 
@@ -230,6 +319,7 @@ def main() -> None:
             for k, v in rep_t.items():
                 stage_best[k] = min(stage_best.get(k, float("inf")), v)
                 all_reps.setdefault(k, []).append(round(v, 3))
+                cal.tick(k)
         finally:
             shutil.rmtree(wh, ignore_errors=True)
         _release_cached_blocks(spark)
@@ -255,6 +345,12 @@ def main() -> None:
         _release_cached_blocks(spark)
     all_reps["pipeline_corpus_curation"] = reps
     timings["pipeline_corpus_curation"] = _min_warm(reps)
+    cal.tick("pipeline_corpus_curation")
+    cal.probe()  # closing checkpoint so the last entries have an
+    # after-neighbor
+    queries_norm = cal.normalize(timings)
+    total_norm = round(sum(v for k, v in queries_norm.items()
+                           if k != "layout_ingest"), 3)
 
     # Methodologically homogeneous headline: `value`/`total_queries` sum
     # only the min-of-N measurements; the one-shot layout_ingest cost is
@@ -310,6 +406,27 @@ def main() -> None:
                 "total_this": round(sum(timings[k] for k in keys), 3),
                 "total_prev": round(sum(prev_q[k] for k in keys), 3),
             }
+            # probe-normalized like-for-like (the number to actually
+            # diff round-over-round): the prev round's normalized
+            # series lives in its committed BENCH_DETAIL.json; use it
+            # only after validating that detail file belongs to the
+            # same run as BENCH_r{N} (raw values must agree — the
+            # stdout line may be rounded to 2 dp, so 2% tolerance).
+            try:
+                with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+                    prev_detail = json.load(fh)
+                pd_q, pd_n = prev_detail.get("queries", {}), \
+                    prev_detail.get("queries_norm", {})
+                same_run = keys and all(
+                    abs(pd_q.get(k, -1) - prev_q[k])
+                    <= 0.02 * max(prev_q[k], 0.01) for k in keys)
+                if same_run and all(k in pd_n for k in keys):
+                    shared["total_this_norm"] = round(
+                        sum(queries_norm[k] for k in keys), 3)
+                    shared["total_prev_norm"] = round(
+                        sum(pd_n[k] for k in keys), 3)
+            except (OSError, ValueError):
+                pass
         except (OSError, ValueError, AttributeError):
             shared = None
 
@@ -328,6 +445,10 @@ def main() -> None:
             "value": total_queries,
             "unit": "sec",
             "queries": timings,
+            "queries_norm": queries_norm,
+            "total_norm": total_norm,
+            "probe": {"ref_sec": _Calibration.REF_SEC,
+                      "points": cal.points},
             "reps": all_reps,
             "total_queries": total_queries,
             "total_shared_with_prev": shared,
@@ -342,6 +463,9 @@ def main() -> None:
             "sf": sf,
             "layout_ingest": timings["layout_ingest"],
             "total_queries": total_queries,
+            "total_norm": total_norm,
+            "probe_factor": round(cal.factor(), 4),
+            "probe_ref": _Calibration.REF_SEC,
             "total_shared_with_prev": shared,
             "queries": q,
         }, separators=(",", ":"))
