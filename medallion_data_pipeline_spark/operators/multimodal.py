@@ -127,6 +127,93 @@ def frame_sample_stub(payload: bytes, every_n: int = 10, frame_size: int = 32) -
 
 RESIZED_SCHEMA = "doc_id bigint, resized binary, resized_len int"
 FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+#: dHash grid geometry: 8 rows x 9 columns of samples -> 8x8 gradient
+#: bits (one per horizontal neighbor comparison) = a 64-bit fingerprint.
+DHASH_ROWS, DHASH_COLS = 8, 9
+
+
+def dhash64(levels: list[int]) -> int:
+    """The dHash gradient fingerprint over a 72-sample grid (Krawetz's
+    difference hash, the standard perceptual image fingerprint): bit
+    r*8+c is set iff grid[r][c] > grid[r][c+1]. Pure integer
+    arithmetic; returns a SIGNED 64-bit int (bit 63 maps to the sign
+    bit) so the value round-trips through Spark/parquet/DuckDB BIGINT
+    unchanged. The locality property that makes it perceptual: a
+    small change to the source flips only the few gradient bits whose
+    grid cells sample it, while a different source re-rolls ~half the
+    bits."""
+    fp = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if levels[r * DHASH_COLS + c] > levels[r * DHASH_COLS + c + 1]:
+                fp |= 1 << (r * 8 + c)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def dhash_stub(payload: bytes) -> int:
+    """Deterministic fake of grayscale-resize -> dHash for hosts
+    without an image decoder: the "grayscale grid" is the 72
+    codepoints sampled evenly from the utf-8-decoded payload
+    (position i samples character (i*(n-1))//71 — same locality as a
+    real resize: each source position feeds at most a couple of grid
+    cells). SQL-replayable (queries/llmops.py dedup_image_phash
+    rebuilds the identical grid with unicode(substr(...))), and the
+    1-byte-perturbation property test holds exactly as it would for
+    a real image."""
+    chars = payload.decode("utf-8")
+    n = len(chars)
+    k = DHASH_ROWS * DHASH_COLS
+    if n == 0:
+        levels = [0] * k
+    else:
+        levels = [ord(chars[(i * (n - 1)) // (k - 1)]) for i in range(k)]
+    return dhash64(levels)
+
+
+def dhash_pil(payload: bytes) -> int | None:
+    """Real perceptual fingerprint via Pillow: grayscale -> 9x8
+    resize -> horizontal-gradient bits. ``None`` for unparseable
+    payloads (corrupt-media marker). Raises ImportError when Pillow
+    is absent; callers go through the decoder-resolution idiom."""
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+    except Exception:
+        return None
+    small = img.resize((DHASH_COLS, DHASH_ROWS))
+    levels = list(small.getdata())  # row-major, 72 ints
+    return dhash64(levels)
+
+
+def phash_binary(media: DataFrame, id_col: str = "doc_id",
+                 decoder: str = "auto") -> DataFrame:
+    """(id, phash) perceptual fingerprints over the binary payload
+    column — Arrow-batched mapInPandas, same plumbing contract as
+    :func:`featurize_binary`. ``decoder="auto"`` resolves to the real
+    Pillow dHash when importable, else the deterministic stub; the
+    gated query pins "stub" so the oracle replays it. Downstream,
+    near-duplicate candidates come from
+    operators/dedup.py::fingerprint_hamming_pairs (pigeonhole block
+    retrieval — never an all-pairs scan)."""
+    if decoder == "auto":
+        decoder = "pil" if _pil_available() else "stub"
+    fn = dhash_pil if decoder == "pil" else dhash_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "phash": pd.array(
+                    [None if p is None else fn(bytes(p))
+                     for p in pdf["payload"]], dtype="Int64"),
+            })
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
 def resize_pil(payload: bytes, target: tuple[int, int] = (224, 224)) -> bytes | None:

@@ -4303,3 +4303,88 @@ def ann_recall_certification(spark, sf_dir):
         "method", F.lit(n_true).alias("n_true"), "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(float(n_true)), 6)
         .alias("recall"))
+
+
+# ---------------------------------------------------------------------------
+# q — perceptual-hash image near-dedup (dHash + pigeonhole Hamming
+# retrieval): the canonical multimodal dedup family. Fingerprints come
+# from the binary-payload mapInPandas path (operators/multimodal.py::
+# phash_binary, decoder pinned to the deterministic stub so the oracle
+# replays the grid from the stored payload source); candidates come
+# from operators/dedup.py::fingerprint_hamming_pairs (Manku block
+# split — d+1 equi-join keys per doc, never an all-pairs scan). The
+# corpus texts are all mutually distant (measured: zero natural pairs
+# within Hamming 4 at sf0.01), so the query PLANTS one deterministic
+# 1-character-perturbed variant per document in-plan — transparent,
+# oracle-replayed — and the operator must recover exactly the
+# (original, variant) pairs: a planted-pair recall harness in query
+# form, the same design as ann_recall_certification.
+# ---------------------------------------------------------------------------
+
+_PHASH_VARIANT_OFFSET = 1_000_000
+_PHASH_MAXDIST = 4
+
+# dHash fingerprint of a text "image" as a DuckDB expression: the
+# 72-codepoint sampled grid, then 64 gradient bits; bit 63 is added as
+# the int64 sign value so the BIGINT result matches Python's signed
+# round-trip exactly.
+_PHASH_GRID_SQL = (
+    "list_transform(range(0, 72), i -> CASE WHEN length(text) = 0 THEN 0 "
+    "ELSE unicode(substr(text, CAST(1 + (i * (length(text) - 1)) // 71 "
+    "AS INT), 1)) END)"
+)
+_PHASH_FP_SQL = (
+    "CAST(list_sum(list_transform(range(0, 63), b -> "
+    "CASE WHEN g[CAST((b // 8) * 9 + (b % 8) AS INT) + 1] "
+    "> g[CAST((b // 8) * 9 + (b % 8) AS INT) + 2] "
+    "THEN CAST(1 AS BIGINT) << b ELSE 0 END)) "
+    "+ CASE WHEN g[71] > g[72] THEN -9223372036854775808 ELSE 0 END "
+    "AS BIGINT)"
+)
+
+_PHASH_SQL = f"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_PHASH_VARIANT_OFFSET},
+           substr(text, 1, CAST(doc_id % length(text) AS INT)) || 'q'
+             || substr(text, CAST(doc_id % length(text) AS INT) + 2) AS text
+    FROM documents
+), fp AS (
+    SELECT doc_id, {_PHASH_FP_SQL} AS phash
+    FROM (SELECT doc_id, {_PHASH_GRID_SQL} AS g FROM u)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAXDIST}
+"""
+
+
+@register("dedup_image_phash", oracle=_PHASH_SQL)
+def dedup_image_phash(spark, sf_dir):
+    """Perceptual near-duplicate pairs at Hamming <= 4 over dHash
+    fingerprints of the corpus payloads plus one planted 1-character
+    variant per document. Plan: the variant splice and the union are
+    native expressions; the fingerprint is one Arrow-batched
+    mapInPandas pass over binary payloads (the real-image code path —
+    decoder="auto" swaps in Pillow's grayscale dHash unchanged);
+    retrieval is the 5-block pigeonhole equi-join, so at 100 TB the
+    cost is 5 narrow keys per image + verification of block
+    collisions, never |corpus|^2. The oracle replays grid, splice,
+    and an all-pairs distance check in SQL, so the hash match
+    certifies RECALL of the planted pairs, not just plumbing."""
+    from ..operators import multimodal as M2
+
+    base = td(spark, sf_dir).select("doc_id", "text")
+    pos = (F.col("doc_id") % F.length("text")).cast("int") + F.lit(1)
+    variants = base.select(
+        (F.col("doc_id") + F.lit(_PHASH_VARIANT_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.col("text").substr(F.lit(1), pos - 1),
+            F.lit("q"),
+            F.col("text").substr(pos + 1, F.length("text"))).alias("text"))
+    u = base.unionByName(variants)
+    fps = M2.phash_binary(M2.with_binary_payload(u, "text"), decoder="stub")
+    return D.fingerprint_hamming_pairs(
+        fps, fp_col="phash", bits=64, max_distance=_PHASH_MAXDIST)

@@ -534,3 +534,18 @@ def test_rrf_fusion_shape(spark):
     assert len([ln for ln in plan.splitlines()
                 if "SortMergeJoin" in ln and "FullOuter" in ln]) == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_phash_retrieval_is_block_equijoin(spark):
+    """dedup_image_phash: candidate retrieval must be the pigeonhole
+    block EQUI-join on (blk, val) — a hash join, never a nested-loop
+    or cartesian pair scan — with both join sides reading the SAME
+    persisted fingerprint frame (InMemoryTableScan on each side, so
+    the mapInPandas fingerprint pass executes once to fill the cache)
+    and the distance check as a post-join filter on bit_count."""
+    plan = _plan(spark, "dedup_image_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+    assert plan.count("InMemoryTableScan") >= 2  # shared persist seam
