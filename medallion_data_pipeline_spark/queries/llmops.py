@@ -4388,3 +4388,101 @@ def dedup_image_phash(spark, sf_dir):
     fps = M2.phash_binary(M2.with_binary_payload(u, "text"), decoder="stub")
     return D.fingerprint_hamming_pairs(
         fps, fp_col="phash", bits=64, max_distance=_PHASH_MAXDIST)
+
+
+# ---------------------------------------------------------------------------
+# q — URL canonicalization + host-capped crawl dedup: real crawls key
+# on URL, not doc_id. The corpus has no URL column, so the query
+# synthesizes one messy raw URL per document in-plan (three rotating
+# mess forms — upper-cased scheme/host + default port + trailing
+# slash, tracking params + fragment, and the clean form — transparent
+# and oracle-replayed, same planted-input design as
+# dedup_image_phash); canonicalization (functions/urls.py, all native
+# regex/array expressions) must collapse each page's raw variants to
+# one canonical identity, exact-dedup keeps the lowest doc_id per
+# canonical URL, and a per-host budget cap (source_budget_cap's
+# WindowGroupLimit shape) keeps the first K pages per host.
+# ---------------------------------------------------------------------------
+
+_CANON_CAP_K = 8
+
+def _canon_url_oracle() -> str:
+    from ..functions import urls as U
+
+    raw = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'http://' || source || '.example.com/page/'
+                         || CAST(doc_id % 50 AS VARCHAR)
+             WHEN 1 THEN 'HTTP://' || upper(source || '.example.com')
+                         || ':80/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+             ELSE 'http://' || source || '.example.com/page/'
+                  || CAST(doc_id % 50 AS VARCHAR)
+                  || '?utm_source=feed&ref=x#top'
+           END AS url
+    FROM documents
+    """
+    return f"""
+WITH raw AS ({raw}),
+canon AS (
+    SELECT doc_id,
+           {U.canonical_url_sql('url')} AS canonical_url,
+           {U.url_host_sql('url')} AS url_host
+    FROM raw
+), dedup AS (
+    SELECT canonical_url, url_host,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_raw
+    FROM canon GROUP BY canonical_url, url_host
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY url_host
+                 ORDER BY keep_id, canonical_url) AS host_rank
+    FROM dedup
+)
+SELECT url_host, canonical_url, keep_id, n_raw, host_rank
+FROM ranked WHERE host_rank <= {_CANON_CAP_K}
+"""
+
+
+@register("dedup_canonical_url", oracle=_canon_url_oracle())
+def dedup_canonical_url(spark, sf_dir):
+    """Canonical-URL crawl dedup + per-host budget: messy raw URLs
+    (synthesized in-plan, three mess forms per page) -> canonical form
+    (scheme/host lowercase, default-port/fragment/tracking-param
+    strip, trailing-slash collapse, sorted query params — every rule a
+    JVM regex/array expression, zero UDFs) -> keep the lowest doc_id
+    per canonical URL -> keep the first K=8 pages per host via the
+    rank-below-the-shuffle WindowGroupLimit shape. The oracle replays
+    the synthesis AND the canonicalization from the shared constants
+    in functions/urls.py, so the hash match certifies each rule. At
+    100 TB this is the crawl-frontier dedup path: one shuffle on
+    canonical_url, one on host — both map-side-combined — and the
+    same canonicalizer runs inside the streaming JSONL shard sink
+    (streaming/ingest.py run_jsonl_ingest canonicalize_url_from=...)."""
+    from pyspark.sql import Window as W
+
+    from ..functions import urls as U
+
+    d = td(spark, sf_dir).select("doc_id", "source")
+    page = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(F.col("source"), F.lit(".example.com"))
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("http://"), base, F.lit("/page/"), page))
+        .when(m == 1, F.concat(
+            F.lit("HTTP://"), F.upper(base), F.lit(":80/page/"), page,
+            F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("http://"), base, F.lit("/page/"), page,
+            F.lit("?utm_source=feed&ref=x#top"))))
+    canon = U.with_canonical_url(
+        d.select("doc_id", url.alias("url")), "url")
+    dedup = canon.groupBy("canonical_url", "url_host").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_raw"))
+    w = W.partitionBy("url_host").orderBy("keep_id", "canonical_url")
+    return (dedup.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= _CANON_CAP_K)
+            .select("url_host", "canonical_url", "keep_id", "n_raw",
+                    "host_rank"))

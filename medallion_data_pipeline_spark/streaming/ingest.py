@@ -254,14 +254,23 @@ def read_jsonl_stream(spark: SparkSession, jsonl_dir: str, schema,
     )
 
 
-def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str]):
+def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str],
+                      canonicalize_url_from: str | None = None):
     """foreachBatch body for crawl-shard ingest: split each
     micro-batch on the corrupt column; good rows take the idempotent
     keyed merge into bronze/<table>; reject rows (raw line + whatever
     fields DID parse) land under audit/<table>_jsonl_rejects/
     batch_id=<n> — a replayed batch rewrites ITS OWN partition dir,
     so rejects are exactly-once over at-least-once delivery without
-    needing a pk they don't have."""
+    needing a pk they don't have.
+
+    ``canonicalize_url_from``: name of a raw-URL column; when set,
+    good rows gain ``canonical_url`` + ``url_host``
+    (functions/urls.py, native expressions) BEFORE the keyed merge —
+    pass ``pk=["canonical_url"]`` and the sink dedups the crawl by
+    canonical page identity as shards land (the same dedup the gated
+    dedup_canonical_url query certifies), with url_host ready for
+    downstream per-host budget caps."""
     from ..sources.jsonl import split_rejects
 
     good_sink = merge_sink(os.path.join(warehouse, "bronze", table), pk)
@@ -270,6 +279,10 @@ def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str]):
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         good, bad = split_rejects(batch_df)
+        if canonicalize_url_from:
+            from ..functions.urls import with_canonical_url
+
+            good = with_canonical_url(good, canonicalize_url_from)
         good_sink(good, batch_id)
         out = os.path.join(rejects_root, f"batch_id={batch_id}")
         bad.write.mode("overwrite").parquet(out)
@@ -280,17 +293,21 @@ def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str]):
 def run_jsonl_ingest(spark: SparkSession, jsonl_dir: str, warehouse: str,
                      table: str, schema, checkpoint_dir: str,
                      pk: list[str],
-                     max_files_per_trigger: int = 1) -> None:
+                     max_files_per_trigger: int = 1,
+                     canonicalize_url_from: str | None = None) -> None:
     """Drain all currently-available crawl shards into bronze/<table>
     (+ the reject audit trail), synchronously. Restart-safe for the
     same reasons as run_csv_ingest; additionally the reject partition
-    scheme keeps the no-pk audit rows idempotent under replay."""
+    scheme keeps the no-pk audit rows idempotent under replay.
+    ``canonicalize_url_from``: see jsonl_bronze_sink — URL-keyed crawl
+    dedup at ingest."""
     stream = read_jsonl_stream(spark, jsonl_dir, schema,
                                max_files_per_trigger)
     q = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(jsonl_bronze_sink(warehouse, table, pk))
+        .foreachBatch(jsonl_bronze_sink(warehouse, table, pk,
+                                        canonicalize_url_from))
         .start()
     )
     try:

@@ -1213,3 +1213,49 @@ def test_doc_chunking_null_text_parity_with_oracle(spark, tmp_path):
     # null + empty text each yield exactly one 0-token chunk
     assert got[(2, 0)][0] == 0 and got[(3, 0)][0] == 0
     assert got[(2, 0)] == got[(3, 0)]
+
+
+def test_url_canonicalization_rules_and_oracle_parity(spark):
+    """functions/urls.py: every canonicalization rule asserted on a
+    fixed edge-case battery, AND the DuckDB dual (built from the same
+    constants) must agree bit-for-bit on all of them — the parity the
+    dedup_canonical_url oracle depends on."""
+    import duckdb
+
+    from medallion_data_pipeline_spark.functions import urls as U
+
+    cases = [
+        # (raw, canonical, host)
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2", "example.com"),
+        ("https://Example.com:443/a/b",
+         "https://example.com/a/b", "example.com"),
+        ("http://example.com", "http://example.com/", "example.com"),
+        ("http://example.com/", "http://example.com/", "example.com"),
+        # non-default port is load-bearing in the URL, stripped in host
+        ("http://example.com:8080/x?gclid=1",
+         "http://example.com:8080/x", "example.com"),
+        ("  https://HOST.net/path///?z=9&utm_campaign=c&y=2&ref=r  ",
+         "https://host.net/path?y=2&z=9", "host.net"),
+        # path case preserved; non-http scheme keeps its port rule out
+        ("ftp://Mixed.Case/Dir/", "ftp://mixed.case/Dir", "mixed.case"),
+        # non-URL strings pass through (minus fragment)
+        ("not a url at all#frag", "not a url at all", ""),
+        ("http://example.com/a?&&a=1&", "http://example.com/a?a=1",
+         "example.com"),
+        ("http://example.com/A/B?b=2&a=1",
+         "http://example.com/A/B?a=1&b=2", "example.com"),
+        ("https://a.b:443", "https://a.b/", "a.b"),
+        ("http://UP.com:80?x=1", "http://up.com/?x=1", "up.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string")
+    got = {r.i: (r.canonical_url, r.url_host)
+           for r in U.with_canonical_url(df, "url").collect()}
+    con = duckdb.connect()
+    for i, (raw, canon, host) in enumerate(cases):
+        assert got[i] == (canon, host), f"spark: {raw!r} -> {got[i]}"
+        duck = con.execute(
+            f"SELECT {U.canonical_url_sql('u')}, {U.url_host_sql('u')} "
+            f"FROM (SELECT ? AS u)", [raw]).fetchone()
+        assert tuple(duck) == (canon, host), f"duck: {raw!r} -> {duck}"

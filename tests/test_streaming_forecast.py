@@ -857,3 +857,55 @@ def test_streaming_cms_accumulates_and_replays_idempotently(spark, tmp_path):
     again = {(r.j, r.b): r.c
              for r in SI.read_cms_counters(spark, wh).collect()}
     assert again == merged
+
+
+def test_streaming_jsonl_url_canonical_dedup(spark, tmp_path):
+    """canonicalize_url_from: crawl shards whose raw URLs differ only
+    in case/port/fragment/tracking-params merge to ONE bronze row per
+    canonical page (pk = canonical_url), later shards win on the same
+    page, and url_host is staged for per-host budget caps. A full
+    replay converges to the same state."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    (land / "s1.json").write_text(
+        '{"url": "HTTP://Example.COM:80/a/?utm_source=x#f", "text": "v1"}\n'
+        '{"url": "https://other.net/b?b=2&a=1", "text": "w1"}\n')
+    wh = str(tmp_path / "wh")
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp1"), pk=["canonical_url"],
+                        canonicalize_url_from="url")
+    first = {r.canonical_url: r.text
+             for r in spark.read.parquet(f"{wh}/bronze/pages").collect()}
+    assert first == {"http://example.com/a": "v1",
+                     "https://other.net/b?a=1&b=2": "w1"}
+
+    # second shard: same two PAGES under differently-messy raw URLs —
+    # the keyed merge must update, not append
+    (land / "s2.json").write_text(
+        '{"url": "http://example.com/a", "text": "v2"}\n'
+        '{"url": "https://other.net/b?a=1&b=2&fbclid=z", "text": "w2"}\n')
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp1"), pk=["canonical_url"],
+                        canonicalize_url_from="url")
+    rows = {r.canonical_url: (r.text, r.url_host)
+            for r in spark.read.parquet(f"{wh}/bronze/pages").collect()}
+    assert rows == {
+        "http://example.com/a": ("v2", "example.com"),
+        "https://other.net/b?a=1&b=2": ("w2", "other.net"),
+    }
+
+    # replay with a fresh checkpoint: identical bronze
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp2"), pk=["canonical_url"],
+                        canonicalize_url_from="url")
+    again = {r.canonical_url: (r.text, r.url_host)
+             for r in spark.read.parquet(f"{wh}/bronze/pages").collect()}
+    assert again == rows
