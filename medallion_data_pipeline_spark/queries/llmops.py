@@ -4486,3 +4486,69 @@ def dedup_canonical_url(spark, sf_dir):
             .filter(F.col("host_rank") <= _CANON_CAP_K)
             .select("url_host", "canonical_url", "keep_id", "n_raw",
                     "host_rank"))
+
+
+# ---------------------------------------------------------------------------
+# q — deterministic global training-order shuffle: the final
+# pre-training step after curriculum_interleave / sequence_packing.
+# Order by md5(salt:seed:doc_id) — no RNG state, any engine and any
+# rerun produces the identical permutation, and changing the seed is
+# a new independent permutation. The global POSITION is computed with
+# the block-offset pattern (event_id_islands' scale path): the first
+# two hex chars of the key bucket rows into 256 ranges whose
+# lexicographic order equals full-key order, row_number runs WITHIN
+# each bucket (parallel), and the only unpartitioned window runs over
+# the 256-row per-bucket counts frame. Plans as one hash shuffle on
+# blk + bounded side frame — never a single-partition sort of the
+# corpus; writing the output sorted by (shuffle_key) for consumption
+# is the same range exchange any global sort pays.
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = 42
+
+
+def training_order(docs, id_col: str = "doc_id", seed: int = _SHUF_SEED):
+    """(train_pos, id, shuffle_key) — the seeded deterministic global
+    permutation of ``docs``."""
+    from pyspark.sql import Window as W
+
+    keyed = docs.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(f"shuf:{seed}:"),
+                       F.col(id_col).cast("string"))).alias("shuffle_key"),
+    ).withColumn("blk", F.substring("shuffle_key", 1, 2))
+    counts = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "blk",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)).alias("offset"))
+    wl = W.partitionBy("blk").orderBy("shuffle_key", id_col)
+    return (keyed.join(F.broadcast(offsets), "blk")
+            .withColumn("train_pos",
+                        F.row_number().over(wl) + F.col("offset"))
+            .select("train_pos", id_col, "shuffle_key"))
+
+
+_SHUF_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5('shuf:{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR))
+               AS shuffle_key
+    FROM documents
+)
+SELECT ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS train_pos,
+       doc_id, shuffle_key
+FROM keyed
+"""
+
+
+@register("training_order_shuffle", oracle=_SHUF_SQL)
+def training_order_shuffle(spark, sf_dir):
+    """Seeded md5 global permutation of the corpus with exact global
+    positions via the 256-bucket block-offset row_number (see
+    training_order). The oracle is the naive global ROW_NUMBER — the
+    hash match proves the distributed position arithmetic equals the
+    single-window definition."""
+    return training_order(td(spark, sf_dir), "doc_id", _SHUF_SEED)

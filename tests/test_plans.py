@@ -549,3 +549,15 @@ def test_phash_retrieval_is_block_equijoin(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan)
     assert plan.count("InMemoryTableScan") >= 2  # shared persist seam
+
+
+def test_training_order_no_global_window(spark):
+    """training_order_shuffle: the corpus-side row_number must run
+    partitioned by the 256 key-prefix buckets; the only
+    SinglePartition exchange feeds the bounded 256-row offsets frame,
+    and no sort of the full corpus crosses one partition."""
+    plan = _plan(spark, "training_order_shuffle")
+    # the offsets window is the bounded one — corpus rows flow through
+    # a hashpartitioning(blk) exchange instead
+    assert "hashpartitioning(blk" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
