@@ -89,3 +89,83 @@ def cms_estimate(words: DataFrame, counters: DataFrame,
     return (coords.join(F.broadcast(counters), ["j", "b"], "left")
             .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
             .groupBy(token_col).agg(F.min("c").alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): the MEMBERSHIP sketch next to CMS's
+# frequency sketch — "have we seen this URL/digest before?" with
+# bounded memory and zero false negatives. Same portable seeded
+# md5-affine family, so construction and probes are bit-reproducible
+# across engines; merge = bitwise OR (idempotent AND commutative, so
+# replayed/overlapping partials are harmless by algebra, one step
+# stronger than CMS's addition).
+#
+# Representation: packed words of BLOOM_W = 32 bits each, (word_idx,
+# bits) rows — at most m/32 rows regardless of item count. 32, not
+# 64: the high mask would be 1 << 63 (the sign bit), and signed-long
+# edge semantics differ enough across engines/formats to not be worth
+# one bit of density. The filter frame is broadcastable by
+# construction; at 100 TB the crawl keeps one per shard epoch and
+# ORs them.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096
+BLOOM_K = 4
+BLOOM_W = 32
+
+
+def bloom_long(items: DataFrame, col: str = "item",
+               m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """(item, j, pos) — each item's k bit positions. Map-only."""
+    w_ = items.withColumn("h", token_hash(F.col(col)))
+    staged = w_.select(col, *[
+        ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.MINHASH_PRIME)
+         % F.lit(m)).alias(f"p{j}")
+        for j, (a, b) in enumerate(X.minhash_params(k))])
+    return staged.select(
+        col,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"), F.col(f"p{j}").alias("pos"))
+            for j in range(k)])).alias("e")
+    ).select(col, "e.j", "e.pos")
+
+
+def bloom_bits(items: DataFrame, col: str = "item",
+               m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """The filter itself: (word_idx, bits) packed words — <= m/32 rows
+    from any input size, one map-side-combined aggregation."""
+    return (bloom_long(items, col, m, k)
+            .select((F.col("pos") / BLOOM_W).cast("long").alias("word_idx"),
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
+            .groupBy("word_idx").agg(F.bit_or("mask").alias("bits")))
+
+
+def merge_bloom(parts: DataFrame) -> DataFrame:
+    """Merge partial filters (any union of (word_idx, bits) frames):
+    bitwise OR IS filter union, and it is idempotent — a partial
+    applied twice changes nothing."""
+    return parts.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(probes: DataFrame, bloom: DataFrame,
+                        col: str = "item", m: int = BLOOM_M,
+                        k: int = BLOOM_K) -> DataFrame:
+    """Membership verdicts for a set of distinct probes: (item,
+    n_hits, might_contain). might_contain=false is DEFINITE absence
+    (zero false negatives by construction); true is presence up to
+    the filter's false-positive rate ~(1 - e^(-nk/m))^k. The filter
+    side is <= m/32 rows and broadcasts; absent words coalesce to 0
+    so probes hashing into never-touched words still get verdicts."""
+    p = bloom_long(probes.select(col).dropDuplicates([col]), col, m, k) \
+        .select(col, "j",
+                (F.col("pos") / BLOOM_W).cast("long").alias("word_idx"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
+    joined = p.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("mask")) != 0).cast("int")
+    return (joined.withColumn("hit", hit)
+            .groupBy(col)
+            .agg(F.sum("hit").alias("n_hits"))
+            .withColumn("might_contain", F.col("n_hits") == k))

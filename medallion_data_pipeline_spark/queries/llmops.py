@@ -4552,3 +4552,98 @@ def training_order_shuffle(spark, sf_dir):
     hash match proves the distributed position arithmetic equals the
     single-window definition."""
     return training_order(td(spark, sf_dir), "doc_id", _SHUF_SEED)
+
+
+# ---------------------------------------------------------------------------
+# q — Bloom-filter membership (Bloom 1970): the MEMBERSHIP sketch
+# next to cms_frequency_sketch's frequency sketch — the crawl
+# pipeline's "seen this digest/URL before?" structure. Filter built
+# over the corpus' exact-dup digests; probed with every present
+# digest (zero false negatives — the filter's provable guarantee,
+# emitted as a certified column) plus 200 synthesized absent probes
+# whose deterministic false-positive outcomes the oracle replays
+# bit-for-bit from the same seeded hash family.
+# ---------------------------------------------------------------------------
+
+_BLOOM_ABSENT = 200
+#: mirrors operators/sketch.py BLOOM_M/K/W (same duplication idiom as
+#: _CMS_D/_CMS_W: the operator module builds Column defaults at import
+#: and so cannot be imported before a SparkContext exists)
+_BLOOM_M, _BLOOM_K, _BLOOM_W = 4096, 4, 32
+
+
+def _bloom_oracle() -> str:
+    params = X.minhash_params(_BLOOM_K)
+    hh = "CAST('0x' || substr(md5(item), 1, 8) AS BIGINT)"
+    poss = ", ".join(
+        f"(({a} * h + {b}) % {X.MINHASH_PRIME}) % {_BLOOM_M} AS p{j}"
+        for j, (a, b) in enumerate(params))
+
+    def unpiv(src):
+        return " UNION ALL ".join(
+            f"SELECT label, item, {j} AS j, p{j} AS pos FROM {src}"
+            for j in range(_BLOOM_K))
+
+    return f"""
+WITH probes AS (
+    SELECT DISTINCT 'present' AS label, md5(text) AS item FROM documents
+    UNION ALL
+    SELECT DISTINCT 'absent', md5('absent:' || CAST(i AS VARCHAR))
+    FROM (SELECT unnest(range(0, {_BLOOM_ABSENT})) AS i)
+), staged AS (
+    SELECT label, item, {poss}
+    FROM (SELECT label, item, {hh} AS h FROM probes)
+), plong AS (
+    {unpiv('staged')}
+), bloom AS (
+    SELECT pos // {_BLOOM_W} AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+    FROM plong WHERE label = 'present' GROUP BY pos // {_BLOOM_W}
+), hits AS (
+    SELECT label, item, j,
+           CASE WHEN (coalesce(b.bits, 0)
+                      & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_W} AS INT)))
+                     <> 0 THEN 1 ELSE 0 END AS hit
+    FROM plong p LEFT JOIN bloom b ON b.word_idx = p.pos // {_BLOOM_W}
+)
+SELECT label, item, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       SUM(hit) = {_BLOOM_K} AS might_contain,
+       (label = 'present' AND SUM(hit) < {_BLOOM_K}) AS fn_violation
+FROM hits GROUP BY label, item
+"""
+
+
+@register("bloom_seen_digests", oracle=_bloom_oracle())
+def bloom_seen_digests(spark, sf_dir):
+    """Bloom membership verdicts for every corpus digest plus 200
+    known-absent probes. The filter is one map-side-combined bit_or
+    aggregation into <= m/32 = 128 packed words no matter the corpus
+    size, and broadcasts into the probe join; fn_violation is the
+    zero-false-negatives guarantee as a certified column (provably
+    all-false), while the absent probes' deterministic false
+    positives — the price of bounded memory, ~(1-e^(-nk/m))^k — are
+    hash-matched rather than asserted, the approx_sketches contract
+    style. Merge across shards/batches is bitwise OR: idempotent, so
+    at-least-once replay needs no bookkeeping at all (one step
+    stronger than CMS's addition); the streaming accumulator is
+    streaming/ingest.py::run_bloom_stream. Filter sizing note: m is
+    FIXED here for determinism; a real crawl sizes m ~ 1.44 * n *
+    log2(1/fpr) bits per epoch and rolls epochs."""
+    from ..operators import sketch as K
+
+    present = td(spark, sf_dir).select(
+        F.lit("present").alias("label"),
+        F.md5(F.col("text")).alias("item")).dropDuplicates(["item"])
+    absent = spark.range(_BLOOM_ABSENT).select(
+        F.lit("absent").alias("label"),
+        F.md5(F.concat(F.lit("absent:"), F.col("id").cast("string")))
+        .alias("item")).dropDuplicates(["item"])
+    probes = present.unionByName(absent)
+
+    bloom = K.bloom_bits(present.select("item"), m=_BLOOM_M, k=_BLOOM_K)
+    out = K.bloom_might_contain(probes.select("item"), bloom,
+                                m=_BLOOM_M, k=_BLOOM_K)
+    return (out.join(probes, "item")
+            .select("label", "item", "n_hits", "might_contain",
+                    ((F.col("label") == "present") & ~F.col("might_contain"))
+                    .alias("fn_violation")))

@@ -368,3 +368,55 @@ def run_cms_stream(spark: SparkSession, docs_dir: str, warehouse: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def bloom_stream_sink(warehouse: str, item_col: str = "item"):
+    """foreachBatch body for a STREAMING Bloom filter over item
+    digests (the crawl's live seen-set): each micro-batch's partial
+    filter (<= m/32 packed words, operators/sketch.py) lands under
+    sketch/bloom/batch_id=<n>. Bitwise OR is idempotent, so replayed
+    batches are harmless twice over — by the partition overwrite AND
+    by the merge algebra itself."""
+    from ..operators import sketch as K
+
+    root = os.path.join(warehouse, "sketch", "bloom")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        items = batch_df.select(F.col(item_col).alias("item"))
+        out = os.path.join(root, f"batch_id={batch_id}")
+        K.bloom_bits(items).write.mode("overwrite").parquet(out)
+
+    return _sink
+
+
+def read_bloom_bits(spark: SparkSession, warehouse: str) -> DataFrame:
+    """The live merged filter: bitwise OR of all per-batch partials."""
+    from ..operators import sketch as K
+
+    root = os.path.join(warehouse, "sketch", "bloom")
+    return K.merge_bloom(spark.read.parquet(root).select("word_idx", "bits"))
+
+
+def run_bloom_stream(spark: SparkSession, docs_dir: str, warehouse: str,
+                     checkpoint_dir: str,
+                     schema="doc_id BIGINT, text STRING",
+                     max_files_per_trigger: int = 1) -> None:
+    """Drain available doc shards into the accumulated seen-digest
+    Bloom filter, synchronously — the streaming twin of
+    bloom_seen_digests' batch construction (items = md5(text))."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(docs_dir)
+        .select(F.md5(F.col("text")).alias("item"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(bloom_stream_sink(warehouse))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -393,3 +393,33 @@ def test_fingerprint_hamming_pairs_pigeonhole_recall(spark):
     # no duplicate pair rows (dict construction would hide them):
     n_rows = fingerprint_hamming_pairs(fp, max_distance=4).count()
     assert n_rows == len(got)
+
+
+def test_bloom_filter_contract(spark):
+    """Bloom operator invariants: zero false negatives (every inserted
+    item reports might_contain), definite-absence verdicts for items
+    with untouched bits, packed-word count bounded by m/32, and
+    merge-by-OR idempotence (a partial applied twice is a no-op)."""
+    from medallion_data_pipeline_spark.operators import sketch as K
+
+    items = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(30)], "item string")
+    bloom = K.bloom_bits(items).persist()
+    assert bloom.count() <= K.BLOOM_M // K.BLOOM_W
+
+    probes = items.unionByName(spark.createDataFrame(
+        [(f"other-{i}",) for i in range(30)], "item string"))
+    got = {r.item: (r.n_hits, r.might_contain)
+           for r in K.bloom_might_contain(probes, bloom).collect()}
+    # no false negatives, ever
+    assert all(got[f"item-{i}"] == (K.BLOOM_K, True) for i in range(30))
+    # with 120 of 4096 bits set, absent probes stay overwhelmingly
+    # negative (deterministic family — this is a fixed outcome)
+    absent_flags = [got[f"other-{i}"][1] for i in range(30)]
+    assert sum(absent_flags) <= 2
+
+    # merge is idempotent: OR-ing the same partial twice changes nothing
+    merged_twice = K.merge_bloom(bloom.unionByName(bloom))
+    a = {(r.word_idx, r.bits) for r in bloom.collect()}
+    b = {(r.word_idx, r.bits) for r in merged_twice.collect()}
+    assert a == b

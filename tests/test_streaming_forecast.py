@@ -909,3 +909,50 @@ def test_streaming_jsonl_url_canonical_dedup(spark, tmp_path):
     again = {r.canonical_url: (r.text, r.url_host)
              for r in spark.read.parquet(f"{wh}/bronze/pages").collect()}
     assert again == rows
+
+
+def test_streaming_bloom_accumulates_and_is_replay_proof(spark, tmp_path):
+    """Streaming Bloom filter: per-batch partial filters OR to exactly
+    the one-shot batch filter of the full digest set; the merged
+    filter reports every streamed digest present and a fresh digest
+    absent; replaying the stream (fresh checkpoint) converges to the
+    same packed words — doubly guaranteed, by partition overwrite AND
+    because OR is idempotent."""
+    from medallion_data_pipeline_spark.operators import sketch as K
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    (land / "s1.json").write_text(
+        '{"doc_id": 1, "text": "spark join scan"}\n'
+        '{"doc_id": 2, "text": "hash join spark"}\n')
+    (land / "s2.json").write_text(
+        '{"doc_id": 3, "text": "scan window spark"}\n')
+    wh = str(tmp_path / "wh")
+
+    SI.run_bloom_stream(spark, str(land), wh, str(tmp_path / "cp1"))
+    merged = {(r.word_idx, r.bits)
+              for r in SI.read_bloom_bits(spark, wh).collect()}
+
+    texts = ["spark join scan", "hash join spark", "scan window spark"]
+    all_items = spark.createDataFrame(
+        [(t,) for t in texts], "text string").select(
+        F.md5("text").alias("item"))
+    batch = {(r.word_idx, r.bits)
+             for r in K.bloom_bits(all_items).collect()}
+    assert merged == batch
+
+    probes = all_items.unionByName(
+        spark.createDataFrame([("never seen",)], "text string")
+        .select(F.md5("text").alias("item")))
+    got = {r.item: r.might_contain for r in K.bloom_might_contain(
+        probes, SI.read_bloom_bits(spark, wh)).collect()}
+    seen = {r.item for r in all_items.collect()}
+    assert all(got[i] for i in seen)
+    fresh = [i for i in got if i not in seen]
+    assert len(fresh) == 1 and not got[fresh[0]]
+
+    SI.run_bloom_stream(spark, str(land), wh, str(tmp_path / "cp2"))
+    again = {(r.word_idx, r.bits)
+             for r in SI.read_bloom_bits(spark, wh).collect()}
+    assert again == merged
