@@ -4647,3 +4647,86 @@ def bloom_seen_digests(spark, sf_dir):
             .select("label", "item", "n_hits", "might_contain",
                     ((F.col("label") == "present") & ~F.col("might_contain"))
                     .alias("fn_violation")))
+
+
+# ---------------------------------------------------------------------------
+# q — HTML -> text extraction (functions/html.py): the step between a
+# crawl shard and the text-quality/dedup tier. The corpus has no HTML
+# column, so the query wraps each document's text in a deterministic
+# page skeleton in-plan (comment + title + script-with-markup-inside
+# + headings + entities + two outlinks, one messy) — transparent
+# planting, oracle-replayed — and extraction must recover the title,
+# the exact prose (digest-certified: heading + doc text + decoded
+# entities + anchor texts), the link count, and the FIRST outlink
+# pushed through the URL canonicalizer (the frontier handoff).
+# ---------------------------------------------------------------------------
+
+def _html_oracle() -> str:
+    from ..functions import html as H
+    from ..functions import urls as U
+
+    synth = """
+    SELECT doc_id,
+           '<html><!-- crawler test --><head><title>Doc '
+           || CAST(doc_id AS VARCHAR)
+           || '</title><script>var p = "<p>hidden</p>";</script></head>'
+           || '<body><h1>Heading</h1><p>' || text
+           || ' &amp; &lt;raw&gt;&nbsp;end</p>'
+           || '<a href="HTTP://' || source || '.Example.COM:80/page/'
+           || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=z&x=1#f">x</a>'
+           || '<a href="https://ref.net/b">y</a></body></html>' AS html
+    FROM documents
+    """
+    return f"""
+WITH raw AS ({synth}),
+ex AS (
+    SELECT doc_id,
+           {H.html_title_sql('html')} AS title,
+           md5({H.html_to_text_sql('html')}) AS text_digest,
+           len({H.html_links_sql('html')}) AS n_links,
+           {H.html_links_sql('html')}[1] AS u
+    FROM raw
+)
+SELECT doc_id, title, text_digest, n_links,
+       {U.canonical_url_sql('u')} AS first_link_canonical
+FROM ex
+"""
+
+
+@register("html_extract_text", oracle=_html_oracle())
+def html_extract_text(spark, sf_dir):
+    """Markup-stripped prose + title + canonicalized first outlink per
+    synthesized page. Map-only: every rule is a codegen'd regex/array
+    expression over the html column — zero UDFs, zero shuffles (the
+    explode-free shape a 100 TB crawl extraction wants: extraction
+    cost IS the scan). The script block deliberately contains markup
+    to prove block-stripping precedes tag-stripping; entities decode
+    AFTER tags so decoded '<raw>' survives as prose; the oracle
+    replays every rule from the shared pattern constants."""
+    from ..functions import html as H
+    from ..functions import urls as U
+
+    d = td(spark, sf_dir).select("doc_id", "source", "text")
+    html = F.concat(
+        F.lit('<html><!-- crawler test --><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script>var p = "<p>hidden</p>";</script></head>'
+              '<body><h1>Heading</h1><p>'),
+        F.col("text"),
+        F.lit(' &amp; &lt;raw&gt;&nbsp;end</p><a href="HTTP://'),
+        F.col("source"),
+        F.lit('.Example.COM:80/page/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('?utm_source=z&x=1#f">x</a><a href="https://ref.net/b">y</a>'
+              '</body></html>'))
+    ex = H.with_html_extraction(
+        d.select("doc_id", html.alias("html")), "html")
+    ex = ex.select(
+        "doc_id", "title",
+        F.md5("text_extracted").alias("text_digest"),
+        F.size("links").alias("n_links"),
+        F.element_at("links", 1).alias("u"))
+    return (U.with_canonical_url(ex, "u", out_col="first_link_canonical",
+                                 host_col=None)
+            .select("doc_id", "title", "text_digest", "n_links",
+                    "first_link_canonical"))

@@ -1259,3 +1259,41 @@ def test_url_canonicalization_rules_and_oracle_parity(spark):
             f"SELECT {U.canonical_url_sql('u')}, {U.url_host_sql('u')} "
             f"FROM (SELECT ? AS u)", [raw]).fetchone()
         assert tuple(duck) == (canon, host), f"duck: {raw!r} -> {duck}"
+
+
+def test_html_extraction_rules_and_oracle_parity(spark):
+    """functions/html.py: block-before-tag stripping (script content
+    with markup inside), comment removal, entity decode order (&amp;
+    last, decode after tag-strip so decoded '<raw>' survives), title
+    and link extraction — asserted on fixed cases AND matched against
+    the DuckDB duals built from the same pattern constants."""
+    import duckdb
+
+    from medallion_data_pipeline_spark.functions import html as H
+
+    cases = [
+        ('<p>Hello <b>world</b></p>', "Hello world", "", 0),
+        ('<head><title> T1 </title></head><body>x</body>', "x", "T1", 0),
+        ('<script>var p="<p>no</p>";</script>after', "after", "", 0),
+        ('<STYLE>p{color:red}</STYLE>kept', "kept", "", 0),
+        ('<!-- <p>gone</p> -->here', "here", "", 0),
+        ('a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;c',
+         'a & b <tag> "q" \'s\' c', "", 0),
+        ('&amp;lt; stays literal', "&lt; stays literal", "", 0),
+        ('<a href="http://x.com/1">one</a><a href="y">two</a>',
+         "one two", "", 2),
+        ('multi\n\n  space\t\ttext', "multi space text", "", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, html string")
+    got = {r.i: (r.text_extracted, r.title, len(r.links))
+           for r in H.with_html_extraction(df, "html").collect()}
+    con = duckdb.connect()
+    for i, (raw, text, title, n_links) in enumerate(cases):
+        assert got[i] == (text, title, n_links), f"spark: {raw!r} -> {got[i]}"
+        duck = con.execute(
+            f"SELECT {H.html_to_text_sql('h')}, {H.html_title_sql('h')}, "
+            f"len({H.html_links_sql('h')}) FROM (SELECT ? AS h)",
+            [raw]).fetchone()
+        assert (duck[0], duck[1], duck[2]) == (text, title, n_links), \
+            f"duck: {raw!r} -> {duck}"
