@@ -811,7 +811,9 @@ def duplicate_span_intervals(docs: DataFrame, text_col: str = "text",
 def fingerprint_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
                               fp_col: str = "phash", bits: int = 64,
                               max_distance: int = 4,
-                              persist_intermediate: bool = True) -> DataFrame:
+                              persist_intermediate: bool = True,
+                              filter_distance: bool = True,
+                              group_identical: bool = False) -> DataFrame:
     """All pairs of fingerprints at Hamming distance <= ``max_distance``
     via pigeonhole block retrieval (Manku/Jain/Das Sarma, WWW'07 — the
     Google simhash-at-scale construction): split the ``bits``-wide
@@ -837,6 +839,24 @@ def fingerprint_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
     Used by the perceptual-image dedup query (dedup_image_phash) over
     operators/multimodal.py::phash_binary fingerprints; works on any
     integer fingerprint column (simhash included).
+    ``filter_distance=False`` returns the raw block-collision
+    candidates (deduped, hamming attached, unfiltered) — the verify
+    workload, for capacity diagnostics (tools/scale_phash.py).
+
+    ``group_identical=True`` is the oversized-clique guard (measured,
+    SCALING.md addendum 14: the replica-grown sf1 corpus has identical-
+    fingerprint groups averaging 7 members, and all-pairs candidates
+    grew at exponent ~2.1 — 14.8M at 100K fingerprints): distinct
+    fingerprints are reduced to their min-id representative first,
+    block retrieval runs over REPRESENTATIVES only, and the result is
+    the union of (a) member -> representative edges at hamming 0 and
+    (b) representative-pair edges within d. That edge set is a
+    SPANNING set, not all pairs — its transitive closure equals the
+    all-pairs graph's (identical members are interchangeable), so it
+    feeds dedup/keep-one and connected-components clustering
+    unchanged, at member-linear + rep-collision cost instead of
+    clique-quadratic. Set it whenever pairs feed clustering rather
+    than being the product themselves.
     """
     if bits > 64:
         raise ValueError(f"bits={bits}: fingerprint must fit a long")
@@ -855,6 +875,18 @@ def fingerprint_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
     fp = fp.select(F.col(id_col).alias("_id"),
                    F.col(fp_col).cast("long").alias("_fp")) \
         .filter(F.col("_fp").isNotNull())
+    member_edges = None
+    if group_identical:
+        reps = fp.groupBy("_fp").agg(F.min("_id").alias("_rep"))
+        if persist_intermediate:
+            reps = reps.persist()
+        member_edges = (
+            fp.join(reps, "_fp")
+            .filter(F.col("_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"),
+                    F.col("_id").alias("id_b"),
+                    F.lit(0).alias("hamming")))
+        fp = reps.select(F.col("_rep").alias("_id"), "_fp")
     if persist_intermediate:
         fp = fp.persist()
 
@@ -873,12 +905,16 @@ def fingerprint_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
                         F.col("_fp").alias("fp_a"), "blk", "val")
     right = keyed.select(F.col("_id").alias("id_b"),
                          F.col("_fp").alias("fp_b"), "blk", "val")
-    return (
+    out = (
         left.join(right, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
                 .alias("hamming"))
-        .filter(F.col("hamming") <= max_distance)
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if filter_distance:
+        out = out.filter(F.col("hamming") <= max_distance)
+    out = out.dropDuplicates(["id_a", "id_b"])
+    if member_edges is not None:
+        out = out.unionByName(member_edges)
+    return out

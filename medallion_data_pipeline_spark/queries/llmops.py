@@ -4730,3 +4730,71 @@ def html_extract_text(spark, sf_dir):
                                  host_col=None)
             .select("doc_id", "title", "text_digest", "n_links",
                     "first_link_canonical"))
+
+
+# ---------------------------------------------------------------------------
+# q — the phash dedup SCALE mode: group_identical=True collapses
+# identical fingerprints to their min-id representative before block
+# retrieval and emits the SPANNING edge set (member->rep at hamming 0
+# + rep pairs within d) instead of all pairs. Measured motivation
+# (SCALING.md addendum 14): on the replica-grown corpora the
+# all-pairs mode's candidates grow at exponent ~2.1 (identical-
+# fingerprint cliques), while the spanning set stays near-linear
+# (5.0K -> 91.6K -> 1.09M edges across sf0.1 -> sf10). The oracle
+# replays the grouping + rep-level all-pairs in SQL, so the hash
+# match certifies the exact edge-set semantics downstream
+# connected-components clustering consumes.
+# ---------------------------------------------------------------------------
+
+_PHASH_GROUPED_SQL = f"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_PHASH_VARIANT_OFFSET},
+           substr(text, 1, CAST(doc_id % length(text) AS INT)) || 'q'
+             || substr(text, CAST(doc_id % length(text) AS INT) + 2) AS text
+    FROM documents
+), fp AS (
+    SELECT doc_id, {_PHASH_FP_SQL} AS phash
+    FROM (SELECT doc_id, {_PHASH_GRID_SQL} AS g FROM u)
+), reps AS (
+    SELECT phash, CAST(MIN(doc_id) AS BIGINT) AS rep
+    FROM fp GROUP BY phash
+), member_edges AS (
+    SELECT r.rep AS id_a, f.doc_id AS id_b, 0 AS hamming
+    FROM fp f JOIN reps r USING (phash) WHERE f.doc_id <> r.rep
+), rep_pairs AS (
+    SELECT a.rep AS id_a, b.rep AS id_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM reps a JOIN reps b ON a.rep < b.rep
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAXDIST}
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM member_edges
+UNION ALL
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM rep_pairs
+"""
+
+
+@register("dedup_image_phash_grouped", oracle=_PHASH_GROUPED_SQL)
+def dedup_image_phash_grouped(spark, sf_dir):
+    """dedup_image_phash's spanning-edge scale mode over the same
+    corpus + planted variants: identical fingerprints collapse before
+    retrieval, so cost is member-linear + representative collisions —
+    the mode to feed keep-one dedup or connected components at crawl
+    scale (transitive closure equals the all-pairs graph's)."""
+    from ..operators import multimodal as M2
+
+    base = td(spark, sf_dir).select("doc_id", "text")
+    pos = (F.col("doc_id") % F.length("text")).cast("int") + F.lit(1)
+    variants = base.select(
+        (F.col("doc_id") + F.lit(_PHASH_VARIANT_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.col("text").substr(F.lit(1), pos - 1),
+            F.lit("q"),
+            F.col("text").substr(pos + 1, F.length("text"))).alias("text"))
+    u = base.unionByName(variants)
+    fps = M2.phash_binary(M2.with_binary_payload(u, "text"), decoder="stub")
+    return D.fingerprint_hamming_pairs(
+        fps, fp_col="phash", bits=64, max_distance=_PHASH_MAXDIST,
+        group_identical=True).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -423,3 +423,53 @@ def test_bloom_filter_contract(spark):
     a = {(r.word_idx, r.bits) for r in bloom.collect()}
     b = {(r.word_idx, r.bits) for r in merged_twice.collect()}
     assert a == b
+
+
+def test_fingerprint_grouped_mode_spans_all_pairs_graph(spark):
+    """group_identical=True must produce a SPANNING edge set: fewer
+    edges than all-pairs on identical-fingerprint cliques, but the
+    same connected components (the contract that lets clustering and
+    keep-one dedup use the linear mode). Crafted input: a 4-member
+    identical clique, a 2-member clique one bit away (merges with the
+    first through rep pairs), and an isolated far fingerprint."""
+    from medallion_data_pipeline_spark.operators.dedup import (
+        fingerprint_hamming_pairs)
+
+    base = 0x0F0F_0F0F_0F0F_0F0F
+    rows = [(1, base), (2, base), (3, base), (4, base),
+            (10, base ^ 1), (11, base ^ 1),
+            (99, 0x7234_5678_9ABC_0000)]
+    fp = spark.createDataFrame(rows, "doc_id long, phash long")
+
+    def components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        for i, _ in rows:
+            find(i)
+        groups = {}
+        for i, _ in rows:
+            groups.setdefault(find(i), set()).add(i)
+        return {frozenset(g) for g in groups.values()}
+
+    all_pairs = [(r.id_a, r.id_b) for r in fingerprint_hamming_pairs(
+        fp, max_distance=4).collect()]
+    spanning = [(r.id_a, r.id_b) for r in fingerprint_hamming_pairs(
+        fp, max_distance=4, group_identical=True).collect()]
+
+    # all-pairs: C(4,2) + C(2,2) + 4*2 cross = 6 + 1 + 8 = 15 edges;
+    # spanning: 3 member edges + 1 member edge + 1 rep pair = 5
+    assert len(all_pairs) == 15
+    assert len(spanning) == 5
+    assert components(all_pairs) == components(spanning) == {
+        frozenset({1, 2, 3, 4, 10, 11}), frozenset({99})}
