@@ -90,7 +90,13 @@ PRIORITY: tuple[str, ...] = (
     "sessionize_events", "asof_last_click", "range_join_followups",
     "funnel_view_click_purchase", "events_tumbling_hour",
     "latest_event_per_user", "weekly_retention_cohorts",
-    "events_gap_fill", "skew_salted_join",
+    # (events_gap_fill moved past the prefix in r13 — its date-spine
+    # sequence + left-join zero-fill shape is already in-prefix via
+    # forecast_seasonal_naive's demand series; its slot goes to
+    # training_order_shuffle, which gates the block-offset distributed
+    # row_number — a shape previously only beyond the prefix in
+    # event_id_islands/quantile tiers)
+    "training_order_shuffle", "skew_salted_join",
     # LLM-data-pipeline tier: dedup / similarity / text / multimodal
     # (dedup_simhash_hamming moved past the prefix in r9 — the
     # Hamming-probe tier stays pinned by
@@ -99,10 +105,21 @@ PRIORITY: tuple[str, ...] = (
     # dedup_embedding_lsh_skew, which hash-gates the round-9
     # oversized-bucket chunk-split's cross-rectangle scoring path on
     # a power-law corpus — the one new execution shape this round)
+    # (dedup_embedding_lsh moved past the prefix in r13 — hyperplane
+    # sign-LSH banding stays in-prefix via dedup_embedding_lsh_skew, a
+    # strict superset shape that adds the oversized-bucket chunk
+    # split; its slot goes to dedup_canonical_url, gating the crawl
+    # tier's regex canonicalization rules + per-host WindowGroupLimit
+    # cap — shapes nothing else in the prefix exercises)
+    # (multimodal_features moved past the prefix in r13 — its
+    # mapInPandas binary-payload plumbing is a strict subset of
+    # dedup_image_phash, which runs the same decode-path batching AND
+    # the pigeonhole Hamming retrieval on top; the planted-pair design
+    # also certifies recall, not just plumbing)
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh_skew",
-    "dedup_ngram_jaccard", "dedup_embedding_lsh",
+    "dedup_ngram_jaccard", "dedup_canonical_url",
     "knn_cosine_bruteforce", "text_analysis",
-    "multimodal_features", "corpus_token_stats", "gopher_quality_filters",
+    "dedup_image_phash", "corpus_token_stats", "gopher_quality_filters",
     # (knn_cosine_lsh moved past the prefix — hyperplane sign-LSH
     # banding is already pinned in-prefix by dedup_embedding_lsh, and
     # the KNN class keeps three gated entries here (bruteforce, IVF,

@@ -4693,7 +4693,7 @@ FROM ex
 """
 
 
-@register("html_extract_text", oracle=_html_oracle())
+@register("html_extract_text", oracle=_html_oracle(), bench=True)
 def html_extract_text(spark, sf_dir):
     """Markup-stripped prose + title + canonicalized first outlink per
     synthesized page. Map-only: every rule is a codegen'd regex/array
@@ -4775,7 +4775,8 @@ SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM rep_pairs
 """
 
 
-@register("dedup_image_phash_grouped", oracle=_PHASH_GROUPED_SQL)
+@register("dedup_image_phash_grouped", oracle=_PHASH_GROUPED_SQL,
+          bench=True)
 def dedup_image_phash_grouped(spark, sf_dir):
     """dedup_image_phash's spanning-edge scale mode over the same
     corpus + planted variants: identical fingerprints collapse before
