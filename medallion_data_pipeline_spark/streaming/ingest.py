@@ -255,7 +255,8 @@ def read_jsonl_stream(spark: SparkSession, jsonl_dir: str, schema,
 
 
 def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str],
-                      canonicalize_url_from: str | None = None):
+                      canonicalize_url_from: str | None = None,
+                      host_budget: int | None = None):
     """foreachBatch body for crawl-shard ingest: split each
     micro-batch on the corrupt column; good rows take the idempotent
     keyed merge into bronze/<table>; reject rows (raw line + whatever
@@ -270,19 +271,63 @@ def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str],
     pass ``pk=["canonical_url"]`` and the sink dedups the crawl by
     canonical page identity as shards land (the same dedup the gated
     dedup_canonical_url query certifies), with url_host ready for
-    downstream per-host budget caps."""
+    downstream per-host budget caps.
+
+    ``host_budget=N`` (requires ``canonicalize_url_from``) enforces
+    the per-host cap ACROSS batches: bronze never holds more than N
+    pages per url_host. Updates to already-present keys pass freely
+    (they consume no new capacity — which also makes replays no-ops);
+    new keys are ranked deterministically per host (pk order) and
+    admitted up to the host's remaining capacity; the overflow lands
+    under audit/<table>_host_capped/batch_id=<n> — the same
+    partition-overwrite idempotence as the reject trail. The batch
+    query dedup_canonical_url certifies the one-shot form of this
+    cap; here the count lookup is a per-host aggregate of bronze
+    (at 100 TB: a maintained per-host count table updated in the
+    same transaction)."""
     from ..sources.jsonl import split_rejects
 
-    good_sink = merge_sink(os.path.join(warehouse, "bronze", table), pk)
+    target = os.path.join(warehouse, "bronze", table)
+    good_sink = merge_sink(target, pk)
     rejects_root = os.path.join(warehouse, "audit",
                                 f"{table}_jsonl_rejects")
+    capped_root = os.path.join(warehouse, "audit", f"{table}_host_capped")
+    if host_budget is not None and not canonicalize_url_from:
+        raise ValueError("host_budget requires canonicalize_url_from")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
         good, bad = split_rejects(batch_df)
         if canonicalize_url_from:
             from ..functions.urls import with_canonical_url
 
             good = with_canonical_url(good, canonicalize_url_from)
+        if host_budget is not None:
+            spark = batch_df.sparkSession
+            if os.path.isdir(target):
+                existing = spark.read.parquet(target)
+                keys = existing.select(*pk).dropDuplicates(pk)
+                upd = good.join(keys, pk, "left_semi")
+                new = good.join(keys, pk, "left_anti")
+                counts = existing.groupBy("url_host").agg(
+                    F.count(F.lit(1)).alias("_have"))
+                new = new.join(F.broadcast(counts), "url_host", "left")
+            else:
+                upd, new = good.limit(0), good.withColumn("_have", F.lit(0))
+            ranked = (
+                new.withColumn("_have", F.coalesce("_have", F.lit(0)))
+                .withColumn("_rk", F.row_number().over(
+                    W.partitionBy("url_host").orderBy(*pk))))
+            over = F.col("_rk") + F.col("_have") > host_budget
+            # audit the overflow BEFORE the merge mutates the target
+            # path the lineage above reads (same self-read guard as
+            # merge_sink's staging rename)
+            ranked.filter(over).drop("_rk", "_have").write \
+                .mode("overwrite") \
+                .parquet(os.path.join(capped_root, f"batch_id={batch_id}"))
+            good = upd.unionByName(ranked.filter(~over)
+                                   .drop("_rk", "_have"))
         good_sink(good, batch_id)
         out = os.path.join(rejects_root, f"batch_id={batch_id}")
         bad.write.mode("overwrite").parquet(out)
@@ -294,20 +339,23 @@ def run_jsonl_ingest(spark: SparkSession, jsonl_dir: str, warehouse: str,
                      table: str, schema, checkpoint_dir: str,
                      pk: list[str],
                      max_files_per_trigger: int = 1,
-                     canonicalize_url_from: str | None = None) -> None:
+                     canonicalize_url_from: str | None = None,
+                     host_budget: int | None = None) -> None:
     """Drain all currently-available crawl shards into bronze/<table>
     (+ the reject audit trail), synchronously. Restart-safe for the
     same reasons as run_csv_ingest; additionally the reject partition
     scheme keeps the no-pk audit rows idempotent under replay.
-    ``canonicalize_url_from``: see jsonl_bronze_sink — URL-keyed crawl
-    dedup at ingest."""
+    ``canonicalize_url_from`` / ``host_budget``: see
+    jsonl_bronze_sink — URL-keyed crawl dedup + per-host cap at
+    ingest."""
     stream = read_jsonl_stream(spark, jsonl_dir, schema,
                                max_files_per_trigger)
     q = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(jsonl_bronze_sink(warehouse, table, pk,
-                                        canonicalize_url_from))
+                                        canonicalize_url_from,
+                                        host_budget))
         .start()
     )
     try:

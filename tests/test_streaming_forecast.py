@@ -956,3 +956,61 @@ def test_streaming_bloom_accumulates_and_is_replay_proof(spark, tmp_path):
     again = {(r.word_idx, r.bits)
              for r in SI.read_bloom_bits(spark, wh).collect()}
     assert again == merged
+
+
+def test_streaming_jsonl_host_budget_cap(spark, tmp_path):
+    """host_budget: bronze never exceeds N pages per host across
+    batches — new keys admitted deterministically (pk order) up to
+    remaining capacity, overflow lands in the host_capped audit
+    trail, UPDATES to present keys pass freely, and a replay
+    converges (updates consume no capacity)."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    kw = dict(pk=["canonical_url"], canonicalize_url_from="url",
+              host_budget=2)
+    (land / "s1.json").write_text(
+        '{"url": "http://a.com/1", "text": "a1"}\n'
+        '{"url": "http://a.com/2", "text": "a2"}\n'
+        '{"url": "http://b.net/1", "text": "b1"}\n')
+    wh = str(tmp_path / "wh")
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp1"), **kw)
+    bronze = f"{wh}/bronze/pages"
+    got = {r.canonical_url: r.text
+           for r in spark.read.parquet(bronze).collect()}
+    assert got == {"http://a.com/1": "a1", "http://a.com/2": "a2",
+                   "http://b.net/1": "b1"}
+
+    # batch 2: a.com FULL -> /3 and /4 overflow to the audit trail;
+    # the update to /1 passes; b.net takes one more then is full
+    (land / "s2.json").write_text(
+        '{"url": "http://a.com/3", "text": "a3"}\n'
+        '{"url": "http://a.com/4", "text": "a4"}\n'
+        '{"url": "http://a.com/1", "text": "a1 v2"}\n'
+        '{"url": "http://b.net/2", "text": "b2"}\n')
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp1"), **kw)
+    got = {r.canonical_url: r.text
+           for r in spark.read.parquet(bronze).collect()}
+    assert got == {"http://a.com/1": "a1 v2", "http://a.com/2": "a2",
+                   "http://b.net/1": "b1", "http://b.net/2": "b2"}
+    capped = sorted(
+        r.canonical_url for r in
+        spark.read.parquet(f"{wh}/audit/pages_host_capped").collect())
+    assert capped == ["http://a.com/3", "http://a.com/4"]
+
+    # replay from scratch: keepers are already present -> updates,
+    # no capacity consumed; bronze unchanged
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp2"), **kw)
+    again = {r.canonical_url: r.text
+             for r in spark.read.parquet(bronze).collect()}
+    assert again == got
