@@ -918,3 +918,70 @@ def fingerprint_hamming_pairs(fp: DataFrame, id_col: str = "doc_id",
     if member_edges is not None:
         out = out.unionByName(member_edges)
     return out
+
+
+def phash_incremental_flags(index_fp: DataFrame, new_fp: DataFrame,
+                            id_col: str = "doc_id", fp_col: str = "phash",
+                            bits: int = 64,
+                            max_distance: int = 4) -> DataFrame:
+    """Flag perceptual near-duplicates in an INCOMING fingerprint
+    batch against a maintained index — the image twin of
+    incremental_near_duplicates: the index side contributes only its
+    (id, fingerprint) rows (a maintained table, appended as batches
+    are accepted, never recomputed), candidates come from the same
+    pigeonhole block equi-join as fingerprint_hamming_pairs (d+1 keys
+    per fingerprint), index-vs-index pairs are structurally excluded
+    (the probe side is new fingerprints only), and new-vs-new keeps
+    the lower-id-wins convention so exactly one of two identical
+    incoming images is flagged.
+
+    Returns one row per flagged new id: (id, dup_of, hamming) — its
+    BEST match (lowest distance, ties to the lowest id) among index
+    fingerprints and lower-id batch fingerprints. Unflagged new ids
+    are the keepers. Block keys are recomputed from the fingerprint
+    in-plan (pure shift/mask — the index stores only (id, phash))."""
+    nb = max_distance + 1
+    base, rem = divmod(bits, nb)
+    blocks = []
+    lo = 0
+    for i in range(nb):
+        width = base + (1 if i < rem else 0)
+        blocks.append((i, lo, width))
+        lo += width
+
+    def keyed(df, side):
+        f = df.select(F.col(id_col).alias(f"id_{side}"),
+                      F.col(fp_col).cast("long").alias(f"fp_{side}")) \
+            .filter(F.col(f"fp_{side}").isNotNull())
+
+        def block_val(lo_, w):
+            sh = (F.shiftrightunsigned(F.col(f"fp_{side}"), lo_)
+                  if lo_ else F.col(f"fp_{side}"))
+            return sh.bitwiseAND(F.lit((1 << w) - 1))
+
+        return f.select(
+            f"id_{side}", f"fp_{side}",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("blk"), block_val(lo_, w).alias("val"))
+                for i, lo_, w in blocks])).alias("k"),
+        ).select(f"id_{side}", f"fp_{side}", "k.blk", "k.val")
+
+    probe = keyed(new_fp, "n")
+    corpus = keyed(index_fp, "c").withColumn("_idx", F.lit(True)) \
+        .unionByName(keyed(new_fp, "c").withColumn("_idx", F.lit(False)))
+    cand = (
+        probe.join(corpus, ["blk", "val"])
+        .filter(F.col("_idx") | (F.col("id_c") < F.col("id_n")))
+        .select("id_n", "id_c",
+                F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_c")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_n", "id_c"])
+    )
+    from pyspark.sql.window import Window as W
+
+    best = F.row_number().over(
+        W.partitionBy("id_n").orderBy(F.asc("hamming"), F.asc("id_c")))
+    return (cand.withColumn("_rk", best).filter(F.col("_rk") == 1)
+            .select(F.col("id_n").alias(id_col),
+                    F.col("id_c").alias("dup_of"), "hamming"))

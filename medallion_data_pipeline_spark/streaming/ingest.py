@@ -468,3 +468,86 @@ def run_bloom_stream(spark: SparkSession, docs_dir: str, warehouse: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def phash_ingest_sink(warehouse: str, max_distance: int = 4):
+    """foreachBatch sink for CONTINUOUS media ingest with incremental
+    PERCEPTUAL dedup — the image twin of dedup_ingest_sink: each
+    micro-batch's payloads are fingerprinted once (stub dHash here;
+    decoder="auto" swaps in Pillow unchanged), probed against the
+    maintained (doc_id, phash) index via
+    operators/dedup.py::phash_incremental_flags (pigeonhole blocks —
+    per-batch cost is batch size + block collisions, the corpus is
+    never re-fingerprinted); survivors land in the media table AND
+    their fingerprints in the index, so the next batch probes an
+    index that already includes them. Flagged near-dups go to
+    audit/media_phash_dups/batch_id=<n> (partition-overwrite
+    idempotent) with their best match and distance.
+
+    Maintained tables under ``warehouse``:
+      - ``silver/media_docs``          accepted rows (doc_id, text)
+      - ``silver/media_phash_index``   their (doc_id, phash) rows
+
+    Idempotent over at-least-once replay: already-accepted doc_ids
+    drop before probing. At 100 TB both appends become transactional
+    table commits; probe and admission logic are unchanged."""
+    from ..operators.dedup import phash_incremental_flags
+    from ..operators.multimodal import phash_binary, with_binary_payload
+
+    docs_path = os.path.join(warehouse, "silver", "media_docs")
+    idx_path = os.path.join(warehouse, "silver", "media_phash_index")
+    dups_root = os.path.join(warehouse, "audit", "media_phash_dups")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        have = os.path.isdir(docs_path)
+        if have:
+            batch = batch.join(
+                spark.read.parquet(docs_path).select("doc_id"),
+                "doc_id", "left_anti")
+        # one fingerprint pass per batch; EAGER checkpoint because the
+        # lineage includes the replay guard's read of docs_path, and
+        # the index append below runs after keepers were appended
+        # there (same self-read guard as dedup_ingest_sink)
+        fps = phash_binary(with_binary_payload(batch, "text"),
+                           decoder="stub").localCheckpoint(eager=True)
+        idx = (spark.read.parquet(idx_path) if os.path.isdir(idx_path)
+               else spark.createDataFrame([], "doc_id long, phash long"))
+        flagged = phash_incremental_flags(
+            idx, fps, max_distance=max_distance).localCheckpoint(eager=True)
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(dups_root, f"batch_id={batch_id}"))
+        keep_fps = fps.join(flagged.select("doc_id"), "doc_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        keepers = batch.join(keep_fps.select("doc_id"), "doc_id",
+                             "left_semi").localCheckpoint(eager=True)
+        keepers.write.mode("append").parquet(docs_path)
+        keep_fps.select("doc_id", "phash").write.mode("append") \
+            .parquet(idx_path)
+
+    return _sink
+
+
+def run_phash_ingest(spark: SparkSession, docs_dir: str, warehouse: str,
+                     checkpoint_dir: str,
+                     schema="doc_id BIGINT, text STRING",
+                     max_distance: int = 4,
+                     max_files_per_trigger: int = 1) -> None:
+    """Drain available media shards through the incremental perceptual
+    dedup sink, synchronously."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(docs_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(phash_ingest_sink(warehouse, max_distance))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -473,3 +473,29 @@ def test_fingerprint_grouped_mode_spans_all_pairs_graph(spark):
     assert len(spanning) == 5
     assert components(all_pairs) == components(spanning) == {
         frozenset({1, 2, 3, 4, 10, 11}), frozenset({99})}
+
+
+def test_phash_incremental_flags_contract(spark):
+    """phash_incremental_flags: index-vs-index pairs structurally
+    excluded, new-vs-index flags at any id order, new-vs-new keeps
+    the lower id, the BEST match wins (min distance, then min id),
+    and clean fingerprints pass unflagged."""
+    from medallion_data_pipeline_spark.operators.dedup import (
+        phash_incremental_flags)
+
+    base = 0x0F0F_0F0F_0F0F_0F0F
+    idx = spark.createDataFrame(
+        [(10, base), (11, base ^ 1)], "doc_id long, phash long")
+    new = spark.createDataFrame(
+        [(1, base),                      # lower id than index: still flagged
+         (20, base ^ 3),                 # d=2 to base, d=1 to base^1 -> 11
+         (21, base ^ 3),                 # also matches 20 at d=0 -> 20 wins
+         (30, 0x7234_5678_9ABC_0000)],   # far from everything
+        "doc_id long, phash long")
+    got = {r.doc_id: (r.dup_of, r.hamming)
+           for r in phash_incremental_flags(idx, new).collect()}
+    assert got[1] == (10, 0)
+    assert got[20] == (11, 1)
+    assert got[21] == (20, 0)    # min distance beats the index match
+    assert 30 not in got
+    assert set(got) == {1, 20, 21}

@@ -1014,3 +1014,55 @@ def test_streaming_jsonl_host_budget_cap(spark, tmp_path):
     again = {r.canonical_url: r.text
              for r in spark.read.parquet(bronze).collect()}
     assert again == got
+
+
+def test_streaming_phash_incremental_dedup(spark, tmp_path):
+    """Incremental perceptual dedup: a 1-char variant arriving in a
+    LATER batch is flagged against the maintained fingerprint index
+    (dup_of = the accepted original, hamming <= 4); within-batch
+    variants keep the lower id; distinct texts pass; the index holds
+    exactly the keepers' fingerprints; a full replay converges."""
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    base = ("key agg row scan slow fast table value part hash value "
+            "table part a row fast merge batch part value line")
+    other = ("window merge spark merge batch table a big a join batch "
+             "table window big the join line agg small slow value row")
+    third = ("filter group sort shuffle spill cache limit scan probe "
+             "build stage task core node rack disk page block byte row")
+    variant = base[:9] + "q" + base[10:]
+
+    land = tmp_path / "media"
+    land.mkdir()
+    import json as _json
+    (land / "s1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": base}) + "\n"
+        + _json.dumps({"doc_id": 2, "text": other}) + "\n")
+    wh = str(tmp_path / "wh")
+    SI.run_phash_ingest(spark, str(land), wh, str(tmp_path / "cp1"))
+
+    docs = f"{wh}/silver/media_docs"
+    idx = f"{wh}/silver/media_phash_index"
+    assert {r.doc_id for r in spark.read.parquet(docs).collect()} == {1, 2}
+
+    # batch 2: a perceptual variant of doc 1 (cross-batch flag) and
+    # two within-batch copies of a NEW text (lower id kept)
+    (land / "s2.json").write_text(
+        _json.dumps({"doc_id": 3, "text": variant}) + "\n"
+        + _json.dumps({"doc_id": 5, "text": third}) + "\n"
+        + _json.dumps({"doc_id": 4, "text": third}) + "\n")
+    SI.run_phash_ingest(spark, str(land), wh, str(tmp_path / "cp1"))
+
+    kept = {r.doc_id for r in spark.read.parquet(docs).collect()}
+    assert kept == {1, 2, 4}
+    flags = {r.doc_id: (r.dup_of, r.hamming) for r in
+             spark.read.parquet(f"{wh}/audit/media_phash_dups").collect()}
+    assert flags[3][0] == 1 and flags[3][1] <= 4    # cross-batch
+    assert flags[5] == (4, 0)                       # within-batch, lower id
+    idx_ids = {r.doc_id for r in spark.read.parquet(idx).collect()}
+    assert idx_ids == kept
+
+    # full replay, fresh checkpoint: same state
+    SI.run_phash_ingest(spark, str(land), wh, str(tmp_path / "cp2"))
+    assert {r.doc_id for r in spark.read.parquet(docs).collect()} == kept
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == kept
