@@ -4799,3 +4799,74 @@ def dedup_image_phash_grouped(spark, sf_dir):
         fps, fp_col="phash", bits=64, max_distance=_PHASH_MAXDIST,
         group_identical=True).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# q — distributed BPE vocabulary training (Sennrich 2016): the real
+# merge-learning loop next to the regex BPE-ish token counter. Runs
+# on the distinct-word table (Heaps-law-small vs the corpus); each of
+# the 8 iterations is one adjacent-pair count shuffle + a single-row
+# argmax collect (the k-means/PageRank bounded-driver-round-trip
+# pattern). The oracle UNROLLS the identical 8 iterations as chained
+# CTEs — segmentation, pair stats (overlap-counting Sennrich rule),
+# deterministic argmax (count desc, then lexicographic), and the
+# non-overlapping left-to-right replace that IS the merge rule in
+# both engines — so the hash match certifies the whole training
+# trajectory, not just the final vocab.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    parts = [f"""w0 AS (
+    SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_SQL_WORDS.format("text")}) AS word
+          FROM documents)
+    GROUP BY word
+)"""]
+    for k in range(_BPE_MERGES):
+        parts.append(f"""s{k} AS (
+    SELECT s, cnt, CAST(unnest(range(1, len(s))) AS INT) AS i
+    FROM (SELECT string_split(w, ' ') AS s, cnt FROM w{k})
+), p{k} AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS n
+    FROM s{k} GROUP BY a, b
+), b{k} AS (
+    SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1
+), w{k + 1} AS (
+    SELECT replace(w, a || ' ' || b, a || b) AS w, cnt
+    FROM w{k} CROSS JOIN b{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS step, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(_BPE_MERGES))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark, sf_dir):
+    """The first 8 learned BPE merges over the corpus vocabulary:
+    (step, left_sym, right_sym, merged, pair_count). Training state
+    is the segmented distinct-word frame, cached and re-cached per
+    merge; the driver sees exactly one row per iteration. At 100 TB
+    the word table is the Heaps-law vocabulary (millions of rows, not
+    corpus-sized) and each iteration is one map-side-combined pair
+    count — the loop's cost profile matches the other iterative
+    flagships. (A corpus whose words exhaust into single symbols
+    before 8 merges would stop early; this corpus cannot — pinned by
+    the row count.)"""
+    from ..operators import bpe as B
+
+    wc = (td(spark, sf_dir)
+          .select(F.explode(X.words(F.col("text"))).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    merges, words = B.bpe_train(wc, _BPE_MERGES)
+    words.unpersist()
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count long")

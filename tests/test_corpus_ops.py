@@ -1297,3 +1297,52 @@ def test_html_extraction_rules_and_oracle_parity(spark):
             [raw]).fetchone()
         assert (duck[0], duck[1], duck[2]) == (text, title, n_links), \
             f"duck: {raw!r} -> {duck}"
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed trainer must reproduce a from-scratch Python
+    BPE (Sennrich counting: every adjacent occurrence, overlaps
+    included; argmax by count then lexicographic pair; merge =
+    non-overlapping left-to-right replace) on the classic
+    low/lower/newest/widest corpus — merges AND final segmentations.
+    bpe_segment then re-derives the same segmentation from raw words
+    with the learned merge list."""
+    from medallion_data_pipeline_spark.operators import bpe as B
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def py_bpe(wc, n):
+        words = {" ".join(w): c for w, c in wc.items()}
+        merges = []
+        for _ in range(n):
+            counts = {}
+            for w, c in words.items():
+                syms = w.split(" ")
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = \
+                        counts.get((syms[i], syms[i + 1]), 0) + c
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), n_ = best
+            merges.append((a, b, a + b, n_))
+            words = {w.replace(f"{a} {b}", a + b): c
+                     for w, c in words.items()}
+        return merges, words
+
+    exp_merges, exp_words = py_bpe(corpus, 6)
+
+    wc = spark.createDataFrame(list(corpus.items()), "word string, cnt long")
+    merges, words = B.bpe_train(wc, 6)
+    got = [(m["left"], m["right"], m["merged"], m["pair_count"])
+           for m in merges]
+    assert got == exp_merges
+    assert {r.w: r.cnt for r in words.collect()} == exp_words
+
+    # the shipped tokenizer reproduces training-time segmentation
+    raw = spark.createDataFrame(
+        [(w,) for w in corpus], "word string").select(
+        "word", B.bpe_segment(F.col("word"), merges).alias("seg"))
+    seg = {r.word: r.seg for r in raw.collect()}
+    assert seg == {k.replace(" ", ""): k for k in exp_words}
+    words.unpersist()
