@@ -561,3 +561,40 @@ def test_training_order_no_global_window(spark):
     # a hashpartitioning(blk) exchange instead
     assert "hashpartitioning(blk" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_canonical_url_host_cap_plan_shape(spark):
+    """dedup_canonical_url: canonicalization is pure expression work
+    (zero Python), the per-host rank<=K runs in the map-side
+    WindowGroupLimit shape (Partial prune below the exchange, the
+    source_budget_cap contract), and the only shuffles are the
+    canonical-key dedup agg and the host rank."""
+    plan = _plan(spark, "dedup_canonical_url")
+    assert "EvalPython" not in plan
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert plan.index(", Partial") > plan.index("Exchange hashpartitioning")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bloom_query_broadcasts_filter(spark):
+    """bloom_seen_digests: the <=128-row packed filter must broadcast
+    into the probe join (never sort-merge), with zero Python stages —
+    construction and probes are pure bit arithmetic."""
+    plan = _plan(spark, "bloom_seen_digests")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_html_extraction_is_pure_map(spark):
+    """html_extract_text: extraction cost IS the scan — no data
+    shuffle of any kind (the 100 TB crawl-extraction contract), zero
+    Python. The one RoundRobin exchange is td()'s local
+    one-row-group layout spread (see test_gopher_filters_single_
+    shuffle), not query data movement."""
+    plan = _plan(spark, "html_extract_text")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") == 0
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert plan.count("Exchange RoundRobinPartitioning") == 1
+    assert "EvalPython" not in plan
