@@ -4818,7 +4818,9 @@ def dedup_image_phash_grouped(spark, sf_dir):
 _BPE_MERGES = 8
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> str:
+    """The shared training CTE chain (w0..w8, p/b per step) — used by
+    both the trainer oracle and the apply oracle."""
     parts = [f"""w0 AS (
     SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
            CAST(COUNT(*) AS BIGINT) AS cnt
@@ -4839,11 +4841,15 @@ def _bpe_oracle() -> str:
     SELECT replace(w, a || ' ' || b, a || b) AS w, cnt
     FROM w{k} CROSS JOIN b{k}
 )""")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k + 1} AS step, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM b{k}"
         for k in range(_BPE_MERGES))
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + _bpe_ctes() + "\n" + union
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle())
@@ -4870,3 +4876,60 @@ def bpe_train_merges(spark, sf_dir):
          for m in merges],
         "step int, left_sym string, right_sym string, merged string, "
         "pair_count long")
+
+
+# ---------------------------------------------------------------------------
+# q — BPE tokenization with the learned vocabulary: per-document BPE
+# token counts under the 8 merges bpe_train_merges learns. The oracle
+# re-derives the merges (the same unrolled CTE chain) and applies
+# them as 8 chained scalar replaces CROSS JOINed from the 1-row
+# argmax CTEs — so the hash match certifies train AND apply, end to
+# end. The whitespace/BPE-ish regex counters (text_analysis) remain
+# the cheap estimators; this is the exact count under a trained
+# subword vocabulary — the number a token-budgeted training mix
+# actually needs.
+# ---------------------------------------------------------------------------
+
+def _bpe_apply_oracle() -> str:
+    seg = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    for k in range(_BPE_MERGES):
+        seg = (f"replace({seg}, b{k}.a || ' ' || b{k}.b, "
+               f"b{k}.a || b{k}.b)")
+    crosses = " ".join(f"CROSS JOIN b{k}" for k in range(_BPE_MERGES))
+    return f"""
+WITH {_bpe_ctes()},
+doc_tokens AS (
+    SELECT doc_id, unnest({_SQL_WORDS.format("text")}) AS word
+    FROM documents
+),
+seg AS (
+    SELECT doc_id, len(string_split({seg}, ' ')) AS n
+    FROM doc_tokens {crosses}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+FROM seg GROUP BY doc_id
+"""
+
+
+@register("bpe_token_counts", oracle=_bpe_apply_oracle())
+def bpe_token_counts(spark, sf_dir):
+    """Exact per-document token counts under the trained 8-merge BPE
+    vocabulary: (doc_id, n_words, n_bpe_tokens). Training reuses
+    bpe_train (8 bounded driver round-trips over the vocab table);
+    application is pure expression work — segment + 8 literal
+    replaces + a size(), one per-doc aggregation shuffle. At 100 TB
+    the merge list is a driver-side constant (hundreds of entries for
+    a real vocab) compiled into the scan."""
+    from ..operators import bpe as B
+
+    d = td(spark, sf_dir).select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("word"))
+    wc = d.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges, words = B.bpe_train(wc, _BPE_MERGES)
+    words.unpersist()
+    seg = B.bpe_segment(F.col("word"), merges)
+    return (d.withColumn("n", F.size(F.split(seg, " ")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n").alias("n_bpe_tokens")))
