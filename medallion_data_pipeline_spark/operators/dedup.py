@@ -985,3 +985,72 @@ def phash_incremental_flags(index_fp: DataFrame, new_fp: DataFrame,
     return (cand.withColumn("_rk", best).filter(F.col("_rk") == 1)
             .select(F.col("id_n").alias(id_col),
                     F.col("id_c").alias("dup_of"), "hamming"))
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold: float = 0.8,
+                      persist_intermediate: bool = True) -> DataFrame:
+    """Ordered near-CONTAINMENT pairs: (contained, container,
+    containment, jaccard) where containment(A in B) =
+    |S_A ∩ S_B| / |S_A| >= threshold over distinct k-word shingles —
+    the quote/snippet/subset relation symmetric Jaccard dedup misses
+    (a 40% excerpt of a long page has Jaccard ~0.4 but containment
+    1.0).
+
+    Scale shape — the asymmetric prefix filter, EXACT recall by
+    pigeonhole: order each doc's shingle-hash set globally (the md5
+    image is the canonical order, portable to the oracle); if
+    C(A,B) >= t then |A ∩ B| >= ceil(t·|A|), so B must contain at
+    least one of A's p = |A| - ceil(t·|A|) + 1 smallest hashes —
+    missing all of them caps the intersection at ceil(t·|A|) - 1.
+    Candidates therefore come from joining each doc's p-element
+    PREFIX against the full inverted index (token-linear, the BM25
+    shape), never prefix-vs-prefix (which is the symmetric-Jaccard
+    filter and would lose recall here) and never all-pairs.
+    ceil(t·|A|) is exact integer arithmetic ((4·|A| + 4) div 5 at
+    t = 0.8) — never floor-of-double (the layout-tier lesson).
+    Verification is one array_intersect per candidate pair."""
+    # threshold as an exact rational over 100 so every comparison is
+    # integer arithmetic in both engines
+    frac_num, frac_den = int(round(threshold * 100)), 100
+
+    staged = _staged_shingles(docs, text_col, id_col, k, min_tokens=k)
+    sets = staged.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(X.shingle_ints(F.col("shingles"))).alias("xs"),
+    ).filter(F.size("xs") >= 1)
+    if persist_intermediate:
+        sets = sets.persist()
+
+    lf = sets.select("id", F.explode("xs").alias("h"))
+    from pyspark.sql.window import Window as W
+
+    # ceil(t*sz) = (num*sz + den - 1) div den, exact integers
+    sz = F.size("xs")
+    p = sz - F.expr(
+        f"(({frac_num} * size(xs)) + {frac_den} - 1) div {frac_den}"
+    ).cast("int") + F.lit(1)
+    prefix = (sets.select("id", p.alias("p"), F.explode("xs").alias("h"))
+              .withColumn("_rk", F.row_number().over(
+                  W.partitionBy("id").orderBy("h")))
+              .filter(F.col("_rk") <= F.col("p"))
+              .select(F.col("id").alias("id_a"), "h"))
+    cand = (prefix.join(lf.select(F.col("id").alias("id_b"), "h"), "h")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+
+    a = sets.select(F.col("id").alias("id_a"), F.col("xs").alias("xa"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("xs").alias("xb"))
+    inter = F.size(F.array_intersect("xa", "xb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("_i", inter)
+            .filter(F.col("_i") * frac_den >= F.lit(frac_num) * F.size("xa"))
+            .select(
+                F.col("id_a").alias("contained"),
+                F.col("id_b").alias("container"),
+                F.round(F.col("_i").cast("double") / F.size("xa"), 6)
+                .alias("containment"),
+                F.round(F.col("_i").cast("double")
+                        / (F.size("xa") + F.size("xb") - F.col("_i")), 6)
+                .alias("jaccard")))

@@ -4933,3 +4933,78 @@ def bpe_token_counts(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n").alias("n_bpe_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# q — containment near-dedup (quote/snippet/subset detection): the
+# asymmetric relation symmetric Jaccard misses — a 40% excerpt of a
+# page has Jaccard ~0.4 but containment 1.0. Candidates come from the
+# EXACT-recall asymmetric prefix filter (each doc's p smallest shingle
+# hashes joined against the full inverted index — pigeonhole: missing
+# all p caps the intersection below t|A|), verification is one
+# array_intersect per candidate. The corpus has no planted subsets,
+# so the query adds one 40%-prefix snippet per fifth document in-plan
+# (transparent, oracle-replayed — the planted-input design of
+# dedup_image_phash); every snippet must surface with containment 1.0
+# in its source, plus whatever natural >= 0.8 pairs exist.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_OFFSET = 2_000_000
+_CONTAIN_T = 0.8
+
+
+def _containment_oracle() -> str:
+    sh = _sql_shingles("text", 3)
+    return f"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_CONTAIN_OFFSET},
+           array_to_string(
+               ({_SQL_WORDS.format("text")})[1 :
+                   CAST((2 * len({_SQL_WORDS.format("text")}) + 4) // 5
+                        AS INT)], ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+), sets AS (
+    SELECT doc_id AS id,
+           list_distinct({_SQL_SHINGLE_INTS.format("sh_")}) AS xs
+    FROM (SELECT doc_id, {sh} AS sh_ FROM u)
+    WHERE len(sh_) >= 1
+), lf AS (
+    SELECT id, unnest(xs) AS h FROM sets
+), ip AS (
+    SELECT a.id AS contained, b.id AS container, COUNT(*) AS i
+    FROM lf a JOIN lf b ON a.h = b.h AND a.id <> b.id
+    GROUP BY a.id, b.id
+)
+SELECT p.contained, p.container,
+       ROUND(CAST(p.i AS DOUBLE) / len(sa.xs), 6) AS containment,
+       ROUND(CAST(p.i AS DOUBLE)
+             / (len(sa.xs) + len(sb.xs) - p.i), 6) AS jaccard
+FROM ip p
+JOIN sets sa ON sa.id = p.contained
+JOIN sets sb ON sb.id = p.container
+WHERE p.i * 100 >= {int(_CONTAIN_T * 100)} * len(sa.xs)
+"""
+
+
+@register("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark, sf_dir):
+    """Ordered containment pairs >= 0.8 over the corpus + planted 40%
+    snippets (operators/dedup.py::containment_pairs). The oracle
+    derives intersections from a relational shingle self-join — a
+    mechanism independent of the prefix filter — so the hash match
+    certifies the filter's exact-recall claim, not just arithmetic.
+    At 100 TB: the probe side carries p ~ 0.2|A| keys per doc, the
+    index side is token-linear, and verification touches only
+    colliding pairs."""
+    base = td(spark, sf_dir).select("doc_id", "text")
+    toks = X.words(F.col("text"))
+    keep = F.expr("(2 * n + 4) div 5").cast("int")
+    snippets = base.filter(F.col("doc_id") % 5 == 0) \
+        .withColumn("n", F.size(toks)) \
+        .select(
+            (F.col("doc_id") + F.lit(_CONTAIN_OFFSET)).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, F.lit(1), keep)).alias("text"))
+    u = base.unionByName(snippets)
+    return D.containment_pairs(u, threshold=_CONTAIN_T)

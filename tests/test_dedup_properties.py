@@ -162,3 +162,49 @@ def test_capped_band_index_keeps_lowest_ids(spark, corpus, cap):
     for _, bk in capped:
         counts[bk] = counts.get(bk, 0) + 1
     assert all(n <= cap for n in counts.values())
+
+
+def test_containment_prefix_filter_exact_recall(spark):
+    """containment_pairs vs brute force on a crafted corpus: a true
+    40% snippet (containment 1.0, Jaccard well below threshold — the
+    pair symmetric dedup misses), a sub-threshold overlap pair
+    correctly absent, and EXACT recall equality against the
+    all-pairs computation."""
+    from medallion_data_pipeline_spark.operators.dedup import (
+        containment_pairs)
+    from medallion_data_pipeline_spark.functions import text as X
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, "a b c d e f g h"),                      # 40% prefix of 1
+        (3, "x y z w v u t2 s2 r2 q2"),
+        (4, "x y z w q9 r9 s9 t9 u9 v9"),            # ~ low overlap w/ 3
+        (5, "m n o p q r s t a b c d e f g h i j k l"),  # permuted 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.contained, r.container): (r.containment, r.jaccard)
+           for r in containment_pairs(df, threshold=0.8).collect()}
+
+    # brute force over distinct 3-shingle-int sets
+    sets = {r.doc_id: set(r.xs) for r in df.select(
+        "doc_id", F.array_distinct(
+            X.shingle_ints(X.word_shingles(F.col("text")))).alias("xs")
+    ).collect()}
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            i = len(sets[a] & sets[b])
+            if i * 100 >= 80 * len(sets[a]):
+                exp[(a, b)] = (round(i / len(sets[a]), 6),
+                               round(i / len(sets[a] | sets[b]), 6))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], (k, got[k], exp[k])
+    # the planted snippet surfaced with containment 1.0 and its
+    # Jaccard is below the containment threshold (the missed-by-
+    # symmetric-dedup regime)
+    assert got[(2, 1)][0] == 1.0 and got[(2, 1)][1] < 0.8
+    assert (4, 3) not in got and (3, 4) not in got
