@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Round-13 measurement: BPE training and containment dedup decades.
+
+- bpe_train (8 merges) runs on the DISTINCT-WORD table: the replica
+  growth multiplies vocabulary ~linearly (suffix ~rN per replica) —
+  the adversarial regime for a vocab-sized loop; wall per decade
+  reported alongside vocab size.
+- containment_pairs: prefix-vs-inverted-index candidates; replicas
+  have disjoint shingle spaces (suffixed tokens), so collisions stay
+  within replicas and the candidate mass should scale ~linearly.
+
+Usage: python tools/scale_bpe_contain.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from medallion_data_pipeline_spark.functions import text as X
+from medallion_data_pipeline_spark.operators import bpe as B
+from medallion_data_pipeline_spark.operators.dedup import containment_pairs
+from medallion_data_pipeline_spark.sources.testdata import load_table
+from tools.scale_heavy import get_ui_spark
+
+
+def measure(spark, sf_dir, label):
+    out = {"label": label}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    wc = (docs.select(F.explode(X.words(F.col("text"))).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))).persist()
+    out["vocab"] = wc.count()
+    t0 = time.time()
+    merges, words = B.bpe_train(wc, 8)
+    out["bpe_train_s"] = round(time.time() - t0, 2)
+    out["last_merge"] = merges[-1]["merged"]
+    words.unpersist()
+    wc.unpersist()
+
+    t0 = time.time()
+    pairs = containment_pairs(docs, threshold=0.8)
+    out["contain_pairs"] = pairs.count()
+    out["contain_s"] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    spark = get_ui_spark()
+    for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"),
+                          ("sf1", "/tmp/mdp_sf1_keep"),
+                          ("sf10", "/tmp/mdp_sf10_keep")):
+        if os.path.isdir(sf_dir):
+            print(json.dumps(measure(spark, sf_dir, label)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
