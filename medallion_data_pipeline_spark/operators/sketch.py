@@ -134,8 +134,11 @@ def bloom_bits(items: DataFrame, col: str = "item",
                m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
     """The filter itself: (word_idx, bits) packed words — <= m/32 rows
     from any input size, one map-side-combined aggregation."""
+    # `div`, not /-then-cast: true integer division (the layout-tier
+    # lesson — double round-trips are exact here but the idiom is
+    # banned on principle)
     return (bloom_long(items, col, m, k)
-            .select((F.col("pos") / BLOOM_W).cast("long").alias("word_idx"),
+            .select(F.expr(f"pos div {BLOOM_W}").alias("word_idx"),
                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                            f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
             .groupBy("word_idx").agg(F.bit_or("mask").alias("bits")))
@@ -159,7 +162,7 @@ def bloom_might_contain(probes: DataFrame, bloom: DataFrame,
     so probes hashing into never-touched words still get verdicts."""
     p = bloom_long(probes.select(col).dropDuplicates([col]), col, m, k) \
         .select(col, "j",
-                (F.col("pos") / BLOOM_W).cast("long").alias("word_idx"),
+                F.expr(f"pos div {BLOOM_W}").alias("word_idx"),
                 F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                        f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
     joined = p.join(F.broadcast(bloom), "word_idx", "left")
