@@ -5008,3 +5008,107 @@ def dedup_containment_pairs(spark, sf_dir):
             F.concat_ws(" ", F.slice(toks, F.lit(1), keep)).alias("text"))
     u = base.unionByName(snippets)
     return D.containment_pairs(u, threshold=_CONTAIN_T)
+
+
+# ---------------------------------------------------------------------------
+# q — crawl-frontier blocklist filter: the admission step between URL
+# canonicalization and the host budget. Rules live in a TABLE (kind +
+# pattern: exact host, host suffix, path prefix) so operations can
+# change them without a redeploy — the filter is a broadcast non-equi
+# LEFT join (tiny rules side), every URL keeps the LOWEST matching
+# rule id as blocked_by (deterministic attribution), and survivors
+# are the NULL-blocked rows. Rules and the messy-URL synthesis are
+# in-plan and oracle-replayed.
+# ---------------------------------------------------------------------------
+
+_BLOCK_RULES = [
+    (1, "host", "cdn-src3.example.net"),
+    (2, "host_suffix", ".example.net"),
+    (3, "path_prefix", "/page/1"),
+]
+
+
+def _frontier_oracle() -> str:
+    from ..functions import urls as U
+
+    rules = " UNION ALL ".join(
+        f"SELECT {rid} AS rule_id, '{kind}' AS kind, '{pat}' AS pattern"
+        for rid, kind, pat in _BLOCK_RULES)
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'http://' || source || '.example.com/page/'
+                     || CAST(doc_id % 50 AS VARCHAR)
+                ELSE 'https://' || source || '.example.net/page/'
+                     || CAST(doc_id % 50 AS VARCHAR)
+           END AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id,
+           {U.canonical_url_sql('url')} AS canonical_url,
+           {U.url_host_sql('url')} AS url_host
+    FROM raw
+), rules AS ({rules}),
+hits AS (
+    SELECT c.doc_id, MIN(r.rule_id) AS blocked_by
+    FROM canon c JOIN rules r ON
+        (r.kind = 'host' AND c.url_host = r.pattern)
+        OR (r.kind = 'host_suffix' AND c.url_host LIKE '%' || r.pattern)
+        OR (r.kind = 'path_prefix' AND
+            substr(c.canonical_url,
+                   length('https://' || c.url_host) + 1 -
+                   CASE WHEN c.canonical_url LIKE 'http://%' THEN 1
+                        ELSE 0 END)
+            LIKE r.pattern || '%')
+    GROUP BY c.doc_id
+)
+SELECT c.doc_id, c.canonical_url, c.url_host, h.blocked_by
+FROM canon c LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
+
+
+@register("crawl_frontier_filter", oracle=_frontier_oracle())
+def crawl_frontier_filter(spark, sf_dir):
+    """Blocklist verdicts for every synthesized canonical URL:
+    (doc_id, canonical_url, url_host, blocked_by) — blocked_by is the
+    lowest matching rule id, NULL for admitted URLs. The rules frame
+    broadcasts into a non-equi join (3 rows — at production scale
+    thousands, still broadcast); path extraction reuses the canonical
+    form (everything after the scheme+host), so the whole chain
+    canonicalize -> blocklist is expression work plus one tiny
+    join."""
+    from ..functions import urls as U
+
+    d = td(spark, sf_dir).select("doc_id", "source")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example.com/page/"),
+                 (F.col("doc_id") % 50).cast("string"))
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.net/page/"),
+                 (F.col("doc_id") % 50).cast("string")))
+    canon = U.with_canonical_url(
+        d.select("doc_id", url.alias("url")), "url")
+    # path = canonical minus scheme://host
+    scheme_len = F.when(F.col("canonical_url").startswith("http://"),
+                        F.lit(7)).otherwise(F.lit(8))
+    canon = canon.withColumn(
+        "_path",
+        F.col("canonical_url").substr(
+            scheme_len + F.length("url_host") + F.lit(1), F.lit(1 << 20)))
+
+    rules = spark.createDataFrame(_BLOCK_RULES,
+                                  "rule_id int, kind string, pattern string")
+    cond = (
+        ((F.col("kind") == "host") & (F.col("url_host") == F.col("pattern")))
+        | ((F.col("kind") == "host_suffix")
+           & F.col("url_host").endswith(F.col("pattern")))
+        | ((F.col("kind") == "path_prefix")
+           & F.col("_path").startswith(F.col("pattern"))))
+    hits = (canon.join(F.broadcast(rules), cond)
+            .groupBy("doc_id").agg(F.min("rule_id").alias("blocked_by")))
+    return (canon.join(hits, "doc_id", "left")
+            .select("doc_id", "canonical_url", "url_host", "blocked_by"))
