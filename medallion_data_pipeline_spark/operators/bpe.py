@@ -46,10 +46,57 @@ def pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
 
 
+#: fold-state separator (never appears in symbols — tokens are
+#: whitespace-split text, segmentations use spaces)
+_RS = "\x1e"
+
+
+def merge_pair(seg: Column, a: str, b: str) -> Column:
+    """TRUE left-to-right BPE merge of pair (a, b) in a space-joined
+    segmentation — a FOLD over the symbol array, not a substring
+    replace. A plain replace('a b' -> 'ab') matches ACROSS symbol
+    boundaries: in 'w es t' the pair (s, t) would corrupt symbol 'es'
+    into 'w est' (regression-pinned in tests), and padded-separator
+    variants mis-handle adjacent repeats. The fold carries
+    state = emitted-output || RS || carry-symbol: when carry == a and
+    the next symbol == b, emit the merged symbol and clear the carry
+    (so overlapping matches cannot chain — exact on a == b runs:
+    'a a a' -> 'aa a'); otherwise flush the carry and keep scanning.
+    The DuckDB oracle runs the IDENTICAL fold via list_reduce with a
+    prepended init sentinel."""
+    merged = " " + a + b
+
+    def step(acc, x):
+        out = F.split(acc, _RS).getItem(0)
+        carry = F.split(acc, _RS).getItem(1)
+        flushed = F.concat(
+            out,
+            F.when(carry == "", F.lit("")).otherwise(
+                F.concat(F.lit(" "), carry)))
+        return F.when(
+            (carry == a) & (x == b),
+            F.concat(out, F.lit(merged + _RS)),
+        ).otherwise(F.concat(flushed, F.lit(_RS), x))
+
+    def finish(acc):
+        # the final out/carry flush runs INSIDE the aggregate's finish
+        # lambda so the (expensive) fold expression is referenced
+        # exactly once — referencing the aggregate from three sibling
+        # expressions re-substitutes the whole fold per reference and
+        # chained merges then blow up 3^k (measured: bpe_token_counts
+        # 581 s -> seconds at sf0.01 after this restructuring)
+        out = F.split(acc, _RS).getItem(0)
+        carry = F.split(acc, _RS).getItem(1)
+        return F.trim(F.concat(
+            out, F.when(carry == "", F.lit("")).otherwise(
+                F.concat(F.lit(" "), carry))))
+
+    return F.aggregate(F.split(seg, " "), F.lit(_RS), step, finish)
+
+
 def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
-    """Merge pair (a, b) everywhere: non-overlapping left-to-right."""
-    return words.withColumn(
-        "w", F.replace(F.col("w"), F.lit(f"{a} {b}"), F.lit(a + b)))
+    """Merge pair (a, b) everywhere: the boundary-aware fold."""
+    return words.withColumn("w", merge_pair(F.col("w"), a, b))
 
 
 def bpe_train(word_counts: DataFrame, n_merges: int,
@@ -85,6 +132,18 @@ def bpe_segment(col, merges) -> Column:
     tokenizer that ships with the vocabulary."""
     s = segment_chars(col)
     for m in merges:
-        s = F.replace(s, F.lit(f"{m['left']} {m['right']}"),
-                      F.lit(m["merged"]))
+        s = merge_pair(s, m["left"], m["right"])
     return s
+
+
+def with_bpe_segmentation(df: DataFrame, word_col: str, merges,
+                          out_col: str = "w") -> DataFrame:
+    """bpe_segment staged as one named column per merge (withColumn):
+    chaining k folds inside a single expression re-substitutes shared
+    subtrees across levels — the engine-wide staged-named-columns rule
+    (module docstring of operators/dedup.py)."""
+    df = df.withColumn(out_col, segment_chars(F.col(word_col)))
+    for m in merges:
+        df = df.withColumn(out_col,
+                           merge_pair(F.col(out_col), m["left"], m["right"]))
+    return df

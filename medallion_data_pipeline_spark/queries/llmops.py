@@ -4818,28 +4818,54 @@ def dedup_image_phash_grouped(spark, sf_dir):
 _BPE_MERGES = 8
 
 
+
+def _sql_bpe_fold_state(w_col: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB dual of operators/bpe.py::merge_pair's fold: state =
+    out || RS || carry via list_reduce with a prepended init sentinel
+    (list_reduce seeds from the first element). a/b may be column
+    references (the training CTEs) or literals (the apply stage)."""
+    o = "string_split(acc, chr(30))[1]"
+    c = "string_split(acc, chr(30))[2]"
+    flushed = f"{o} || CASE WHEN {c} = '' THEN '' ELSE ' ' || {c} END"
+    return (
+        f"list_reduce(list_prepend(chr(30), string_split({w_col}, ' ')), "
+        f"(acc, x) -> CASE WHEN {c} = {a_expr} AND x = {b_expr} "
+        f"THEN {o} || ' ' || {a_expr} || {b_expr} || chr(30) "
+        f"ELSE {flushed} || chr(30) || x END)")
+
+
+def _sql_bpe_fold_finish(st_col: str) -> str:
+    o = f"string_split({st_col}, chr(30))[1]"
+    c = f"string_split({st_col}, chr(30))[2]"
+    return f"trim({o} || CASE WHEN {c} = '' THEN '' ELSE ' ' || {c} END)"
+
+
 def _bpe_ctes() -> str:
     """The shared training CTE chain (w0..w8, p/b per step) — used by
     both the trainer oracle and the apply oracle."""
-    parts = [f"""w0 AS (
-    SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+    parts = [f"""w0 AS MATERIALIZED (
+    SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (SELECT unnest({_SQL_WORDS.format("text")}) AS word
           FROM documents)
     GROUP BY word
 )"""]
     for k in range(_BPE_MERGES):
-        parts.append(f"""s{k} AS (
+        parts.append(f"""s{k} AS MATERIALIZED (
     SELECT s, cnt, CAST(unnest(range(1, len(s))) AS INT) AS i
     FROM (SELECT string_split(w, ' ') AS s, cnt FROM w{k})
 ), p{k} AS (
     SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS n
     FROM s{k} GROUP BY a, b
-), b{k} AS (
+), b{k} AS MATERIALIZED (
     SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1
-), w{k + 1} AS (
-    SELECT replace(w, a || ' ' || b, a || b) AS w, cnt
-    FROM w{k} CROSS JOIN b{k}
+), w{k + 1} AS MATERIALIZED (
+    SELECT word, {_sql_bpe_fold_finish("st")} AS w, cnt
+    FROM (
+        SELECT word, cnt,
+               {_sql_bpe_fold_state("w", "mrg.a", "mrg.b")} AS st
+        FROM w{k} CROSS JOIN b{k} mrg
+    )
 )""")
     return ",\n".join(parts)
 
@@ -4891,24 +4917,27 @@ def bpe_train_merges(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _bpe_apply_oracle() -> str:
-    seg = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
-    for k in range(_BPE_MERGES):
-        seg = (f"replace({seg}, b{k}.a || ' ' || b{k}.b, "
-               f"b{k}.a || b{k}.b)")
-    crosses = " ".join(f"CROSS JOIN b{k}" for k in range(_BPE_MERGES))
+    # the fold runs once per DISTINCT word: the training chain's
+    # final CTE w{K} already holds every vocabulary word's fully
+    # merged segmentation (the original word is threaded through the
+    # chain), so application is a token->vocab equi-join — the
+    # tokenize-by-lookup-table plan a real corpus uses, and ~1000x
+    # cheaper than folding per occurrence (532 s -> seconds at
+    # sf0.01, measured).
     return f"""
 WITH {_bpe_ctes()},
 doc_tokens AS (
     SELECT doc_id, unnest({_SQL_WORDS.format("text")}) AS word
     FROM documents
 ),
-seg AS (
-    SELECT doc_id, len(string_split({seg}, ' ')) AS n
-    FROM doc_tokens {crosses}
+vocab AS (
+    SELECT word, len(string_split(w, ' ')) AS n
+    FROM w{_BPE_MERGES}
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
-FROM seg GROUP BY doc_id
+       CAST(SUM(v.n) AS BIGINT) AS n_bpe_tokens
+FROM doc_tokens t JOIN vocab v USING (word)
+GROUP BY doc_id
 """
 
 
@@ -4917,19 +4946,23 @@ def bpe_token_counts(spark, sf_dir):
     """Exact per-document token counts under the trained 8-merge BPE
     vocabulary: (doc_id, n_words, n_bpe_tokens). Training reuses
     bpe_train (8 bounded driver round-trips over the vocab table);
-    application is pure expression work — segment + 8 literal
-    replaces + a size(), one per-doc aggregation shuffle. At 100 TB
-    the merge list is a driver-side constant (hundreds of entries for
-    a real vocab) compiled into the scan."""
+    application SEGMENTS EACH DISTINCT WORD ONCE (the boundary-aware
+    fold runs on the Heaps-law vocabulary, not per occurrence —
+    measured ~1000x cheaper) and joins the per-word BPE length back
+    onto the token stream: tokenize-by-lookup-table, the plan a real
+    corpus tokenizer uses. The vocab side broadcasts at test scale
+    and stays a plain equi-join at 100 TB."""
     from ..operators import bpe as B
 
     d = td(spark, sf_dir).select(
         "doc_id", F.explode(X.words(F.col("text"))).alias("word"))
-    wc = d.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (d.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+          .persist())
     merges, words = B.bpe_train(wc, _BPE_MERGES)
     words.unpersist()
-    seg = B.bpe_segment(F.col("word"), merges)
-    return (d.withColumn("n", F.size(F.split(seg, " ")))
+    vocab = B.with_bpe_segmentation(wc.select("word"), "word", merges) \
+        .select("word", F.size(F.split("w", " ")).alias("n"))
+    return (d.join(vocab, "word")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n").alias("n_bpe_tokens")))

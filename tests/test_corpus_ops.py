@@ -1311,6 +1311,22 @@ def test_bpe_train_matches_pure_python_reference(spark):
 
     corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
 
+    def py_merge(w, a, b):
+        # the TRUE left-to-right symbol fold (str.replace would merge
+        # across symbol boundaries — 'w es t' + (s,t) -> 'w est')
+        out, carry = [], None
+        for sym in w.split(" "):
+            if carry == a and sym == b:
+                out.append(a + b)
+                carry = None
+            else:
+                if carry is not None:
+                    out.append(carry)
+                carry = sym
+        if carry is not None:
+            out.append(carry)
+        return " ".join(out)
+
     def py_bpe(wc, n):
         words = {" ".join(w): c for w, c in wc.items()}
         merges = []
@@ -1326,8 +1342,7 @@ def test_bpe_train_matches_pure_python_reference(spark):
             best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             (a, b), n_ = best
             merges.append((a, b, a + b, n_))
-            words = {w.replace(f"{a} {b}", a + b): c
-                     for w, c in words.items()}
+            words = {py_merge(w, a, b): c for w, c in words.items()}
         return merges, words
 
     exp_merges, exp_words = py_bpe(corpus, 6)
@@ -1346,3 +1361,23 @@ def test_bpe_train_matches_pure_python_reference(spark):
     seg = {r.word: r.seg for r in raw.collect()}
     assert seg == {k.replace(" ", ""): k for k in exp_words}
     words.unpersist()
+
+
+def test_bpe_merge_is_boundary_aware_fold(spark):
+    """merge_pair must NOT match across symbol boundaries (the
+    substring-replace bug: 'w es t' + (s,t) corrupting 'es'), must be
+    exact on a==b runs (left-to-right non-overlap: 'a a a' -> 'aa a'),
+    and must merge ALL disjoint occurrences in one pass."""
+    from medallion_data_pipeline_spark.operators import bpe as B
+
+    df = spark.createDataFrame(
+        [("w es t",), ("a a a a a",), ("x a b c a b",)], "w string")
+    got = {r.w: (r.st, r.aa, r.ab) for r in df.select(
+        "w",
+        B.merge_pair(F.col("w"), "s", "t").alias("st"),
+        B.merge_pair(F.col("w"), "a", "a").alias("aa"),
+        B.merge_pair(F.col("w"), "a", "b").alias("ab")).collect()}
+    assert got["w es t"] == ("w es t", "w es t", "w es t")
+    assert got["a a a a a"] == ("a a a a a", "aa aa a", "a a a a a")
+    assert got["x a b c a b"] == ("x a b c a b", "x a b c a b",
+                                  "x ab c ab")
