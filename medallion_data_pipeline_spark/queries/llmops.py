@@ -5293,3 +5293,119 @@ def near_dup_recall_certification(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q — Bloom-based decontamination: the at-scale sibling of
+# contamination_check. The eval set's 4-grams compress into a Bloom
+# filter (m = 2^18 bits -> <= 8192 packed words, broadcastable
+# forever) and every corpus gram gets a membership verdict — at
+# 100 TB the eval side ships as a few KB of filter instead of a gram
+# table in a join, and zero false NEGATIVES means no contamination
+# escapes (the provable direction, emitted as a certified
+# always-false fn_violation column); false positives over-flag a
+# deterministic handful of docs, quantified next to the exact join's
+# verdicts in the same output.
+# ---------------------------------------------------------------------------
+
+_CBLOOM_M = 1 << 18
+
+
+def _cbloom_oracle() -> str:
+    params = X.minhash_params(_BLOOM_K)
+    hh = "CAST('0x' || substr(md5(item), 1, 8) AS BIGINT)"
+    poss = ", ".join(
+        f"(({a} * h + {b}) % {X.MINHASH_PRIME}) % {_CBLOOM_M} AS p{j}"
+        for j, (a, b) in enumerate(params))
+
+    def unpiv(src):
+        return " UNION ALL ".join(
+            f"SELECT item, {j} AS j, p{j} AS pos FROM {src}"
+            for j in range(_BLOOM_K))
+
+    return f"""
+WITH sh AS MATERIALIZED (
+    SELECT doc_id, list_distinct({_sql_shingles("text", 4)}) AS shingles
+    FROM documents
+), ev AS MATERIALIZED (
+    SELECT DISTINCT unnest(shingles) AS item FROM sh
+    WHERE doc_id % 100 = 0
+), estaged AS (
+    SELECT item, {poss} FROM (SELECT item, {hh} AS h FROM ev)
+), elong AS ({unpiv('estaged')}),
+bloom AS MATERIALIZED (
+    SELECT pos // {_BLOOM_W} AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+    FROM elong GROUP BY pos // {_BLOOM_W}
+), cg AS MATERIALIZED (
+    SELECT DISTINCT doc_id, unnest(shingles) AS item FROM sh
+    WHERE doc_id % 100 <> 0
+), pstaged AS (
+    SELECT item, {poss}
+    FROM (SELECT item, {hh} AS h FROM (SELECT DISTINCT item FROM cg))
+), plong AS ({unpiv('pstaged')}),
+verd AS MATERIALIZED (
+    SELECT item, SUM(CASE WHEN (coalesce(b.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_W} AS INT)))
+               <> 0 THEN 1 ELSE 0 END) = {_BLOOM_K} AS mc
+    FROM plong p LEFT JOIN bloom b ON b.word_idx = p.pos // {_BLOOM_W}
+    GROUP BY item
+)
+SELECT cg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN v.mc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+       SUM(CASE WHEN v.mc THEN 1 ELSE 0 END) > 0 AS bloom_flagged,
+       CAST(SUM(CASE WHEN e.item IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_exact_shared,
+       SUM(CASE WHEN e.item IS NOT NULL THEN 1 ELSE 0 END) > 0
+           AS exact_flagged,
+       (SUM(CASE WHEN e.item IS NOT NULL THEN 1 ELSE 0 END) > 0
+        AND NOT SUM(CASE WHEN v.mc THEN 1 ELSE 0 END) > 0)
+           AS fn_violation
+FROM cg
+JOIN verd v USING (item)
+LEFT JOIN ev e ON e.item = cg.item
+GROUP BY cg.doc_id
+"""
+
+
+@register("contamination_bloom_check", oracle=_cbloom_oracle())
+def contamination_bloom_check(spark, sf_dir):
+    """Per-corpus-doc decontamination verdicts via the eval-gram Bloom
+    filter, side by side with the exact join's: (doc_id, n_grams,
+    n_bloom_hits, bloom_flagged, n_exact_shared, exact_flagged,
+    fn_violation). fn_violation (exact-contaminated but bloom-missed)
+    is provably always false — Bloom never false-negatives — and is
+    certified, not asserted; the bloom-vs-exact flag gap IS the
+    measured false-positive cost of shipping kilobytes instead of the
+    gram table."""
+    from ..operators import sketch as K
+
+    sh = td(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(X.word_shingles(F.col("text"), 4))
+        .alias("shingles")).persist()
+    ev = (sh.filter(F.col("doc_id") % 100 == 0)
+          .select(F.explode("shingles").alias("item"))
+          .dropDuplicates(["item"]))
+    cg = (sh.filter(F.col("doc_id") % 100 != 0)
+          .select("doc_id", F.explode("shingles").alias("item"))
+          .dropDuplicates(["doc_id", "item"]))
+
+    bloom = K.bloom_bits(ev, m=_CBLOOM_M, k=_BLOOM_K)
+    verd = K.bloom_might_contain(
+        cg.select("item").dropDuplicates(["item"]), bloom,
+        m=_CBLOOM_M, k=_BLOOM_K).select("item", "might_contain")
+
+    joined = (cg.join(verd, "item")
+              .join(ev.withColumn("_e", F.lit(1)), ["item"], "left"))
+    mc = F.col("might_contain").cast("int")
+    eh = F.coalesce(F.col("_e"), F.lit(0))
+    return (joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(mc).alias("n_bloom_hits"),
+        (F.sum(mc) > 0).alias("bloom_flagged"),
+        F.sum(eh).alias("n_exact_shared"),
+        (F.sum(eh) > 0).alias("exact_flagged"),
+        ((F.sum(eh) > 0) & ~(F.sum(mc) > 0)).alias("fn_violation")))
