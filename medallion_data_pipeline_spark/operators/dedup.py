@@ -990,7 +990,8 @@ def phash_incremental_flags(index_fp: DataFrame, new_fp: DataFrame,
 def containment_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       threshold: float = 0.8,
-                      persist_intermediate: bool = True) -> DataFrame:
+                      persist_intermediate: bool = True,
+                      df_cap: int | None = None) -> DataFrame:
     """Ordered near-CONTAINMENT pairs: (contained, container,
     containment, jaccard) where containment(A in B) =
     |S_A ∩ S_B| / |S_A| >= threshold over distinct k-word shingles —
@@ -1010,7 +1011,22 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     filter and would lose recall here) and never all-pairs.
     ceil(t·|A|) is exact integer arithmetic ((4·|A| + 4) div 5 at
     t = 0.8) — never floor-of-double (the layout-tier lesson).
-    Verification is one array_intersect per candidate pair."""
+    Verification is one array_intersect per candidate pair.
+
+    ``df_cap=N`` is the boilerplate-bucket guard (SCALING.md addendum
+    14c): shingles whose document frequency exceeds N are EXCLUDED
+    from candidate generation (both the prefix and the inverted
+    index) — a navigation bar shared by a million pages otherwise
+    fattens one inverted-index bucket into a million-row join hotspot
+    carrying no containment signal, exactly BM25's stopword logic.
+    Verification still scores FULL sets, so reported containment
+    values are unchanged; the trade is RECALL, bounded and honest: a
+    pair is missed only if every shingle of A's (filtered-universe)
+    prefix that B shares is ultra-common — i.e. the pair's evidence
+    is mostly boilerplate. The capped-band-index precedent applies:
+    the residual false negative is constructed and pinned in
+    test_containment_df_cap_..., which also shows a cap above the
+    boilerplate's df restores the pair."""
     # threshold as an exact rational over 100 so every comparison is
     # integer arithmetic in both engines
     frac_num, frac_den = int(round(threshold * 100)), 100
@@ -1026,12 +1042,24 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     lf = sets.select("id", F.explode("xs").alias("h"))
     from pyspark.sql.window import Window as W
 
+    if df_cap:
+        common = (lf.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                  .filter(F.col("_df") > df_cap).select("h"))
+        lf = lf.join(common, "h", "left_anti")
+        # candidate universe = filtered sets; prefix size p derives
+        # from the FILTERED size so the pigeonhole bound holds within
+        # the filtered universe
+        csets = (lf.groupBy("id")
+                 .agg(F.sort_array(F.collect_list("h")).alias("xs"))
+                 .filter(F.size("xs") >= 1))
+    else:
+        csets = sets
+
     # ceil(t*sz) = (num*sz + den - 1) div den, exact integers
-    sz = F.size("xs")
-    p = sz - F.expr(
+    p = F.size("xs") - F.expr(
         f"(({frac_num} * size(xs)) + {frac_den} - 1) div {frac_den}"
     ).cast("int") + F.lit(1)
-    prefix = (sets.select("id", p.alias("p"), F.explode("xs").alias("h"))
+    prefix = (csets.select("id", p.alias("p"), F.explode("xs").alias("h"))
               .withColumn("_rk", F.row_number().over(
                   W.partitionBy("id").orderBy("h")))
               .filter(F.col("_rk") <= F.col("p"))

@@ -208,3 +208,47 @@ def test_containment_prefix_filter_exact_recall(spark):
     # symmetric-dedup regime)
     assert got[(2, 1)][0] == 1.0 and got[(2, 1)][1] < 0.8
     assert (4, 3) not in got and (3, 4) not in got
+
+
+def test_containment_df_cap_guard_and_residual_false_negative(spark):
+    """df_cap: (1) with no ultra-common shingles the capped path is
+    pair-identical to the exact path; (2) a pair whose ONLY shared
+    evidence is boilerplate above the cap is the documented residual
+    false negative — and raising the cap above the boilerplate's df
+    restores it; (3) a genuine snippet pair with distinctive shingles
+    survives the cap, with UNCHANGED containment values (verification
+    scores full sets)."""
+    from medallion_data_pipeline_spark.operators.dedup import (
+        containment_pairs)
+
+    boiler = "home about contact privacy terms sitemap login search"
+    docs = [
+        # 1/2: snippet pair with DISTINCTIVE content + the boilerplate
+        (1, "alpha beta gamma delta epsilon zeta eta theta " + boiler),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        # 3: ONLY boilerplate -> contained in 1 purely via boilerplate
+        (3, boiler),
+        # 4..9: many pages sharing the boilerplate (pushes its df up)
+        *[(i, f"unique{i} words{i} only{i} here{i} now{i} " + boiler)
+          for i in range(4, 10)],
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = {(r.contained, r.container): r.containment
+             for r in containment_pairs(df, threshold=0.8).collect()}
+    capped = {(r.contained, r.container): r.containment
+              for r in containment_pairs(df, threshold=0.8,
+                                         df_cap=3).collect()}
+
+    # the distinctive snippet pair survives the cap, values unchanged
+    assert (2, 1) in exact and (2, 1) in capped
+    assert capped[(2, 1)] == exact[(2, 1)] == 1.0
+    # the boilerplate-only containment (3 in 1, 3 in 4..9) is in the
+    # exact set but is the documented false negative under the cap
+    assert any(a == 3 for a, _ in exact)
+    assert not any(a == 3 for a, _ in capped)
+    # a cap ABOVE the boilerplate's document frequency restores it
+    relaxed = {(r.contained, r.container)
+               for r in containment_pairs(df, threshold=0.8,
+                                          df_cap=50).collect()}
+    assert relaxed == set(exact)
