@@ -202,3 +202,35 @@ def test_eda_report_generates_all_sections(spark, tmp_path):
     assert "1. " in report.split("## Key insights")[1]
     csvs = os.listdir(os.path.join(out, "csv"))
     assert len(csvs) >= 10
+
+
+def test_bench_calibration_math_and_probe(spark):
+    """bench.py::_Calibration: the probe is a real bounded Spark job,
+    checkpoints record median-of-3 at the tick cadence, the run
+    factor is REF_SEC / median(points), and normalize scales every
+    entry by that single run-level factor (per-entry neighbor
+    interpolation was measured too noisy — PERFORMANCE.md r13)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from bench import _Calibration
+
+    cal = _Calibration(spark)
+    cal.probe()
+    assert len(cal.points) == 1 and cal.points[0][0] == 0
+    assert 0.0 < cal.points[0][1] < 60.0
+
+    # tick cadence: EVERY entries per checkpoint
+    for i in range(cal.EVERY):
+        cal.tick(f"q{i}")
+    assert len(cal.points) == 2 and cal.points[1][0] == cal.EVERY
+
+    # factor/normalize arithmetic on pinned synthetic points
+    cal.points = [(0, 0.5), (5, 1.3), (10, 0.65)]
+    assert abs(cal.factor() - _Calibration.REF_SEC / 0.65) < 1e-12
+    norm = cal.normalize({"a": 2.0, "b": 0.0})
+    f = _Calibration.REF_SEC / 0.65
+    assert norm == {"a": round(2.0 * f, 3), "b": 0.0}
+    # empty points -> identity factor (no probe data, no correction)
+    cal.points = []
+    assert cal.factor() == 1.0
