@@ -139,6 +139,39 @@ class _Calibration:
         return {k: round(v * f, 3) for k, v in timings.items()}
 
 
+#: burst-guard threshold (VERDICT r13 #1): an entry whose min-of-reps
+#: exceeds this multiple of the prior round's committed min gets one
+#: end-of-run retry rep, recorded alongside (never replacing) the
+#: originals.
+BURST_X = 2.5
+
+
+def load_prior_mins(detail_path: str) -> dict[str, float]:
+    """Per-entry min-of-reps from a prior round's committed
+    BENCH_DETAIL.json ({} when absent/unreadable)."""
+    try:
+        with open(detail_path) as fh:
+            d = json.load(fh)
+        return {k: min(v) for k, v in d.get("reps", {}).items() if v}
+    except (OSError, ValueError):
+        return {}
+
+
+def burst_candidates(timings: dict[str, float],
+                     prior_min: dict[str, float],
+                     burst_x: float = BURST_X) -> list[str]:
+    """Entries whose main-pass min exceeds burst_x times the prior
+    round's committed min — the entry-local stalls the run-median
+    probe cannot catch (r13 driver artifact: two unchanged queries at
+    4.5-6.5x their real walls)."""
+    out = []
+    for name, t in timings.items():
+        p = prior_min.get(name)
+        if p is not None and p > 0 and t > burst_x * p:
+            out.append(name)
+    return out
+
+
 def main() -> None:
     _load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,6 +297,37 @@ def main() -> None:
     timings["streaming_hourly_rollup"] = _min_warm(reps)
     _release_cached_blocks(spark)
     cal.tick("streaming_hourly_rollup")
+
+    # Per-entry burst guard (VERDICT r13 #1): the run-median probe
+    # tracks multi-minute ambient trends but by design cannot catch
+    # SECOND-SCALE, entry-local bursts — the r13 driver artifact
+    # recorded supplier_performance at 4.5x and dashboard_wide at
+    # 6.5x their real walls on diff-verified unchanged code. After
+    # the main pass, each entry's min-of-reps is compared against the
+    # prior round's committed BENCH_DETAIL.json min; any entry >2.5x
+    # its prior min gets ONE end-of-run retry rep, recorded ALONGSIDE
+    # (never replacing) the originals: `queries`/`value` stay the
+    # main-pass minima, BENCH_DETAIL carries the `retries` map and a
+    # burst-adjusted total so a reader can tell an entry-local stall
+    # from a real regression without re-running anything.
+    retries: dict[str, dict] = {}
+    prior_min = load_prior_mins(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"))
+    q_by_name = dict(bench_queries)
+    for name in burst_candidates(
+            {k: v for k, v in timings.items() if k in q_by_name},
+            prior_min):
+        t0 = time.time()
+        q_by_name[name].fn(spark, layout_dir) \
+            .write.format("noop").mode("overwrite").save()
+        retry = round(time.time() - t0, 3)
+        retries[name] = {"prior_min": prior_min[name],
+                         "main_min": timings[name], "retry": retry}
+        _release_cached_blocks(spark)
+
+    def _burst_adjusted(name: str) -> float:
+        r = retries.get(name)
+        return min(timings[name], r["retry"]) if r else timings[name]
 
     shutil.rmtree(layout_dir, ignore_errors=True)
 
@@ -405,6 +469,11 @@ def main() -> None:
                 "n_shared": len(keys),
                 "total_this": round(sum(timings[k] for k in keys), 3),
                 "total_prev": round(sum(prev_q[k] for k in keys), 3),
+                # burst-adjusted raw total (retried entries at
+                # min(main, retry)) — the raw number least polluted by
+                # entry-local host stalls
+                "total_this_burst_adj": round(
+                    sum(_burst_adjusted(k) for k in keys), 3),
             }
             # probe-normalized like-for-like (the number to actually
             # diff round-over-round): the prev round's normalized
@@ -421,10 +490,23 @@ def main() -> None:
                     abs(pd_q.get(k, -1) - prev_q[k])
                     <= 0.02 * max(prev_q[k], 0.01) for k in keys)
                 if same_run and all(k in pd_n for k in keys):
-                    shared["total_this_norm"] = round(
-                        sum(queries_norm[k] for k in keys), 3)
-                    shared["total_prev_norm"] = round(
-                        sum(pd_n[k] for k in keys), 3)
+                    # the HEADLINE pair to diff round-over-round
+                    # (VERDICT r13 #1): both sides probe-normalized,
+                    # this side additionally burst-adjusted — host
+                    # weather and entry-local stalls both removed to
+                    # the extent the instruments allow. Rebuild the
+                    # dict so the normalized pair leads.
+                    f = cal.factor()
+                    shared = {
+                        "total_this_norm": round(
+                            sum(queries_norm[k] for k in keys), 3),
+                        "total_prev_norm": round(
+                            sum(pd_n[k] for k in keys), 3),
+                        "total_this_norm_burst_adj": round(
+                            sum(_burst_adjusted(k) * f for k in keys),
+                            3),
+                        **shared,
+                    }
             except (OSError, ValueError):
                 pass
         except (OSError, ValueError, AttributeError):
@@ -449,6 +531,7 @@ def main() -> None:
             "total_norm": total_norm,
             "probe": {"ref_sec": _Calibration.REF_SEC,
                       "points": cal.points},
+            "retries": retries,
             "reps": all_reps,
             "total_queries": total_queries,
             "total_shared_with_prev": shared,
@@ -466,6 +549,7 @@ def main() -> None:
             "total_norm": total_norm,
             "probe_factor": round(cal.factor(), 4),
             "probe_ref": _Calibration.REF_SEC,
+            "n_burst_retries": len(retries),
             "total_shared_with_prev": shared,
             "queries": q,
         }, separators=(",", ":"))

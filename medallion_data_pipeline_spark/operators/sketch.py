@@ -144,6 +144,74 @@ def bloom_bits(items: DataFrame, col: str = "item",
             .groupBy("word_idx").agg(F.bit_or("mask").alias("bits")))
 
 
+def bloom_m_for(n: int, fpr: float) -> int:
+    """Production filter sizing (VERDICT r13 #4): the classic
+    m ~ 1.44 * n * log2(1/fpr) bits for n items at a target
+    false-positive rate, rounded UP to a whole number of packed
+    BLOOM_W-bit words. This is the per-epoch size the rolling-epoch
+    seen-set uses; the fixed BLOOM_M above remains the
+    oracle-determinism default for the unsized gated query."""
+    import math
+
+    m = math.ceil(1.44 * n * math.log2(1.0 / fpr))
+    return max(BLOOM_W, ((m + BLOOM_W - 1) // BLOOM_W) * BLOOM_W)
+
+
+def bloom_epoch_bits(items: DataFrame, epoch_col: str = "epoch",
+                     col: str = "item", m: int = BLOOM_M,
+                     k: int = BLOOM_K) -> DataFrame:
+    """One filter PER EPOCH: (epoch, word_idx, bits) — the
+    rolling-epoch seen-set's storage shape. Each epoch's filter is
+    independently <= m/32 rows; the union stays broadcastable for any
+    bounded number of live epochs. Same seeded affine family as
+    bloom_bits, so construction is bit-reproducible across engines."""
+    w_ = items.withColumn("h", token_hash(F.col(col)))
+    staged = w_.select(epoch_col, *[
+        ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.MINHASH_PRIME)
+         % F.lit(m)).alias(f"p{j}")
+        for j, (a, b) in enumerate(X.minhash_params(k))])
+    return (staged.select(
+        epoch_col,
+        F.explode(F.array(*[F.col(f"p{j}") for j in range(k)]))
+        .alias("pos"))
+        .select(epoch_col,
+                F.expr(f"pos div {BLOOM_W}").alias("word_idx"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
+        .groupBy(epoch_col, "word_idx")
+        .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_epochs_might_contain(probes: DataFrame, eblooms: DataFrame,
+                               col: str = "item", m: int = BLOOM_M,
+                               k: int = BLOOM_K) -> DataFrame:
+    """Membership verdicts against a SET of live epoch filters:
+    (item, n_epochs_hit, might_contain) — an item "might be seen" iff
+    SOME live epoch's filter has all k bits set (probe ORs across
+    epochs; expiry = the caller simply not passing retired epochs).
+    Zero false negatives holds per epoch, hence across the union; the
+    fpr is ~live_epochs x the per-epoch rate (union bound). The
+    filter side is (epochs x m/32) rows and broadcasts."""
+    p = bloom_long(probes.select(col).dropDuplicates([col]), col, m, k) \
+        .select(col,
+                F.expr(f"pos div {BLOOM_W}").alias("word_idx"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
+    j = p.join(F.broadcast(eblooms), "word_idx")
+    hit = (F.col("bits").bitwiseAND(F.col("mask")) != 0).cast("int")
+    ehits = (j.withColumn("hit", hit)
+             .groupBy(col, "epoch").agg(F.sum("hit").alias("nh")))
+    per_item = (ehits.filter(F.col("nh") == k)
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("n_epochs_hit")))
+    return (probes.select(col).dropDuplicates([col])
+            .join(per_item, col, "left")
+            .select(col,
+                    F.coalesce("n_epochs_hit", F.lit(0)).cast("long")
+                    .alias("n_epochs_hit"))
+            .withColumn("might_contain", F.col("n_epochs_hit") > 0))
+
+
 def merge_bloom(parts: DataFrame) -> DataFrame:
     """Merge partial filters (any union of (word_idx, bits) frames):
     bitwise OR IS filter union, and it is idempotent — a partial

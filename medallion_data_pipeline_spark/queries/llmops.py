@@ -4344,12 +4344,12 @@ _PHASH_FP_SQL = (
 
 _PHASH_SQL = f"""
 WITH u AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM documents WHERE length(text) > 0
     UNION ALL
     SELECT doc_id + {_PHASH_VARIANT_OFFSET},
            substr(text, 1, CAST(doc_id % length(text) AS INT)) || 'q'
              || substr(text, CAST(doc_id % length(text) AS INT) + 2) AS text
-    FROM documents
+    FROM documents WHERE length(text) > 0
 ), fp AS (
     SELECT doc_id, {_PHASH_FP_SQL} AS phash
     FROM (SELECT doc_id, {_PHASH_GRID_SQL} AS g FROM u)
@@ -4373,10 +4373,16 @@ def dedup_image_phash(spark, sf_dir):
     cost is 5 narrow keys per image + verification of block
     collisions, never |corpus|^2. The oracle replays grid, splice,
     and an all-pairs distance check in SQL, so the hash match
-    certifies RECALL of the planted pairs, not just plumbing."""
+    certifies RECALL of the planted pairs, not just plumbing.
+    Empty/NULL text is filtered BEFORE the variant splice on both
+    engines (ADVICE r13: Spark's splice yields a NULL phash that the
+    retrieval filters out, while the DuckDB grid CASE evaluates the
+    NULL comparisons to ELSE 0 and emits phash=0 rows — the JSONL
+    crawl tier makes null text representable)."""
     from ..operators import multimodal as M2
 
-    base = td(spark, sf_dir).select("doc_id", "text")
+    base = td(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.length("text") > 0)
     pos = (F.col("doc_id") % F.length("text")).cast("int") + F.lit(1)
     variants = base.select(
         (F.col("doc_id") + F.lit(_PHASH_VARIANT_OFFSET)).alias("doc_id"),
@@ -4748,12 +4754,12 @@ def html_extract_text(spark, sf_dir):
 
 _PHASH_GROUPED_SQL = f"""
 WITH u AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM documents WHERE length(text) > 0
     UNION ALL
     SELECT doc_id + {_PHASH_VARIANT_OFFSET},
            substr(text, 1, CAST(doc_id % length(text) AS INT)) || 'q'
              || substr(text, CAST(doc_id % length(text) AS INT) + 2) AS text
-    FROM documents
+    FROM documents WHERE length(text) > 0
 ), fp AS (
     SELECT doc_id, {_PHASH_FP_SQL} AS phash
     FROM (SELECT doc_id, {_PHASH_GRID_SQL} AS g FROM u)
@@ -4782,10 +4788,13 @@ def dedup_image_phash_grouped(spark, sf_dir):
     corpus + planted variants: identical fingerprints collapse before
     retrieval, so cost is member-linear + representative collisions —
     the mode to feed keep-one dedup or connected components at crawl
-    scale (transitive closure equals the all-pairs graph's)."""
+    scale (transitive closure equals the all-pairs graph's).
+    Empty/NULL text filtered pre-splice on both engines (ADVICE r13 —
+    see dedup_image_phash)."""
     from ..operators import multimodal as M2
 
-    base = td(spark, sf_dir).select("doc_id", "text")
+    base = td(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.length("text") > 0)
     pos = (F.col("doc_id") % F.length("text")).cast("int") + F.lit(1)
     variants = base.select(
         (F.col("doc_id") + F.lit(_PHASH_VARIANT_OFFSET)).alias("doc_id"),
@@ -4848,6 +4857,7 @@ def _bpe_ctes() -> str:
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (SELECT unnest({_SQL_WORDS.format("text")}) AS word
           FROM documents)
+    WHERE NOT regexp_matches(word, '[\\x00-\\x1f]')
     GROUP BY word
 )"""]
     for k in range(_BPE_MERGES):
@@ -4927,8 +4937,10 @@ def _bpe_apply_oracle() -> str:
     return f"""
 WITH {_bpe_ctes()},
 doc_tokens AS (
-    SELECT doc_id, unnest({_SQL_WORDS.format("text")}) AS word
-    FROM documents
+    SELECT doc_id, word
+    FROM (SELECT doc_id, unnest({_SQL_WORDS.format("text")}) AS word
+          FROM documents)
+    WHERE NOT regexp_matches(word, '[\\x00-\\x1f]')
 ),
 vocab AS (
     SELECT word, len(string_split(w, ' ')) AS n
@@ -4955,7 +4967,9 @@ def bpe_token_counts(spark, sf_dir):
     from ..operators import bpe as B
 
     d = td(spark, sf_dir).select(
-        "doc_id", F.explode(X.words(F.col("text"))).alias("word"))
+        "doc_id", F.explode(X.words(F.col("text"))).alias("word")) \
+        .filter(~F.col("word").rlike(r"[\x00-\x1f]"))  # C0 guard,
+    # matched by the oracle's doc_tokens WHERE (see bpe_train)
     wc = (d.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
           .persist())
     merges, words = B.bpe_train(wc, _BPE_MERGES)

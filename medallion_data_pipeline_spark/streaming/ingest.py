@@ -304,6 +304,15 @@ def jsonl_bronze_sink(warehouse: str, table: str, pk: list[str],
 
             good = with_canonical_url(good, canonicalize_url_from)
         if host_budget is not None:
+            # ADVICE r13 (medium): pk-dedup BEFORE the capacity
+            # ranking — two raw URLs in one micro-batch that
+            # canonicalize to the same page must consume ONE _rk slot,
+            # not two (merge_sink only dropDuplicates(pk) later, so a
+            # genuinely new page could be misrouted to the host_capped
+            # audit while bronze held fewer than host_budget pages for
+            # that host). The dropped raw duplicates are rows
+            # merge_sink would have collapsed anyway.
+            good = good.dropDuplicates(pk)
             spark = batch_df.sparkSession
             if os.path.isdir(target):
                 existing = spark.read.parquet(target)
@@ -445,6 +454,130 @@ def read_bloom_bits(spark: SparkSession, warehouse: str) -> DataFrame:
     return K.merge_bloom(spark.read.parquet(root).select("word_idx", "bits"))
 
 
+def _bloom_epoch_assignments(meta_rows, epoch_rows: int):
+    """Deterministic batch->epoch assignment from per-batch item
+    counts: walk batches in batch_id order, filling the current epoch
+    until it holds >= epoch_rows items, then roll. Pure driver-side
+    arithmetic over the (small) meta table, so a replayed batch
+    recomputes the SAME epoch it landed in originally (counts of
+    earlier batches are immutable)."""
+    assign: dict[int, int] = {}
+    epoch, filled = 0, 0
+    for bid, n in sorted(meta_rows):
+        if filled >= epoch_rows:
+            epoch, filled = epoch + 1, 0
+        assign[bid] = epoch
+        filled += n
+    return assign, epoch
+
+
+def bloom_epoch_stream_sink(warehouse: str, item_col: str = "item",
+                            epoch_rows: int = 2048,
+                            live_epochs: int = 3,
+                            fpr: float = 0.01):
+    """foreachBatch body for the ROLLING-EPOCH streaming Bloom
+    seen-set (VERDICT r13 #4 — the documented contract as code): each
+    epoch is an independent filter sized m = bloom_m_for(epoch_rows,
+    fpr) (~1.44*n*log2(1/fpr) bits); a batch lands in the epoch the
+    deterministic cumulative-count walk assigns it
+    (_bloom_epoch_assignments); probes OR across the newest
+    ``live_epochs`` epochs (read_bloom_epoch_bits); epochs older than
+    that expire — an unbounded stream holds bounded bits at a bounded
+    false-positive rate, instead of the fixed-m filter's saturation
+    beyond ~500 items (SCALING.md addendum 14b).
+
+    Layout under ``warehouse``/sketch:
+      - bloom_epoch_meta/batch_id=<n>   (batch_id, n_items) rows
+      - bloom_epochs/epoch=<e>/batch_id=<n>  per-batch partial filter
+
+    Replay-safe twice over: meta and partial are partition-overwrite
+    idempotent on batch_id, and epoch assignment is a pure function
+    of earlier batches' immutable counts; the filter merge itself is
+    bitwise OR. Expiry physically removes retired epoch directories;
+    a replayed retired batch briefly recreates one, and the next roll
+    removes it again — probes never read it either way."""
+    import shutil
+
+    from ..operators import sketch as K
+
+    meta_root = os.path.join(warehouse, "sketch", "bloom_epoch_meta")
+    epochs_root = os.path.join(warehouse, "sketch", "bloom_epochs")
+    m = K.bloom_m_for(epoch_rows, fpr)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        items = batch_df.select(F.col(item_col).alias("item"))
+        n = items.count()
+        prior = []
+        if os.path.isdir(meta_root):
+            prior = [(int(r.batch_id), int(r.n_items))
+                     for r in spark.read.parquet(meta_root).collect()
+                     if int(r.batch_id) != batch_id]
+        assign, _ = _bloom_epoch_assignments(prior + [(batch_id, n)],
+                                             epoch_rows)
+        epoch = assign[batch_id]
+        K.bloom_bits(items, m=m).write.mode("overwrite").parquet(
+            os.path.join(epochs_root, f"epoch={epoch}",
+                         f"batch_id={batch_id}"))
+        spark.createDataFrame([(batch_id, n)],
+                              "batch_id long, n_items long") \
+            .write.mode("overwrite").parquet(
+            os.path.join(meta_root, f"batch_id={batch_id}"))
+        # expire: keep only the newest live_epochs epoch directories
+        if os.path.isdir(epochs_root):
+            live = set(range(max(epoch - live_epochs + 1, 0), epoch + 1))
+            for d in os.listdir(epochs_root):
+                if d.startswith("epoch=") and int(d.split("=")[1]) not in live:
+                    shutil.rmtree(os.path.join(epochs_root, d),
+                                  ignore_errors=True)
+
+    return _sink
+
+
+def read_bloom_epoch_bits(spark: SparkSession, warehouse: str,
+                          live_epochs: int = 3) -> DataFrame:
+    """The live epoch filters: (epoch, word_idx, bits), per-epoch OR
+    of that epoch's per-batch partials, restricted to the newest
+    ``live_epochs`` epochs — the frame bloom_epochs_might_contain
+    probes against."""
+    root = os.path.join(warehouse, "sketch", "bloom_epochs")
+    df = spark.read.option("basePath", root).parquet(root)
+    epochs = sorted(int(r.epoch) for r in df.select("epoch")
+                    .dropDuplicates(["epoch"]).collect())
+    live = set(epochs[-live_epochs:])
+    return (df.filter(F.col("epoch").isin(list(live)))
+            .groupBy("epoch", "word_idx")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
+def run_bloom_epoch_stream(spark: SparkSession, docs_dir: str,
+                           warehouse: str, checkpoint_dir: str,
+                           schema="doc_id BIGINT, text STRING",
+                           epoch_rows: int = 2048,
+                           live_epochs: int = 3, fpr: float = 0.01,
+                           max_files_per_trigger: int = 1) -> None:
+    """Drain available doc shards into the rolling-epoch seen-set,
+    synchronously (items = md5(text), as run_bloom_stream)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(docs_dir)
+        .select(F.md5(F.col("text")).alias("item"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(bloom_epoch_stream_sink(
+            warehouse, epoch_rows=epoch_rows, live_epochs=live_epochs,
+            fpr=fpr))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_bloom_stream(spark: SparkSession, docs_dir: str, warehouse: str,
                      checkpoint_dir: str,
                      schema="doc_id BIGINT, text STRING",
@@ -490,7 +623,17 @@ def phash_ingest_sink(warehouse: str, max_distance: int = 4):
 
     Idempotent over at-least-once replay: already-accepted doc_ids
     drop before probing. At 100 TB both appends become transactional
-    table commits; probe and admission logic are unchanged."""
+    table commits; probe and admission logic are unchanged.
+
+    Crash-window reconciliation (ADVICE r13): the two appends are
+    separate local-fs writes, so a crash BETWEEN them leaves accepted
+    docs permanently missing from the index (replay left-antis them
+    out before fingerprinting, so future perceptual duplicates of
+    those docs would pass unflagged). Each batch therefore starts by
+    re-deriving index rows for any docs_path ids absent from
+    idx_path — the index is self-healing from the docs table, which
+    is exactly the reconciliation a transactional table commit makes
+    unnecessary at 100 TB."""
     from ..operators.dedup import phash_incremental_flags
     from ..operators.multimodal import phash_binary, with_binary_payload
 
@@ -503,9 +646,27 @@ def phash_ingest_sink(warehouse: str, max_distance: int = 4):
         batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
         have = os.path.isdir(docs_path)
         if have:
-            batch = batch.join(
-                spark.read.parquet(docs_path).select("doc_id"),
-                "doc_id", "left_anti")
+            # self-heal the index first (see docstring): docs accepted
+            # by a batch that crashed before its index append get their
+            # fingerprints re-derived from the docs table. The anti
+            # join is ids-only; the fingerprint pass runs only over the
+            # (normally empty) missing set.
+            docs = spark.read.parquet(docs_path)
+            if os.path.isdir(idx_path):
+                missing = docs.join(
+                    spark.read.parquet(idx_path).select("doc_id"),
+                    "doc_id", "left_anti")
+            else:
+                missing = docs
+            miss_fps = phash_binary(
+                with_binary_payload(missing.select("doc_id", "text"),
+                                    "text"),
+                decoder="stub").select("doc_id", "phash") \
+                .localCheckpoint(eager=True)
+            if miss_fps.count() > 0:
+                miss_fps.write.mode("append").parquet(idx_path)
+            batch = batch.join(docs.select("doc_id"), "doc_id",
+                               "left_anti")
         # one fingerprint pass per batch; EAGER checkpoint because the
         # lineage includes the replay guard's read of docs_path, and
         # the index append below runs after keepers were appended

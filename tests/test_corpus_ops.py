@@ -1381,3 +1381,135 @@ def test_bpe_merge_is_boundary_aware_fold(spark):
     assert got["a a a a a"] == ("a a a a a", "aa aa a", "a a a a a")
     assert got["x a b c a b"] == ("x a b c a b", "x a b c a b",
                                   "x ab c ab")
+
+
+def _py_merge(w, a, b):
+    """Pure-Python boundary-aware left-to-right merge (the reference
+    fold shared by the batched-BPE tests)."""
+    out, carry = [], None
+    for sym in w.split(" "):
+        if carry == a and sym == b:
+            out.append(a + b)
+            carry = None
+        else:
+            if carry is not None:
+                out.append(carry)
+            carry = sym
+    if carry is not None:
+        out.append(carry)
+    return " ".join(out)
+
+
+def test_bpe_batch_apply_equals_sequential(spark):
+    """merge_pairs_batch on pairwise symbol-disjoint merges must equal
+    sequential merge_pair application in EITHER order (disjoint merges
+    commute) — on seeded random words over a small alphabet plus the
+    boundary/run edge cases, including an a==b run-collapsing rule."""
+    import random
+
+    from medallion_data_pipeline_spark.operators import bpe as B
+
+    rng = random.Random(14)
+    segs = [" ".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+            for _ in range(60)]
+    segs += ["a b c d", "c d a b", "a b a b c d c d", "a a a",
+             "d c b a", "b a d c", "a", "c d"]
+    for pairs in ([("a", "b"), ("c", "d")], [("a", "a"), ("b", "c")]):
+        df = spark.createDataFrame([(s,) for s in segs], "w string")
+        got = {r.w: r.batched for r in df.select(
+            "w", B.merge_pairs_batch(F.col("w"), pairs).alias("batched")
+        ).collect()}
+        for s in segs:
+            fwd = _py_merge(_py_merge(s, *pairs[0]), *pairs[1])
+            rev = _py_merge(_py_merge(s, *pairs[1]), *pairs[0])
+            assert fwd == rev, (s, pairs)
+            assert got[s] == fwd, (s, pairs, got[s], fwd)
+
+
+def test_bpe_select_disjoint():
+    """Greedy prefix selection: overlapping inputs are skipped, a rule
+    whose MERGED output is another's input (or vice versa) is skipped,
+    the first candidate is always taken, and the limit binds."""
+    from medallion_data_pipeline_spark.operators.bpe import select_disjoint
+
+    cands = [("a", "b"),   # taken
+             ("b", "c"),   # shares b -> skip
+             ("ab", "x"),  # input 'ab' == merged of pick 1 -> skip
+             ("c", "d"),   # taken
+             ("x", "y"),   # taken
+             ("e", "f")]   # beyond limit
+    assert select_disjoint(cands, limit=3) == \
+        [("a", "b"), ("c", "d"), ("x", "y")]
+    # a candidate whose merged output equals a claimed input: ('x','y')
+    # claims 'xy'; ('x','y') again would collide; and ('w','z') with
+    # merged 'wz' is fine
+    assert select_disjoint([("x", "y"), ("w", "z")], limit=9) == \
+        [("x", "y"), ("w", "z")]
+    assert select_disjoint([], limit=5) == []
+
+
+def test_bpe_train_batched_batch1_matches_sequential(spark):
+    """bpe_train_batched(batch=1) must reproduce bpe_train EXACTLY —
+    same merges (steps, pairs, counts) and same final segmentations."""
+    from medallion_data_pipeline_spark.operators import bpe as B
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    wc = spark.createDataFrame(list(corpus.items()), "word string, cnt long")
+    seq_m, seq_w = B.bpe_train(wc, 6)
+    bat_m, bat_w = B.bpe_train_batched(wc, 6, batch=1)
+    assert bat_m == seq_m
+    assert {r.w: r.cnt for r in bat_w.collect()} == \
+        {r.w: r.cnt for r in seq_w.collect()}
+    seq_w.unpersist()
+    bat_w.unpersist()
+
+
+def test_bpe_train_batched_applies_its_merges_sequentially(spark):
+    """For ANY batch size, the final segmentations must equal the
+    sequential pure-Python application of the trainer's OWN merge
+    list to the raw corpus (batch application == sequential
+    application of disjoint picks), and within each snapshot the
+    recorded counts must be non-increasing with rank order."""
+    from medallion_data_pipeline_spark.operators import bpe as B
+
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+              "slowest": 4, "wide": 1, "newer": 2}
+    wc = spark.createDataFrame(list(corpus.items()), "word string, cnt long")
+    for batch in (2, 4, 8):
+        merges, words = B.bpe_train_batched(wc, 8, batch=batch)
+        got = {r.w: r.cnt for r in words.collect()}
+        words.unpersist()
+        exp = {}
+        for w, c in corpus.items():
+            seg = " ".join(w)
+            for m in merges:
+                seg = _py_merge(seg, m["left"], m["right"])
+            exp[seg] = c
+        assert got == exp, (batch, got, exp)
+        assert len(merges) == 8
+
+
+def test_bpe_c0_control_words_dropped(spark):
+    """ADVICE r13: a corpus token carrying a C0 control (e.g. the
+    fold-state separator U+001E) must be dropped at vocabulary intake
+    — training output is identical to the same corpus without the
+    garbage token, in both trainers."""
+    from medallion_data_pipeline_spark.operators import bpe as B
+
+    clean = {"low": 5, "lower": 2, "newest": 6}
+    dirty = dict(clean)
+    dirty["ne\x1ewest"] = 7   # would corrupt the packed fold state
+    dirty["bad\x00tok"] = 9
+    wc_clean = spark.createDataFrame(
+        list(clean.items()), "word string, cnt long")
+    wc_dirty = spark.createDataFrame(
+        list(dirty.items()), "word string, cnt long")
+    for trainer in (B.bpe_train,
+                    lambda df, n: B.bpe_train_batched(df, n, batch=2)):
+        m_clean, w_clean = trainer(wc_clean, 4)
+        m_dirty, w_dirty = trainer(wc_dirty, 4)
+        assert m_dirty == m_clean
+        assert {r.w: r.cnt for r in w_dirty.collect()} == \
+            {r.w: r.cnt for r in w_clean.collect()}
+        w_clean.unpersist()
+        w_dirty.unpersist()

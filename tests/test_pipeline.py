@@ -234,3 +234,32 @@ def test_bench_calibration_math_and_probe(spark):
     # empty points -> identity factor (no probe data, no correction)
     cal.points = []
     assert cal.factor() == 1.0
+
+
+def test_bench_burst_guard_selection(tmp_path):
+    """bench.py burst guard (VERDICT r13 #1): entries whose main-pass
+    min exceeds BURST_X x the prior round's committed min are selected
+    for one end-of-run retry; absent/zero/new entries never are."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from bench import BURST_X, burst_candidates, load_prior_mins
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    detail.write_text(_json.dumps({
+        "reps": {"a": [1.0, 0.9, 1.1], "b": [2.0, 2.2],
+                 "zero": [0.0], "empty": []}}))
+    prior = load_prior_mins(str(detail))
+    assert prior == {"a": 0.9, "b": 2.0, "zero": 0.0}
+
+    timings = {"a": 0.9 * BURST_X + 0.01,   # burst -> retry
+               "b": 2.0 * BURST_X,           # exactly at bound -> no
+               "zero": 5.0,                  # prior 0 -> never
+               "new_entry": 9.9}             # no prior -> never
+    assert burst_candidates(timings, prior) == ["a"]
+    # threshold is parameterizable (the 2.5-3x band from the brief)
+    assert burst_candidates(timings, prior, burst_x=3.0) == []
+    # unreadable/missing detail file -> no priors -> no retries
+    assert load_prior_mins(str(tmp_path / "nope.json")) == {}
+    assert burst_candidates(timings, {}) == []

@@ -1016,6 +1016,81 @@ def test_streaming_jsonl_host_budget_cap(spark, tmp_path):
     assert again == got
 
 
+def test_streaming_jsonl_host_budget_batch_dup_one_slot(spark, tmp_path):
+    """ADVICE r13 (medium): two raw URLs in ONE micro-batch that
+    canonicalize to the same page must consume one capacity slot, not
+    two — before the pk-dedup-before-ranking fix, a genuinely new
+    page was misrouted to the host_capped audit while bronze held
+    fewer than host_budget pages for that host."""
+    from pyspark.sql import types as T
+
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # /1 arrives twice (messy + clean form -> same canonical_url);
+    # budget 2 must still admit /2
+    (land / "s1.json").write_text(
+        '{"url": "HTTP://A.com:80/1/", "text": "a1 messy"}\n'
+        '{"url": "http://a.com/1", "text": "a1"}\n'
+        '{"url": "http://a.com/2", "text": "a2"}\n')
+    wh = str(tmp_path / "wh")
+    SI.run_jsonl_ingest(spark, str(land), wh, "pages", schema,
+                        str(tmp_path / "cp1"), pk=["canonical_url"],
+                        canonicalize_url_from="url", host_budget=2)
+    got = sorted(r.canonical_url
+                 for r in spark.read.parquet(f"{wh}/bronze/pages").collect())
+    assert got == ["http://a.com/1", "http://a.com/2"]
+    import os as _os
+    capped_root = f"{wh}/audit/pages_host_capped"
+    if _os.path.isdir(capped_root):
+        assert spark.read.parquet(capped_root).count() == 0
+
+
+def test_streaming_phash_index_self_heals(spark, tmp_path):
+    """ADVICE r13: a crash BETWEEN the media_docs append and the
+    media_phash_index append must not permanently blind the index —
+    each batch re-derives index rows for accepted docs missing from
+    the index, so a later perceptual duplicate is still flagged."""
+    import json as _json
+    import shutil as _shutil
+
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    base = ("key agg row scan slow fast table value part hash value "
+            "table part a row fast merge batch part value line")
+    variant = base[:9] + "q" + base[10:]
+
+    land = tmp_path / "media"
+    land.mkdir()
+    (land / "s1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": base}) + "\n")
+    wh = str(tmp_path / "wh")
+    SI.run_phash_ingest(spark, str(land), wh, str(tmp_path / "cp1"))
+    idx = f"{wh}/silver/media_phash_index"
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1}
+
+    # simulate the crash window: docs append landed, index append lost
+    _shutil.rmtree(idx)
+
+    (land / "s2.json").write_text(
+        _json.dumps({"doc_id": 3, "text": variant}) + "\n")
+    SI.run_phash_ingest(spark, str(land), wh, str(tmp_path / "cp1"))
+
+    # the variant was flagged against the SELF-HEALED index…
+    flags = {r.doc_id: r.dup_of for r in
+             spark.read.parquet(f"{wh}/audit/media_phash_dups").collect()}
+    assert flags == {3: 1}
+    # …and the index again holds exactly the keepers' fingerprints
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1}
+    docs = f"{wh}/silver/media_docs"
+    assert {r.doc_id for r in spark.read.parquet(docs).collect()} == {1}
+
+
 def test_streaming_phash_incremental_dedup(spark, tmp_path):
     """Incremental perceptual dedup: a 1-char variant arriving in a
     LATER batch is flagged against the maintained fingerprint index
