@@ -4656,6 +4656,132 @@ def bloom_seen_digests(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — ROLLING-EPOCH Bloom seen-set (the production sizing contract as
+# a gated query, VERDICT r13 #4): bloom_seen_digests' fixed m=4096
+# filter saturates beyond ~500 items (SCALING.md addendum 14b); a
+# real crawl sizes each epoch m ~ 1.44*n*log2(1/fpr) and ORs probes
+# across the live epochs. Here the corpus digests land in 3 epochs
+# (min-doc-id mod 3 — deterministic per distinct digest), each epoch
+# filter is sized by the formula at design capacity n=2048 /
+# fpr=0.01, and every verdict (present digests + 200 absent probes)
+# is hash-matched — proving the SIZING ARITHMETIC and the
+# cross-epoch OR are oracle-stable, not just the fixed-m bit math.
+# ---------------------------------------------------------------------------
+
+_BE_EPOCHS = 3
+_BE_CAPACITY = 2048
+_BE_FPR = 0.01
+
+
+def _bloom_m_for(n: int, fpr: float) -> int:
+    """mirrors operators/sketch.py::bloom_m_for (the _CMS_D
+    constant-duplication idiom: sketch.py builds Column defaults at
+    import and cannot be imported before a SparkContext exists);
+    equality is pinned by test_bloom_m_for_mirror."""
+    import math
+
+    m = math.ceil(1.44 * n * math.log2(1.0 / fpr))
+    return max(_BLOOM_W, ((m + _BLOOM_W - 1) // _BLOOM_W) * _BLOOM_W)
+
+
+_BE_M = _bloom_m_for(_BE_CAPACITY, _BE_FPR)
+
+
+def _bloom_epochs_oracle() -> str:
+    params = X.minhash_params(_BLOOM_K)
+    hh = "CAST('0x' || substr(md5(item), 1, 8) AS BIGINT)"
+    poss = ", ".join(
+        f"(({a} * h + {b}) % {X.MINHASH_PRIME}) % {_BE_M} AS p{j}"
+        for j, (a, b) in enumerate(params))
+
+    def unpiv(src, extra):
+        return " UNION ALL ".join(
+            f"SELECT {extra}, item, {j} AS j, p{j} AS pos FROM {src}"
+            for j in range(_BLOOM_K))
+
+    return f"""
+WITH present AS (
+    SELECT md5(text) AS item,
+           CAST(MIN(doc_id) % {_BE_EPOCHS} AS INT) AS epoch
+    FROM documents GROUP BY md5(text)
+), probes AS (
+    SELECT 'present' AS label, item FROM present
+    UNION ALL
+    SELECT DISTINCT 'absent', md5('absent:' || CAST(i AS VARCHAR))
+    FROM (SELECT unnest(range(0, {_BLOOM_ABSENT})) AS i)
+), estaged AS (
+    SELECT epoch, item, {poss}
+    FROM (SELECT epoch, item, {hh} AS h FROM present)
+), elong AS (
+    {unpiv('estaged', 'epoch')}
+), ebloom AS (
+    SELECT epoch, pos // {_BLOOM_W} AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+    FROM elong GROUP BY epoch, pos // {_BLOOM_W}
+), pstaged AS (
+    SELECT label, item, {poss}
+    FROM (SELECT label, item, {hh} AS h FROM probes)
+), plong AS (
+    {unpiv('pstaged', 'label')}
+), ehits AS (
+    SELECT label, item, b.epoch,
+           SUM(CASE WHEN (b.bits
+                    & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_W} AS INT)))
+                    <> 0 THEN 1 ELSE 0 END) AS nh
+    FROM plong p JOIN ebloom b ON b.word_idx = p.pos // {_BLOOM_W}
+    GROUP BY label, item, b.epoch
+), per_item AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_epochs_hit
+    FROM ehits WHERE nh = {_BLOOM_K} GROUP BY item
+)
+SELECT label, p.item,
+       COALESCE(n_epochs_hit, 0) AS n_epochs_hit,
+       COALESCE(n_epochs_hit, 0) > 0 AS might_contain,
+       (label = 'present' AND COALESCE(n_epochs_hit, 0) = 0)
+           AS fn_violation
+FROM probes p LEFT JOIN per_item USING (item)
+"""
+
+
+@register("bloom_rolling_epochs", oracle=_bloom_epochs_oracle())
+def bloom_rolling_epochs(spark, sf_dir):
+    """Rolling-epoch Bloom membership: corpus digests partitioned
+    into 3 epochs (min doc_id mod 3), one filter per epoch sized by
+    the production formula m = 1.44 * 2048 * log2(1/0.01) rounded to
+    packed words, probes (every present digest + 200 absent) ORed
+    across all live epochs. fn_violation is the per-epoch
+    zero-false-negative guarantee surviving the union (provably
+    all-false); the streaming twin that actually ROLLS epochs by
+    cumulative count and expires the oldest is
+    streaming/ingest.py::run_bloom_epoch_stream (unit-pinned —
+    expiry is filesystem state, not SQL). At 100 TB: each epoch's
+    filter is ~m/32 rows regardless of item count, the union of live
+    epochs broadcasts, and retiring an epoch is dropping one
+    directory."""
+    from ..operators import sketch as K
+
+    present = (td(spark, sf_dir)
+               .groupBy(F.md5(F.col("text")).alias("item"))
+               .agg((F.min("doc_id") % _BE_EPOCHS).cast("int")
+                    .alias("epoch")))
+    absent = spark.range(_BLOOM_ABSENT).select(
+        F.lit("absent").alias("label"),
+        F.md5(F.concat(F.lit("absent:"), F.col("id").cast("string")))
+        .alias("item")).dropDuplicates(["item"])
+    probes = present.select(F.lit("present").alias("label"), "item") \
+        .unionByName(absent)
+
+    ebloom = K.bloom_epoch_bits(present.select("epoch", "item"),
+                                m=_BE_M, k=_BLOOM_K)
+    out = K.bloom_epochs_might_contain(probes.select("item"), ebloom,
+                                       m=_BE_M, k=_BLOOM_K)
+    return (out.join(probes, "item")
+            .select("label", "item", "n_epochs_hit", "might_contain",
+                    ((F.col("label") == "present")
+                     & ~F.col("might_contain")).alias("fn_violation")))
+
+
+# ---------------------------------------------------------------------------
 # q — HTML -> text extraction (functions/html.py): the step between a
 # crawl shard and the text-quality/dedup tier. The corpus has no HTML
 # column, so the query wraps each document's text in a deterministic

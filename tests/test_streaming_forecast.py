@@ -1016,6 +1016,83 @@ def test_streaming_jsonl_host_budget_cap(spark, tmp_path):
     assert again == got
 
 
+def test_bloom_epoch_assignment_is_replay_deterministic():
+    """_bloom_epoch_assignments: cumulative fill up to epoch_rows then
+    roll; assignment of a batch is a pure function of EARLIER batches'
+    immutable counts, so recomputing with the same meta (any insertion
+    order) reproduces it — the replay-safety argument."""
+    from medallion_data_pipeline_spark.streaming.ingest import (
+        _bloom_epoch_assignments)
+
+    meta = [(0, 4), (1, 2), (2, 2), (3, 1)]
+    assign, cur = _bloom_epoch_assignments(meta, epoch_rows=4)
+    assert assign == {0: 0, 1: 1, 2: 1, 3: 2} and cur == 2
+    # shuffled meta order -> identical assignment
+    assign2, _ = _bloom_epoch_assignments(list(reversed(meta)), 4)
+    assert assign2 == assign
+    # a replayed batch (same id, same count) changes nothing
+    assign3, _ = _bloom_epoch_assignments(meta, 4)
+    assert assign3 == assign
+    assert _bloom_epoch_assignments([], 4) == ({}, 0)
+
+
+def test_streaming_bloom_epochs_roll_and_expire(spark, tmp_path):
+    """run_bloom_epoch_stream: batches fill epochs by cumulative count
+    (epoch_rows), each epoch is an independently sized filter, only
+    the newest live_epochs survive on disk, probes OR across the live
+    epochs (expired items forgotten, live items all seen), and a
+    replay with a fresh checkpoint converges to the same state."""
+    import json as _json
+    import os as _os
+
+    from medallion_data_pipeline_spark.operators import sketch as K
+    from medallion_data_pipeline_spark.streaming import ingest as SI
+
+    land = tmp_path / "docs"
+    land.mkdir()
+    wh = str(tmp_path / "wh")
+    kw = dict(epoch_rows=4, live_epochs=2, fpr=0.01)
+
+    def feed(name, ids):
+        (land / name).write_text("".join(
+            _json.dumps({"doc_id": i, "text": f"doc text {i}"}) + "\n"
+            for i in ids))
+        SI.run_bloom_epoch_stream(spark, str(land), wh,
+                                  str(tmp_path / "cp1"), **kw)
+
+    feed("s1.json", range(0, 4))      # batch 0 -> epoch 0 (fills it)
+    feed("s2.json", range(4, 8))      # batch 1 -> epoch 1 (fills it)
+    feed("s3.json", range(8, 12))     # batch 2 -> epoch 2; epoch 0 expires
+
+    eroot = _os.path.join(wh, "sketch", "bloom_epochs")
+    assert sorted(_os.listdir(eroot)) == ["epoch=1", "epoch=2"]
+
+    m = K.bloom_m_for(4, 0.01)
+    live = SI.read_bloom_epoch_bits(spark, wh, live_epochs=2)
+    probes = spark.range(12).select(
+        F.md5(F.concat(F.lit("doc text "), F.col("id").cast("string")))
+        .alias("item"))
+    got = {r.item: r.might_contain for r in
+           K.bloom_epochs_might_contain(probes, live, m=m).collect()}
+    digest = {i: r.item for i, r in enumerate(spark.range(12).select(
+        F.md5(F.concat(F.lit("doc text "), F.col("id").cast("string")))
+        .alias("item")).collect())}
+    # expired epoch 0 items forgotten; live epochs all seen
+    assert not any(got[digest[i]] for i in range(0, 4))
+    assert all(got[digest[i]] for i in range(4, 12))
+
+    # full replay, fresh checkpoint: same directories, same filters
+    before = {r.epoch: r.bits for r in live.groupBy("epoch")
+              .agg(F.bit_xor("bits").alias("bits")).collect()}
+    SI.run_bloom_epoch_stream(spark, str(land), wh,
+                              str(tmp_path / "cp2"), **kw)
+    assert sorted(_os.listdir(eroot)) == ["epoch=1", "epoch=2"]
+    after_df = SI.read_bloom_epoch_bits(spark, wh, live_epochs=2)
+    after = {r.epoch: r.bits for r in after_df.groupBy("epoch")
+             .agg(F.bit_xor("bits").alias("bits")).collect()}
+    assert after == before
+
+
 def test_streaming_jsonl_host_budget_batch_dup_one_slot(spark, tmp_path):
     """ADVICE r13 (medium): two raw URLs in ONE micro-batch that
     canonicalize to the same page must consume one capacity slot, not
