@@ -1,0 +1,205 @@
+"""Language identification by character-trigram rank profiles
+(Cavnar & Trenkle 1994, "N-Gram-Based Text Categorization") — the
+canonical corpus-prep stage between crawl extraction and the quality
+gates (real pipelines filter by language BEFORE Gopher/C4-style
+scoring; cf. plans/corpus.py).
+
+Method, chosen for exact oracle replay: each language's profile is
+its top-K trigrams ranked by (count desc, trigram asc) over a seed
+text; a document's profile is the same over its own text; the
+document-language distance is the Cavnar-Trenkle out-of-place
+measure — sum over the doc's profiled trigrams of
+|doc_rank - lang_rank|, with a flat K penalty when the trigram is
+absent from the language profile. Every quantity is an INTEGER
+derived from exact string operations, so Spark and DuckDB agree
+bit-for-bit (a log-likelihood scorer would hang the hash gate on
+libm last-ulp drift); top-1 language = min distance with
+lexicographic tie-break, and the margin (runner-up distance minus
+best) is the integer confidence.
+
+Scale shape: profiles are a <= n_langs * K row broadcast table; doc
+trigram extraction is one explode (output ~ text length); ranking a
+doc's own trigrams is a doc_id-partitioned window (never global);
+the scoring join is doc-profile x n_langs with broadcast lookups.
+No UDFs anywhere.
+
+Seed texts are plain-ASCII paragraphs written for this module
+(normalization strips everything outside [a-z ], so accents are
+deliberately omitted; single quotes are omitted so the same literals
+embed in oracle SQL unescaped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: profile depth K — both the per-profile trigram cap and the
+#: out-of-place penalty for unprofiled trigrams (Cavnar-Trenkle).
+LANGID_K = 300
+
+LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the people "
+        "said that they would come to the house with their friends "
+        "because it was a good day for everyone there and this is what "
+        "we know about the things that happen when the world turns and "
+        "the water runs down the river to the sea while the children "
+        "play in the garden and the old man reads his book under the "
+        "tree thinking about the years that have passed and the work "
+        "that still needs to be done before the night comes and "
+        "everything is quiet again in the small town where nothing "
+        "ever changes very much from one day to the next"),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und "
+        "die leute sagten dass sie mit ihren freunden zum haus kommen "
+        "wuerden weil es ein guter tag fuer alle war und das ist was "
+        "wir ueber die dinge wissen die geschehen wenn sich die welt "
+        "dreht und das wasser den fluss hinunter ins meer fliesst "
+        "waehrend die kinder im garten spielen und der alte mann sein "
+        "buch unter dem baum liest und an die jahre denkt die "
+        "vergangen sind und an die arbeit die noch getan werden muss "
+        "bevor die nacht kommt und alles wieder still ist in der "
+        "kleinen stadt in der sich von einem tag auf den anderen nie "
+        "viel aendert"),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y la "
+        "gente dijo que vendria a la casa con sus amigos porque era un "
+        "buen dia para todos y esto es lo que sabemos sobre las cosas "
+        "que suceden cuando el mundo gira y el agua baja por el rio "
+        "hacia el mar mientras los ninos juegan en el jardin y el "
+        "viejo lee su libro bajo el arbol pensando en los anos que han "
+        "pasado y en el trabajo que todavia queda por hacer antes de "
+        "que llegue la noche y todo vuelva a estar tranquilo en el "
+        "pequeno pueblo donde nada cambia mucho de un dia para otro"),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "les gens ont dit quils viendraient a la maison avec leurs "
+        "amis parce que cetait une bonne journee pour tout le monde et "
+        "cest ce que nous savons des choses qui arrivent quand le "
+        "monde tourne et que leau descend la riviere vers la mer "
+        "pendant que les enfants jouent dans le jardin et que le vieil "
+        "homme lit son livre sous larbre en pensant aux annees qui ont "
+        "passe et au travail quil reste a faire avant que la nuit "
+        "vienne et que tout redevienne calme dans la petite ville ou "
+        "rien ne change jamais beaucoup dun jour a lautre"),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e la gente "
+        "ha detto che sarebbe venuta a casa con i loro amici perche "
+        "era una buona giornata per tutti e questo e cio che sappiamo "
+        "delle cose che accadono quando il mondo gira e lacqua scende "
+        "lungo il fiume verso il mare mentre i bambini giocano in "
+        "giardino e il vecchio legge il suo libro sotto lalbero "
+        "pensando agli anni che sono passati e al lavoro che resta da "
+        "fare prima che arrivi la notte e tutto torni tranquillo nel "
+        "piccolo paese dove niente cambia mai molto da un giorno "
+        "allaltro"),
+}
+
+
+def langid_norm(col: Column) -> Column:
+    """lowercase -> strip to [a-z ] -> collapse runs -> trim: the
+    canonical form both profiles and documents are trigrammed from.
+    Mirrors langid_norm_sql exactly (strip AFTER lower, so any
+    engine-specific unicode lowering lands on characters the strip
+    removes either way)."""
+    s = F.regexp_replace(F.lower(col), "[^a-z ]", " ")
+    return F.trim(F.regexp_replace(s, " +", " "))
+
+
+def langid_norm_sql(col: str) -> str:
+    """DuckDB dual of langid_norm (RE2 needs the explicit g flag)."""
+    return (f"trim(regexp_replace(regexp_replace(lower({col}), "
+            f"'[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def trigram_array(col: Column) -> Column:
+    """All character trigrams of an ALREADY-NORMALIZED string as an
+    array (empty below length 3 — explicit guard, because Spark
+    sequence() counts DOWN when stop < start). Callers should pass a
+    NAMED column, not a deep expression — the array references its
+    input at every element (the staged-named-columns rule)."""
+    n = F.length(col)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: col.substr(i, F.lit(3)))
+
+
+def trigrams_sql(col: str) -> str:
+    """DuckDB dual of trigram_array."""
+    return (f"CASE WHEN length({col}) >= 3 THEN "
+            f"list_transform(range(1, length({col}) - 1), "
+            f"i -> substr({col}, CAST(i AS INT), 3)) "
+            f"ELSE [] END")
+
+
+def seed_profiles(spark: SparkSession, k: int = LANGID_K) -> DataFrame:
+    """(lang, tri, rl) — each seed language's top-k trigram ranks,
+    derived IN-PLAN from LANG_SEEDS through the same normalization /
+    trigram expressions the documents go through (the oracle derives
+    them in SQL from the identical literals, so the two engines
+    cannot drift). <= n_langs * k rows; broadcast by construction."""
+    from pyspark.sql.window import Window as W
+
+    seeds = spark.createDataFrame(sorted(LANG_SEEDS.items()),
+                                  "lang string, seed string")
+    norm = seeds.select("lang", langid_norm(F.col("seed")).alias("_s"))
+    tri = norm.select(
+        "lang", F.explode(trigram_array(F.col("_s"))).alias("tri"))
+    counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    return (counts.withColumn("rl", F.row_number().over(w))
+            .filter(F.col("rl") <= k).drop("c"))
+
+
+def with_langid(df: DataFrame, id_col: str, text_col: str,
+                k: int = LANGID_K) -> DataFrame:
+    """(id_col, lang, dist, margin): Cavnar-Trenkle classification of
+    each row's text against the seed profiles. lang is the
+    min-distance language (ties broken lexicographically); margin =
+    runner-up distance - best distance (0 on a tie; larger = more
+    confident). Rows whose normalized text has no trigrams get the
+    documented fallback: first language alphabetically, dist 0,
+    margin 0."""
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    profs = seed_profiles(spark, k)
+    langs = spark.createDataFrame([(lng,) for lng in sorted(LANG_SEEDS)],
+                                  "lang string")
+
+    norm = df.select(F.col(id_col), langid_norm(F.col(text_col))
+                     .alias("_s"))
+    doc_tri = norm.select(
+        id_col, F.explode(trigram_array(F.col("_s"))).alias("tri"))
+    dcounts = doc_tri.groupBy(id_col, "tri") \
+        .agg(F.count(F.lit(1)).alias("c"))
+    wd = W.partitionBy(id_col).orderBy(F.desc("c"), F.asc("tri"))
+    dprof = (dcounts.withColumn("rd", F.row_number().over(wd))
+             .filter(F.col("rd") <= k).drop("c"))
+
+    scored = (dprof.crossJoin(F.broadcast(langs))
+              .join(F.broadcast(profs), ["lang", "tri"], "left")
+              .groupBy(id_col, "lang")
+              .agg(F.sum(F.coalesce(
+                  F.abs(F.col("rd") - F.col("rl")),
+                  F.lit(k))).alias("dist")))
+    wr = W.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("lang"))
+    ranked = scored.withColumn("_rk", F.row_number().over(wr))
+    best = ranked.filter(F.col("_rk") == 1) \
+        .select(id_col, "lang", "dist")
+    second = ranked.filter(F.col("_rk") == 2) \
+        .select(id_col, F.col("dist").alias("_d2"))
+    out = (best.join(second, id_col, "left")
+           .select(id_col, "lang",
+                   F.col("dist").cast("long").alias("dist"),
+                   (F.coalesce("_d2", F.col("dist")) - F.col("dist"))
+                   .cast("long").alias("margin")))
+    # docs with NO trigrams never enter dprof; re-attach them with the
+    # documented fallback so every input row gets a verdict
+    missing = (norm.filter(F.length("_s") < 3)
+               .select(id_col,
+                       F.lit(sorted(LANG_SEEDS)[0]).alias("lang"),
+                       F.lit(0).cast("long").alias("dist"),
+                       F.lit(0).cast("long").alias("margin")))
+    return out.unionByName(missing)

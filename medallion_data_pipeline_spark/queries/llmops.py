@@ -4782,6 +4782,94 @@ def bloom_rolling_epochs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — language identification (functions/langid.py, Cavnar-Trenkle
+# 1994 trigram rank profiles): the one canonical corpus-prep stage
+# the crawl tier still lacked (VERDICT r13 #2) — real pipelines
+# filter by language BEFORE the Gopher/C4 quality gates. Profiles
+# derive from the module's seed literals IN-PLAN on both engines;
+# every distance is an integer (the out-of-place measure), so the
+# hash match is exact with no float-sum boundary risk. Output:
+# top-1 language + integer margin (runner-up minus best) per doc.
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    from ..functions import langid as L
+
+    seeds = ", ".join(f"('{lng}', '{txt}')"
+                      for lng, txt in sorted(L.LANG_SEEDS.items()))
+    k = L.LANGID_K
+    first = sorted(L.LANG_SEEDS)[0]
+    return f"""
+WITH seeds(lang, seed) AS (VALUES {seeds}),
+snorm AS (SELECT lang, {L.langid_norm_sql('seed')} AS s FROM seeds),
+stri AS (SELECT lang, unnest({L.trigrams_sql('s')}) AS tri FROM snorm),
+sprof AS MATERIALIZED (
+    SELECT lang, tri, rl FROM (
+        SELECT lang, tri,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY COUNT(*) DESC, tri) AS rl
+        FROM stri GROUP BY lang, tri)
+    WHERE rl <= {k}
+),
+dnorm AS MATERIALIZED (
+    SELECT doc_id, {L.langid_norm_sql('text')} AS s FROM documents
+),
+dtri AS (SELECT doc_id, unnest({L.trigrams_sql('s')}) AS tri FROM dnorm),
+dprof AS MATERIALIZED (
+    SELECT doc_id, tri, rd FROM (
+        SELECT doc_id, tri,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY COUNT(*) DESC, tri) AS rd
+        FROM dtri GROUP BY doc_id, tri)
+    WHERE rd <= {k}
+),
+langs AS (SELECT DISTINCT lang FROM seeds),
+scored AS (
+    SELECT d.doc_id, l.lang,
+           SUM(COALESCE(abs(d.rd - p.rl), {k})) AS dist
+    FROM dprof d CROSS JOIN langs l
+    LEFT JOIN sprof p ON p.lang = l.lang AND p.tri = d.tri
+    GROUP BY d.doc_id, l.lang
+),
+ranked AS (
+    SELECT doc_id, lang, dist,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY dist, lang) AS rk
+    FROM scored
+),
+best AS (SELECT doc_id, lang, dist FROM ranked WHERE rk = 1),
+runner AS (SELECT doc_id, dist AS d2 FROM ranked WHERE rk = 2)
+SELECT b.doc_id, b.lang, CAST(b.dist AS BIGINT) AS dist,
+       CAST(COALESCE(r.d2, b.dist) - b.dist AS BIGINT) AS margin
+FROM best b LEFT JOIN runner r USING (doc_id)
+UNION ALL
+SELECT doc_id, '{first}' AS lang, CAST(0 AS BIGINT) AS dist,
+       CAST(0 AS BIGINT) AS margin
+FROM dnorm WHERE length(s) < 3
+"""
+
+
+@register("langid_confidence", oracle=_langid_oracle(), bench=True)
+def langid_confidence(spark, sf_dir):
+    """Top-1 language + integer confidence margin per document via
+    Cavnar-Trenkle trigram rank profiles (functions/langid.py). The
+    profile side is a <= 5 x 300 row broadcast derived in-plan from
+    the seed literals; the document side is one explode (~text
+    length), a doc_id-partitioned ranking window (never global), and
+    a broadcast scoring join — no UDFs, integer arithmetic
+    throughout. At 100 TB the doc-profile build is the only shuffle
+    (keyed on doc_id) and the scoring join stays broadcast no matter
+    the corpus size. The synthetic corpus is English-like, so top-1
+    concentrates on 'en' — the planted-language discrimination
+    property is pinned separately in tests on held-out
+    per-language sentences."""
+    from ..functions import langid as L
+
+    return L.with_langid(td(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # q — HTML -> text extraction (functions/html.py): the step between a
 # crawl shard and the text-quality/dedup tier. The corpus has no HTML
 # column, so the query wraps each document's text in a deterministic

@@ -1513,3 +1513,66 @@ def test_bpe_c0_control_words_dropped(spark):
             {r.w: r.cnt for r in w_clean.collect()}
         w_clean.unpersist()
         w_dirty.unpersist()
+
+
+def test_langid_discriminates_planted_languages(spark):
+    """functions/langid.py: held-out sentences (NOT from the seed
+    paragraphs) in each seed language must classify as their planted
+    language with a strictly positive margin; degenerate inputs take
+    the documented fallback (first language alphabetically, 0, 0)."""
+    from medallion_data_pipeline_spark.functions import langid as L
+
+    planted = {
+        "en": ("she walked along the street in the morning and bought "
+               "some bread and milk from the shop before going back "
+               "home to make breakfast for her family"),
+        "de": ("sie ging am morgen die strasse entlang und kaufte brot "
+               "und milch im laden bevor sie nach hause zurueckkehrte "
+               "um fruehstueck fuer ihre familie zu machen"),
+        "es": ("ella camino por la calle por la manana y compro pan y "
+               "leche en la tienda antes de volver a casa para "
+               "preparar el desayuno para su familia"),
+        "fr": ("elle marchait dans la rue le matin et achetait du pain "
+               "et du lait au magasin avant de rentrer chez elle pour "
+               "preparer le petit dejeuner pour sa famille"),
+        "it": ("lei camminava per la strada al mattino e comprava pane "
+               "e latte al negozio prima di tornare a casa per "
+               "preparare la colazione per la sua famiglia"),
+    }
+    rows = [(i, lang, txt)
+            for i, (lang, txt) in enumerate(sorted(planted.items()))]
+    rows.append((90, "none", ""))      # no trigrams -> fallback
+    rows.append((91, "none", "a!"))    # normalizes below 3 chars
+    df = spark.createDataFrame(rows, "doc_id long, want string, text string")
+
+    got = {r.doc_id: (r.lang, r.dist, r.margin)
+           for r in L.with_langid(df, "doc_id", "text").collect()}
+    assert len(got) == len(rows)
+    for i, (lang, _) in enumerate(sorted(planted.items())):
+        top, dist, margin = got[i]
+        assert top == lang, (lang, got[i])
+        assert margin > 0, (lang, got[i])
+        assert dist >= 0
+    first = sorted(L.LANG_SEEDS)[0]
+    assert got[90] == (first, 0, 0)
+    assert got[91] == (first, 0, 0)
+
+
+def test_langid_profile_contract(spark):
+    """Seed profiles: one rank sequence 1..n per language, capped at
+    LANGID_K, every trigram 3 chars from [a-z ], and all five seed
+    languages present."""
+    from medallion_data_pipeline_spark.functions import langid as L
+
+    prof = L.seed_profiles(spark).collect()
+    by_lang = {}
+    for r in prof:
+        by_lang.setdefault(r.lang, []).append((r.rl, r.tri))
+        assert len(r.tri) == 3 and all(c == " " or "a" <= c <= "z"
+                                       for c in r.tri), r.tri
+    assert set(by_lang) == set(L.LANG_SEEDS)
+    for lang, rows in by_lang.items():
+        ranks = sorted(rl for rl, _ in rows)
+        assert ranks == list(range(1, len(rows) + 1)), lang
+        assert len(rows) <= L.LANGID_K
+        assert len(rows) > 100, (lang, len(rows))  # seeds are rich
