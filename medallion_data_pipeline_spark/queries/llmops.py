@@ -4397,6 +4397,168 @@ def dedup_image_phash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — perceptual-tier RECALL certification (VERDICT r13 #5): the
+# phash twin of near_dup_recall_certification. Each corpus
+# fingerprint gets ONE planted variant at an EXACTLY-KNOWN Hamming
+# distance delta = doc_id % 7 (XOR with delta distinct bit positions
+# (doc_id*7 + j*13) % 63 — stride 13 is coprime to 63, so the
+# positions are distinct and the distance is exactly delta; bit 63
+# is avoided so neither engine touches sign-bit shift semantics).
+# Ground truth is a mechanism-independent brute-force all-pairs
+# Hamming<=4 sweep over the union; the operator under certification
+# is fingerprint_hamming_pairs' pigeonhole retrieval. Output: one
+# row per planted distance (recall@4 must be 1.0 for delta<=4, zero
+# flagged beyond) + an overall row where recall AND precision
+# against the exact pair set must both be 1.0.
+# ---------------------------------------------------------------------------
+
+_PRC_OFFSET = 2_000_000
+_PRC_DELTAS = 7
+
+
+def _prc_mask_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN {j} < delta THEN CAST(1 AS BIGINT) "
+        f"<< CAST((doc_id * 7 + {j} * 13) % 63 AS INT) ELSE 0 END"
+        for j in range(_PRC_DELTAS - 1))
+    return f"({terms})"
+
+
+def _prc_oracle() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+fp0 AS MATERIALIZED (
+    SELECT doc_id, {_PHASH_FP_SQL} AS phash
+    FROM (SELECT doc_id, {_PHASH_GRID_SQL} AS g FROM base)
+), pl AS MATERIALIZED (
+    SELECT doc_id, phash, CAST(doc_id % {_PRC_DELTAS} AS INT) AS delta
+    FROM fp0
+), u AS MATERIALIZED (
+    SELECT doc_id, phash FROM fp0
+    UNION ALL
+    SELECT doc_id + {_PRC_OFFSET}, xor(phash, {_prc_mask_sql()})
+    FROM pl
+), tp AS MATERIALIZED (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM u a JOIN u b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAXDIST}
+), pstat AS (
+    SELECT delta, COUNT(*) AS n_p FROM pl GROUP BY delta
+), retr AS (
+    SELECT p.delta, COUNT(*) AS n_r
+    FROM pl p JOIN tp ON tp.id_a = p.doc_id
+                     AND tp.id_b = p.doc_id + {_PRC_OFFSET}
+    GROUP BY p.delta
+), totals AS (SELECT COUNT(*) AS n_all FROM tp)
+SELECT 'delta_' || CAST(delta AS VARCHAR) AS scope,
+       CAST(CASE WHEN delta <= {_PHASH_MAXDIST} THEN n_p ELSE 0 END
+            AS BIGINT) AS n_true,
+       CAST(COALESCE(n_r, 0) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(n_r, 0) AS BIGINT) AS n_hits,
+       CASE WHEN delta <= {_PHASH_MAXDIST}
+            THEN ROUND(CAST(COALESCE(n_r, 0) AS DOUBLE) / n_p, 6)
+       END AS recall,
+       CASE WHEN COALESCE(n_r, 0) > 0 THEN CAST(1.0 AS DOUBLE)
+       END AS precision
+FROM pstat LEFT JOIN retr USING (delta)
+UNION ALL
+SELECT 'overall', CAST(n_all AS BIGINT), CAST(n_all AS BIGINT),
+       CAST(n_all AS BIGINT),
+       CASE WHEN n_all > 0 THEN CAST(1.0 AS DOUBLE) END,
+       CASE WHEN n_all > 0 THEN CAST(1.0 AS DOUBLE) END
+FROM totals
+"""
+
+
+@register("phash_recall_certification", oracle=_prc_oracle())
+def phash_recall_certification(spark, sf_dir):
+    """(scope, n_true, n_flagged, n_hits, recall, precision) for the
+    perceptual pigeonhole retrieval against planted-known-distance
+    variants AND the exact all-pairs Hamming<=4 set. Spark computes
+    BOTH sides itself — retrieval via fingerprint_hamming_pairs,
+    truth via an independent brute-force non-equi join — while the
+    oracle derives the expected values from the exact set alone, so
+    a retrieval bug (missed block, broken verification) breaks the
+    hash match rather than certifying itself. Certification-only
+    cost, like near_dup_recall_certification: the all-pairs sweep is
+    the point; production paths use only the banded retrieval."""
+    from ..operators import multimodal as M2
+
+    base = td(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.length("text") > 0)
+    fps = M2.phash_binary(M2.with_binary_payload(base, "text"),
+                          decoder="stub") \
+        .select("doc_id", "phash").persist()
+    pl = fps.withColumn("delta",
+                        (F.col("doc_id") % _PRC_DELTAS).cast("int"))
+    mask = None
+    for j in range(_PRC_DELTAS - 1):
+        # F.shiftleft only takes a literal shift; the SQL form takes
+        # a column — same codegen either way
+        term = F.expr(
+            f"CASE WHEN {j} < delta THEN shiftleft(CAST(1 AS BIGINT), "
+            f"CAST((doc_id * 7 + {j} * 13) % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END")
+        mask = term if mask is None else mask + term
+    variants = pl.select(
+        (F.col("doc_id") + _PRC_OFFSET).alias("doc_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"))
+    u = fps.unionByName(variants).persist()
+
+    retrieved = D.fingerprint_hamming_pairs(
+        u, fp_col="phash", bits=64, max_distance=_PHASH_MAXDIST) \
+        .select("id_a", "id_b").persist()
+
+    ua = u.select(F.col("doc_id").alias("id_a"),
+                  F.col("phash").alias("pa"))
+    ub = u.select(F.col("doc_id").alias("id_b"),
+                  F.col("phash").alias("pb"))
+    truth = (ua.join(ub, F.col("id_a") < F.col("id_b"))
+             .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                     <= _PHASH_MAXDIST)
+             .select("id_a", "id_b").persist())
+
+    pstat = pl.groupBy("delta").agg(F.count(F.lit(1)).alias("n_p"))
+    planted = pl.select("delta", F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + _PRC_OFFSET).alias("id_b"))
+    retr = (planted.join(retrieved, ["id_a", "id_b"])
+            .groupBy("delta").agg(F.count(F.lit(1)).alias("n_r")))
+
+    within = F.col("delta") <= _PHASH_MAXDIST
+    drows = (pstat.join(retr, "delta", "left")
+             .select(
+                 F.concat(F.lit("delta_"),
+                          F.col("delta").cast("string")).alias("scope"),
+                 F.when(within, F.col("n_p")).otherwise(F.lit(0))
+                 .cast("long").alias("n_true"),
+                 F.coalesce("n_r", F.lit(0)).cast("long")
+                 .alias("n_flagged"),
+                 F.coalesce("n_r", F.lit(0)).cast("long").alias("n_hits"),
+                 F.when(within,
+                        F.round(F.coalesce("n_r", F.lit(0))
+                                .cast("double") / F.col("n_p"), 6))
+                 .alias("recall"),
+                 F.when(F.coalesce("n_r", F.lit(0)) > 0,
+                        F.lit(1.0)).alias("precision")))
+
+    n_true_all = truth.count()
+    n_flagged_all = retrieved.count()
+    n_hits_all = retrieved.join(truth, ["id_a", "id_b"]).count()
+    overall = spark.createDataFrame(
+        [("overall", n_true_all, n_flagged_all, n_hits_all)],
+        "scope string, n_true long, n_flagged long, n_hits long") \
+        .select("scope", "n_true", "n_flagged", "n_hits",
+                F.when(F.col("n_true") > 0,
+                       F.round(F.col("n_hits").cast("double")
+                               / F.col("n_true"), 6)).alias("recall"),
+                F.when(F.col("n_flagged") > 0,
+                       F.round(F.col("n_hits").cast("double")
+                               / F.col("n_flagged"), 6))
+                .alias("precision"))
+    return drows.unionByName(overall)
+
+
+# ---------------------------------------------------------------------------
 # q — URL canonicalization + host-capped crawl dedup: real crawls key
 # on URL, not doc_id. The corpus has no URL column, so the query
 # synthesizes one messy raw URL per document in-plan (three rotating
