@@ -410,6 +410,36 @@ def main() -> None:
     all_reps["pipeline_corpus_curation"] = reps
     timings["pipeline_corpus_curation"] = _min_warm(reps)
     cal.tick("pipeline_corpus_curation")
+
+    # End-to-end crawl tier over synthesized shards from the sf
+    # documents table (10 messy-URL replicas per doc — ~50K JSONL
+    # lines at sf0.1): permissive ingest -> HTML extract ->
+    # canonicalize -> frontier filter -> URL+digest dedup +
+    # formula-sized Bloom seen-set -> langid gate -> quality gate
+    # (plans/crawl.py). Shard synthesis is prep, not measurement —
+    # the timed number is the pipeline a crawler actually re-runs
+    # per increment.
+    from medallion_data_pipeline_spark.plans import crawl as crawl_plan
+
+    crawl_land = tempfile.mkdtemp(prefix="mdp_bench_crawl_land_")
+    crawl_plan.synthesize_crawl_shards(spark, sf_dir, crawl_land,
+                                       replicas=10, shards=8)
+    reps = []
+    for _rep in range(3):
+        if _rep == 2 and reps[0] <= 1.0:
+            break  # third rep only when the entry runs hot (see _min_warm)
+        cw = tempfile.mkdtemp(prefix="mdp_bench_crawl_")
+        try:
+            t0 = time.time()
+            crawl_plan.run_crawl_pipeline(spark, crawl_land, cw)
+            reps.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(cw, ignore_errors=True)
+        _release_cached_blocks(spark)
+    shutil.rmtree(crawl_land, ignore_errors=True)
+    all_reps["pipeline_crawl_50k"] = reps
+    timings["pipeline_crawl_50k"] = _min_warm(reps)
+    cal.tick("pipeline_crawl_50k")
     cal.probe()  # closing checkpoint so the last entries have an
     # after-neighbor
     queries_norm = cal.normalize(timings)

@@ -116,10 +116,23 @@ PRIORITY: tuple[str, ...] = (
     # dedup_image_phash, which runs the same decode-path batching AND
     # the pigeonhole Hamming retrieval on top; the planted-pair design
     # also certifies recall, not just plumbing)
+    # (dedup_image_phash moved past the prefix in r14 — same
+    # strict-subset argument one level up: phash_recall_certification
+    # runs the identical decode path and pigeonhole retrieval AND
+    # plants variants at seven exactly-known Hamming distances,
+    # scoring retrieval against an independent brute-force truth —
+    # recall@d per distance, not just the d<=4 pair set)
+    # (corpus_token_stats moved past the prefix in r14 — the
+    # whitespace/BPE-ish counter family stays exercised in-prefix by
+    # text_analysis and beyond it by the exact bpe_token_counts gate;
+    # its slot goes to langid_confidence, the Cavnar-Trenkle trigram
+    # rank-profile classifier — profile windows + out-of-place
+    # distance, a shape nothing else in the prefix has)
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh_skew",
     "dedup_ngram_jaccard", "dedup_canonical_url",
     "knn_cosine_bruteforce", "text_analysis",
-    "dedup_image_phash", "corpus_token_stats", "gopher_quality_filters",
+    "phash_recall_certification", "langid_confidence",
+    "gopher_quality_filters",
     # (knn_cosine_lsh moved past the prefix — hyperplane sign-LSH
     # banding is already pinned in-prefix by dedup_embedding_lsh, and
     # the KNN class keeps three gated entries here (bruteforce, IVF,

@@ -333,6 +333,84 @@ def test_corpus_pipeline_layers_and_leakage(spark, tmp_path):
         assert splits[p.id_a] == splits[p.id_b], (p.id_a, p.id_b)
 
 
+def test_crawl_pipeline_stages_and_parity(spark, tmp_path):
+    """End-to-end crawl tier (plans/crawl.py): corrupt lines are
+    captured not dropped, the frontier blocklist removes exactly the
+    rule-matching hosts/paths, dedup collapses each document's messy
+    replicas to ONE row (keep-lowest), the Bloom seen-set artifact is
+    formula-sized over the surviving digests with zero false
+    negatives, the langid gate keeps only confident keep_langs rows,
+    and every quality-gate survivor satisfies the corpus
+    quality_gate predicate — stage-by-stage parity with the
+    operators the pipeline composes."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.operators import sketch as K
+    from medallion_data_pipeline_spark.plans import crawl as C
+    from medallion_data_pipeline_spark.plans.corpus import quality_gate
+
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "wh")
+    n_lines = C.synthesize_crawl_shards(
+        spark, "/root/testdata/sf0.001", land, replicas=6, shards=2)
+    results = C.run_crawl_pipeline(spark, land, out)
+    stages = {r.stage: r for r in results}
+    assert [r.stage for r in results] == [
+        "ingest", "html_extract", "canonicalize_frontier", "dedup",
+        "bloom_seen", "langid_gate", "quality_gate"]
+
+    # ingest: good + captured rejects account for every line
+    n_rejects = spark.read.parquet(f"{out}/rejects").count()
+    assert stages["ingest"].rows_out + n_rejects == n_lines
+    assert n_rejects > 0  # the planted truncations were captured
+
+    # extraction is row-preserving and recovers the planted skeleton
+    assert stages["html_extract"].rows_out == stages["ingest"].rows_out
+    ex = spark.read.parquet(f"{out}/extracted")
+    bad_title = ex.filter(~F.col("title").startswith("Doc ")).count()
+    assert bad_title == 0 and ex.filter(F.col("n_links") != 1).count() == 0
+
+    # frontier: no admitted row matches any blocklist rule
+    adm = spark.read.parquet(f"{out}/admitted")
+    for _rid, kind, pat in C.CRAWL_BLOCK_RULES:
+        if kind == "host_suffix":
+            assert adm.filter(F.col("url_host").endswith(pat)).count() == 0
+    assert stages["canonicalize_frontier"].rows_out < \
+        stages["html_extract"].rows_out
+
+    # dedup: one row per canonical_url AND per digest, keep-lowest
+    dd = spark.read.parquet(f"{out}/deduped")
+    assert dd.groupBy("canonical_url").count() \
+        .filter(F.col("count") > 1).count() == 0
+    assert dd.groupBy("digest").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+    # bloom artifact: formula-sized, zero false negatives on digests
+    m = stages["bloom_seen"].rows_out  # recorded as m
+    assert m == K.bloom_m_for(stages["dedup"].rows_out, 0.01)
+    bloom = spark.read.parquet(f"{out}/bloom_seen")
+    miss = K.bloom_might_contain(
+        dd.select(F.col("digest").alias("item")), bloom, m=m) \
+        .filter(~F.col("might_contain")).count()
+    assert miss == 0
+
+    # langid gate: survivors are exactly the confident-en deduped rows
+    from medallion_data_pipeline_spark.functions import langid as LG
+    lp = spark.read.parquet(f"{out}/langpass")
+    verdicts = LG.with_langid(dd, "doc_id", "text")
+    want = {r.doc_id for r in verdicts.filter(
+        (F.col("lang") == "en") & (F.col("margin") > 0)).collect()}
+    assert {r.doc_id for r in lp.select("doc_id").collect()} == want
+
+    # quality gate: survivors all satisfy the corpus predicate
+    corpus = spark.read.parquet(f"{out}/corpus")
+    re_gated = quality_gate(lp).count()
+    assert corpus.count() == re_gated
+    for r in results:
+        if r.stage not in ("ingest", "bloom_seen"):
+            assert r.rows_out <= r.rows_in
+
+
 def test_session_excludes_infer_filters_from_generate(spark):
     """The engine session must exclude InferFiltersFromGenerate: its
     inferred size(arr) > 0 filter re-substitutes a computed array
