@@ -614,6 +614,30 @@ def test_rrf_fusion_shape(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_langid_windows_partition_by_doc(spark):
+    """langid_confidence: every ranking window must partition (by
+    doc_id or lang) — a global single-partition window over the
+    corpus would serialize at scale; the profile/scoring joins stay
+    broadcast (never sort-merge)."""
+    plan = _plan(spark, "langid_confidence")
+    import re as _re
+    for m in _re.finditer(r"Window \[row_number\(\).*?windowspecdefinition\(([^,]*),", plan):
+        assert ("doc_id" in m.group(1)) or ("lang" in m.group(1)), \
+            m.group(0)[:200]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_rolling_epochs_broadcasts(spark):
+    """bloom_rolling_epochs: the per-epoch filter frame (~epochs x
+    m/32 rows) must broadcast into the probe join — never a
+    sort-merge shuffle of the probe side against a tiny bit table."""
+    plan = _plan(spark, "bloom_rolling_epochs")
+    assert "BroadcastHashJoin" in plan
+    body = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    # the only acceptable SMJ is the final label re-attach on item
+    assert len(body) <= 1, body
+
+
 def test_phash_retrieval_is_block_equijoin(spark):
     """dedup_image_phash: candidate retrieval must be the pigeonhole
     block EQUI-join on (blk, val) — a hash join, never a nested-loop
