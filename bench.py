@@ -309,7 +309,11 @@ def main() -> None:
     # (never replacing) the originals: `queries`/`value` stay the
     # main-pass minima, BENCH_DETAIL carries the `retries` map and a
     # burst-adjusted total so a reader can tell an entry-local stall
-    # from a real regression without re-running anything.
+    # from a real regression without re-running anything. Scope: the
+    # QUERY entries (re-runnable against the still-live layout dir);
+    # the streaming/pipeline stages need a fresh warehouse per rep,
+    # so a stalled stage reading shows up in their multi-rep lists in
+    # BENCH_DETAIL instead.
     retries: dict[str, dict] = {}
     prior_min = load_prior_mins(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"))

@@ -495,7 +495,15 @@ def bloom_epoch_stream_sink(warehouse: str, item_col: str = "item",
     of earlier batches' immutable counts; the filter merge itself is
     bitwise OR. Expiry physically removes retired epoch directories;
     a replayed retired batch briefly recreates one, and the next roll
-    removes it again — probes never read it either way."""
+    removes it again — probes never read it either way.
+
+    Meta growth note: each batch re-collects the full (batch_id,
+    n_items) meta table for the assignment walk — two longs per
+    batch ever processed, so a year at one batch/minute is ~8 MB and
+    sub-second, but unbounded in principle. At 100 TB the walk's
+    prefix is frozen (sealed epochs never change), so a compaction
+    that snapshots (last_sealed_batch, epoch, fill) and drops older
+    meta rows is semantics-preserving when needed."""
     import shutil
 
     from ..operators import sketch as K
