@@ -209,8 +209,12 @@ def with_langid(df: DataFrame, id_col: str, text_col: str,
                    (F.coalesce("_d2", F.col("dist")) - F.col("dist"))
                    .cast("long").alias("margin")))
     # docs with NO trigrams never enter dprof; re-attach them with the
-    # documented fallback so every input row gets a verdict
-    missing = (norm.filter(F.length("_s") < 3)
+    # documented fallback so every input row gets a verdict. NULL text
+    # must be matched explicitly: length(NULL) < 3 is NULL, not true,
+    # and the row would otherwise vanish from BOTH paths (the crawl
+    # tier makes null text representable).
+    missing = (norm.filter(F.col("_s").isNull()
+                           | (F.length("_s") < 3))
                .select(id_col,
                        F.lit(sorted(LANG_SEEDS)[0]).alias("lang"),
                        F.lit(0).cast("long").alias("dist"),

@@ -80,14 +80,22 @@ def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,
     # the replicas' mess forms collapse, distinct docs never do
     tld = F.when(F.col("doc_id") % 11 == 0, F.lit(".example.net")) \
         .otherwise(F.lit(".example.com"))
-    base = F.concat(F.col("source"), tld, F.lit("/page/"), page)
+    hostpart = F.concat(F.col("source"), tld)
+    pathpart = F.concat(F.lit("/page/"), page)
+    # mess form 1 uppercases ONLY scheme+host and puts :80 on the
+    # HOSTPORT (canonicalization lowercases scheme/host and strips
+    # default ports from the hostport — an uppercased path or a
+    # port-after-path would be a genuinely different page and would
+    # never collapse)
     url = F.when(
-        F.col("rep") % 3 == 0, F.concat(F.lit("http://"), base)
+        F.col("rep") % 3 == 0, F.concat(F.lit("http://"), hostpart,
+                                        pathpart)
     ).when(
         F.col("rep") % 3 == 1,
-        F.concat(F.lit("HTTP://"), F.upper(base), F.lit(":80/"))
+        F.concat(F.lit("HTTP://"), F.upper(hostpart), F.lit(":80"),
+                 pathpart, F.lit("/"))
     ).otherwise(
-        F.concat(F.lit("http://"), base,
+        F.concat(F.lit("http://"), hostpart, pathpart,
                  F.lit("?utm_source=feed&ref=x#top")))
     html = F.concat(
         F.lit("<html><head><title>Doc "),
@@ -104,7 +112,9 @@ def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,
         F.when(F.xxhash64("value") % corrupt_every == 0,
                F.substring("value", 1, 40)).otherwise(F.col("value")))
     lines.repartition(shards).write.mode("overwrite").text(landing_dir)
-    return int(lines.count())
+    # count the WRITTEN shards — re-counting `lines` would replay the
+    # whole synthesis lineage a second time just for the number
+    return int(spark.read.text(landing_dir).count())
 
 
 def frontier_admit(df: DataFrame) -> DataFrame:

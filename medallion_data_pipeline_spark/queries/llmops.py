@@ -5008,7 +5008,7 @@ FROM best b LEFT JOIN runner r USING (doc_id)
 UNION ALL
 SELECT doc_id, '{first}' AS lang, CAST(0 AS BIGINT) AS dist,
        CAST(0 AS BIGINT) AS margin
-FROM dnorm WHERE length(s) < 3
+FROM dnorm WHERE s IS NULL OR length(s) < 3
 """
 
 

@@ -521,8 +521,8 @@ def bloom_epoch_stream_sink(warehouse: str, item_col: str = "item",
             prior = [(int(r.batch_id), int(r.n_items))
                      for r in spark.read.parquet(meta_root).collect()
                      if int(r.batch_id) != batch_id]
-        assign, _ = _bloom_epoch_assignments(prior + [(batch_id, n)],
-                                             epoch_rows)
+        assign, newest = _bloom_epoch_assignments(prior + [(batch_id, n)],
+                                                  epoch_rows)
         epoch = assign[batch_id]
         K.bloom_bits(items, m=m).write.mode("overwrite").parquet(
             os.path.join(epochs_root, f"epoch={epoch}",
@@ -531,9 +531,14 @@ def bloom_epoch_stream_sink(warehouse: str, item_col: str = "item",
                               "batch_id long, n_items long") \
             .write.mode("overwrite").parquet(
             os.path.join(meta_root, f"batch_id={batch_id}"))
-        # expire: keep only the newest live_epochs epoch directories
+        # expire: keep only the newest live_epochs epoch directories —
+        # keyed off the WALK'S newest epoch, never this batch's own
+        # (a replayed retired batch is assigned its ORIGINAL old
+        # epoch; keying the live set off it would delete the current
+        # filters)
         if os.path.isdir(epochs_root):
-            live = set(range(max(epoch - live_epochs + 1, 0), epoch + 1))
+            live = set(range(max(newest - live_epochs + 1, 0),
+                             newest + 1))
             for d in os.listdir(epochs_root):
                 if d.startswith("epoch=") and int(d.split("=")[1]) not in live:
                     shutil.rmtree(os.path.join(epochs_root, d),
@@ -637,44 +642,51 @@ def phash_ingest_sink(warehouse: str, max_distance: int = 4):
     separate local-fs writes, so a crash BETWEEN them leaves accepted
     docs permanently missing from the index (replay left-antis them
     out before fingerprinting, so future perceptual duplicates of
-    those docs would pass unflagged). Each batch therefore starts by
-    re-deriving index rows for any docs_path ids absent from
-    idx_path — the index is self-healing from the docs table, which
-    is exactly the reconciliation a transactional table commit makes
-    unnecessary at 100 TB."""
+    those docs would pass unflagged). The sink's FIRST batch therefore
+    re-derives index rows for any docs_path ids absent from idx_path —
+    within a run foreachBatch is sequential so the gap cannot reopen,
+    and a restart constructs a fresh sink which heals again. The index
+    is self-healing from the docs table, which is exactly the
+    reconciliation a transactional table commit makes unnecessary at
+    100 TB."""
     from ..operators.dedup import phash_incremental_flags
     from ..operators.multimodal import phash_binary, with_binary_payload
 
     docs_path = os.path.join(warehouse, "silver", "media_docs")
     idx_path = os.path.join(warehouse, "silver", "media_phash_index")
     dups_root = os.path.join(warehouse, "audit", "media_phash_dups")
+    healed = {"done": False}  # reconcile once per sink lifetime
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
         have = os.path.isdir(docs_path)
         if have:
-            # self-heal the index first (see docstring): docs accepted
-            # by a batch that crashed before its index append get their
-            # fingerprints re-derived from the docs table. The anti
-            # join is ids-only; the fingerprint pass runs only over the
-            # (normally empty) missing set.
             docs = spark.read.parquet(docs_path)
-            if os.path.isdir(idx_path):
-                missing = docs.join(
-                    spark.read.parquet(idx_path).select("doc_id"),
-                    "doc_id", "left_anti")
-            else:
-                missing = docs
-            miss_fps = phash_binary(
-                with_binary_payload(missing.select("doc_id", "text"),
-                                    "text"),
-                decoder="stub").select("doc_id", "phash") \
-                .localCheckpoint(eager=True)
-            if miss_fps.count() > 0:
-                miss_fps.write.mode("append").parquet(idx_path)
+            if not healed["done"]:
+                # self-heal the index ONCE per sink lifetime (see
+                # docstring): the docs/index gap can only exist at
+                # stream (re)start — within a run foreachBatch is
+                # sequential, so batch N's appends complete before
+                # batch N+1 — and running the two reads + anti-join +
+                # fingerprint pass per batch would be a fixed latency
+                # tax for provably-empty healing.
+                if os.path.isdir(idx_path):
+                    missing = docs.join(
+                        spark.read.parquet(idx_path).select("doc_id"),
+                        "doc_id", "left_anti")
+                else:
+                    missing = docs
+                miss_fps = phash_binary(
+                    with_binary_payload(missing.select("doc_id", "text"),
+                                        "text"),
+                    decoder="stub").select("doc_id", "phash") \
+                    .localCheckpoint(eager=True)
+                if miss_fps.count() > 0:
+                    miss_fps.write.mode("append").parquet(idx_path)
             batch = batch.join(docs.select("doc_id"), "doc_id",
                                "left_anti")
+        healed["done"] = True
         # one fingerprint pass per batch; EAGER checkpoint because the
         # lineage includes the replay guard's read of docs_path, and
         # the index append below runs after keepers were appended

@@ -1543,6 +1543,9 @@ def test_langid_discriminates_planted_languages(spark):
             for i, (lang, txt) in enumerate(sorted(planted.items()))]
     rows.append((90, "none", ""))      # no trigrams -> fallback
     rows.append((91, "none", "a!"))    # normalizes below 3 chars
+    rows.append((92, "none", None))    # NULL text (crawl tier) ->
+    # fallback too: length(NULL) < 3 is NULL, so the filter must
+    # match NULL explicitly or the row vanishes from both paths
     df = spark.createDataFrame(rows, "doc_id long, want string, text string")
 
     got = {r.doc_id: (r.lang, r.dist, r.margin)
@@ -1556,6 +1559,7 @@ def test_langid_discriminates_planted_languages(spark):
     first = sorted(L.LANG_SEEDS)[0]
     assert got[90] == (first, 0, 0)
     assert got[91] == (first, 0, 0)
+    assert got[92] == (first, 0, 0)
 
 
 def test_langid_profile_contract(spark):

@@ -370,11 +370,29 @@ def test_crawl_pipeline_stages_and_parity(spark, tmp_path):
     bad_title = ex.filter(~F.col("title").startswith("Doc ")).count()
     assert bad_title == 0 and ex.filter(F.col("n_links") != 1).count() == 0
 
-    # frontier: no admitted row matches any blocklist rule
+    # frontier: no admitted row matches any blocklist rule — including
+    # the path_prefix rule, which only bites if canonicalization
+    # actually collapsed the messy forms (regression-pinned: the :80
+    # mess form once appended the port AFTER the path and uppercased
+    # it, so /page/13 pages leaked past the frontier un-collapsed)
     adm = spark.read.parquet(f"{out}/admitted")
+    path = F.regexp_replace("canonical_url", r"^https?://[^/]*", "")
     for _rid, kind, pat in C.CRAWL_BLOCK_RULES:
         if kind == "host_suffix":
             assert adm.filter(F.col("url_host").endswith(pat)).count() == 0
+        elif kind == "path_prefix":
+            assert adm.withColumn("_p", path) \
+                .filter(F.col("_p").startswith(pat)).count() == 0
+    # canonical forms are fully normalized (no scheme/host case or
+    # default-port residue) and every replica of an admitted page
+    # collapsed to ONE canonical identity
+    assert adm.filter(F.col("canonical_url").rlike("[A-Z]|:80")).count() == 0
+    # every replica of an admitted page collapsed to ONE canonical
+    # identity: 6 raw rows per page, short only where a planted
+    # corrupt line swallowed a replica
+    percnt = adm.groupBy("canonical_url").count().collect()
+    assert all(1 <= r["count"] <= 6 for r in percnt)
+    assert sum(6 - r["count"] for r in percnt) <= n_rejects
     assert stages["canonicalize_frontier"].rows_out < \
         stages["html_extract"].rows_out
 

@@ -1092,6 +1092,22 @@ def test_streaming_bloom_epochs_roll_and_expire(spark, tmp_path):
              .agg(F.bit_xor("bits").alias("bits")).collect()}
     assert after == before
 
+    # a replayed RETIRED batch alone must NOT delete the live epochs:
+    # it re-lands in its ORIGINAL epoch (0), but expiry keys off the
+    # walk's NEWEST epoch — keying off the replayed batch's own epoch
+    # would rmtree epochs 1 and 2 (regression-pinned)
+    sink = SI.bloom_epoch_stream_sink(wh, **kw)
+    items0 = spark.range(0, 4).select(
+        F.md5(F.concat(F.lit("doc text "), F.col("id").cast("string")))
+        .alias("item"))
+    sink(items0, 0)
+    assert sorted(_os.listdir(eroot)) == ["epoch=1", "epoch=2"]
+    after2 = {r.epoch: r.bits
+              for r in SI.read_bloom_epoch_bits(spark, wh, live_epochs=2)
+              .groupBy("epoch").agg(F.bit_xor("bits").alias("bits"))
+              .collect()}
+    assert after2 == before
+
 
 def test_streaming_jsonl_host_budget_batch_dup_one_slot(spark, tmp_path):
     """ADVICE r13 (medium): two raw URLs in ONE micro-batch that
