@@ -97,6 +97,146 @@ LANG_SEEDS: dict[str, str] = {
 }
 
 
+#: Unicode script buckets in PRIORITY order — the argmax tie-break
+#: (first listed wins on equal counts). Classes are literal codepoint
+#: ranges, so the IDENTICAL pattern string runs in Java regex (Spark)
+#: and RE2 (DuckDB): both operate per codepoint, and both engines'
+#: length() counts codepoints (probed: Cyrillic/Greek/Arabic/Hebrew/
+#: Devanagari-with-matras/CJK/kana/Hangul all agree with Python).
+#: Ranges: Latin + Latin-1/Extended-A/B; CJK Unified + Ext-A; hiragana
+#: + katakana; Hangul syllables + jamo + compat jamo; Cyrillic; Arabic
+#: + supplement; Hebrew; Devanagari; Greek + Extended.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cjk", "[一-鿿㐀-䶿]"),
+    ("kana", "[぀-ゟ゠-ヿ]"),
+    ("hangul", "[가-힯ᄀ-ᇿ㄰-㆏]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿݐ-ݿ]"),
+    ("hebrew", "[֐-׿]"),
+    ("devanagari", "[ऀ-ॿ]"),
+    ("greek", "[Ͱ-Ͽἀ-῿]"),
+]
+
+#: script -> language for scripts that identify a language on their
+#: own (the Latin path stays with the trigram profiles; the CJK/kana
+#: pair additionally applies the kana-presence rule — ANY kana means
+#: Japanese, because Japanese prose mixes kanji with kana while
+#: Chinese prose has no kana at all).
+SCRIPT_LANGS: dict[str, str] = {
+    "cjk": "zh", "kana": "ja", "hangul": "ko", "cyrillic": "ru",
+    "arabic": "ar", "hebrew": "he", "devanagari": "hi", "greek": "el",
+}
+
+#: held-out per-script sentences (no ASCII apostrophes, so the same
+#: literals embed in oracle SQL unescaped) — planted by the gated
+#: langid_script query and the property tests. The ja sample is
+#: deliberately KANJI-heavy (kanji strictly outnumber kana) so the
+#: kana-presence rule, not the argmax, is what routes it to ja.
+SCRIPT_SAMPLES: dict[str, str] = {
+    "ru": ("и сказали люди что они придут в дом со своими друзьями "
+           "потому что это был хороший день для всех"),
+    "el": ("και ειπαν οι ανθρωποι οτι θα ερθουν στο σπιτι με τους "
+           "φιλους τους γιατι ηταν μια καλη μερα"),
+    "ar": "وقال الناس انهم سياتون الى البيت مع اصدقائهم لانه كان يوما جيدا",
+    "he": "והאנשים אמרו שהם יבואו הביתה עם חבריהם כי זה היה יום טוב לכולם",
+    "hi": ("और लोगों ने कहा कि वे अपने दोस्तों के साथ घर आएंगे क्योंकि "
+           "यह सबके लिए अच्छा दिन था"),
+    "zh": "人们说他们会和朋友一起来到房子里因为这对每个人来说都是美好的一天",
+    "ja": "東京大阪京都名古屋横浜神戸福岡札幌仙台広島は日本の大都市です",
+    "ko": "사람들은 친구들과 함께 집에 올 것이라고 말했다 모두에게 좋은 날이었기 때문이다",
+}
+
+#: the kana-DOMINANT Japanese variant (argmax alone already says
+#: kana -> ja; planted to pin both routes to the same verdict)
+SCRIPT_SAMPLE_JA_KANA = "きょうはとてもよいてんきですみんなでこうえんへいきます"
+
+
+def script_count(col: Column, cls: str) -> Column:
+    """Codepoints of ``col`` matching the class — count-by-removal,
+    exact in both engines (length() is codepoints in each)."""
+    return F.length(col) - F.length(F.regexp_replace(col, cls, ""))
+
+
+def script_count_sql(col: str, cls: str) -> str:
+    """DuckDB dual of script_count."""
+    return (f"length({col}) - "
+            f"length(regexp_replace({col}, '{cls}', '', 'g'))")
+
+
+def _with_script_cols(df: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    """Internal: stage the per-script counts as NAMED columns (the
+    staged-named-columns rule — a when-chain over inline counts would
+    re-substitute 9 x 2 regex nodes per branch), then classify:
+    adds _c_<script> ints, script (argmax, priority tie-break, 'none'
+    when no script chars at all), script_chars (the winning count).
+    Scan-local: no joins, no shuffles."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col), F.col(text_col),
+        *[script_count(c, cls).alias(f"_c_{n}")
+          for n, cls in SCRIPT_CLASSES])
+    mx = F.greatest(*[F.col(f"_c_{n}") for n, _ in SCRIPT_CLASSES])
+    staged = staged.withColumn("_mx", mx)
+    script = F.when(F.col("_mx") == 0, F.lit("none"))
+    for n, _ in SCRIPT_CLASSES:
+        script = script.when(F.col(f"_c_{n}") == F.col("_mx"), F.lit(n))
+    return (staged.withColumn("script", script)
+            .withColumn("script_chars", F.col("_mx").cast("long")))
+
+
+def script_lang_expr() -> Column:
+    """The non-Latin script -> language verdict (kana-presence rule
+    first, then the direct map, 'und' for scriptless rows). Expects
+    the _with_script_cols columns in scope."""
+    e = F.when(F.col("script").isin("cjk", "kana")
+               & (F.col("_c_kana") > 0), F.lit("ja"))
+    for s, lng in SCRIPT_LANGS.items():
+        e = e.when(F.col("script") == s, F.lit(lng))
+    return e.otherwise(F.lit("und"))
+
+
+def with_script(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, script, script_chars): dominant Unicode script per
+    row — argmax of per-script codepoint counts, ties to the
+    SCRIPT_CLASSES priority order, 'none' when the text has no script
+    characters (NULL included). Pure scan-local expressions."""
+    return _with_script_cols(df, id_col, text_col) \
+        .select(id_col, "script", "script_chars")
+
+
+def with_langid_script(df: DataFrame, id_col: str, text_col: str,
+                       k: int = LANGID_K) -> DataFrame:
+    """(id_col, script, lang, dist, margin): script-aware language
+    identification (VERDICT r14 #1 — the trigram profiles normalize
+    to [a-z ], so non-Latin text used to take the no-trigram fallback
+    and the crawl gate silently dropped it). Routing: the dominant
+    script decides — Latin rows flow to the Cavnar-Trenkle trigram
+    profiles (with_langid: lang/dist/margin as before), non-Latin
+    rows classify by script directly (kana-presence rule for ja; see
+    SCRIPT_LANGS) with dist 0 and margin = winning script codepoint
+    count (so margin > 0 gates out only scriptless rows), scriptless
+    rows get ('none', 'und', 0, 0).
+
+    Scale shape: the script stage is scan-local named-column
+    expressions; the Latin branch is a FILTER on those columns (no
+    join back), so the only shuffles remain the trigram path's
+    doc-partitioned profile build — unchanged from with_langid."""
+    staged = _with_script_cols(df.select(id_col, text_col),
+                               id_col, text_col)
+    non = (staged.filter(F.col("script") != "latin")
+           .select(id_col, "script", script_lang_expr().alias("lang"),
+                   F.lit(0).cast("long").alias("dist"),
+                   F.col("script_chars").alias("margin")))
+    lat = staged.filter(F.col("script") == "latin") \
+        .select(id_col, text_col)
+    lat_out = with_langid(lat, id_col, text_col, k) \
+        .select(id_col, F.lit("latin").alias("script"),
+                "lang", "dist", "margin")
+    return lat_out.unionByName(non)
+
+
 def langid_norm(col: Column) -> Column:
     """lowercase -> strip to [a-z ] -> collapse runs -> trim: the
     canonical form both profiles and documents are trigrammed from.

@@ -23,12 +23,30 @@ verified semantics; this module adds layering, writes, and stats.
 All stages are deterministic — re-running on the same landing dir
 reproduces byte-identical layers.
 
+Landed layers: bronze/ rejects/ extracted/ admitted/ deduped/
+bloom_seen/ seen_digests/ langpass/ corpus/.
+
+Incremental crawling (VERDICT r14 #2): run_crawl_increment takes a
+NEW landing directory plus the PRIOR run's out_dir, probes the prior
+bloom_seen artifact (whose sizing m/k/fpr/n is persisted as constant
+columns alongside the bits — a prober recomputing m from its own
+count would silently break the zero-false-negative contract), exact-
+verifies the "might contain" candidates against the prior
+seen_digests (the Bloom's false-positive rate makes verification
+mandatory), processes ONLY genuinely-new documents through the
+langid/quality gates, and writes the MERGED seen-set for increment
+N+1. The Bloom prefilter is what scales: new documents mostly probe
+false and never enter the prior-digest join — its left side is
+~(true dupes + fpr x new), not the increment.
+
 Scale shape: ingest/extract/canonicalize/frontier are scan-local
-expressions (the rules side broadcasts); both dedup stages shuffle on
-content keys (canonical_url, digest); the Bloom artifact is one
-map-side-combined bit_or; langid is one explode + a doc-partitioned
-window + broadcast joins; the gate is scan-local. Nothing in the
-composition introduces a join or window that wouldn't hold at 100 TB.
+expressions (the rules side broadcasts); both dedup stages are
+partial-agg-friendly groupBy(key).agg(min) + semi-join (a hot
+canonical URL collapses map-side instead of sorting all its replicas
+in one window partition); the Bloom artifact is one map-side-combined
+bit_or; langid is one explode + a doc-partitioned window + broadcast
+joins; the gate is scan-local. Nothing in the composition introduces
+a join or window that wouldn't hold at 100 TB.
 """
 
 from __future__ import annotations
@@ -39,7 +57,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window as W
 
 from .corpus import StageResult, quality_gate
 from ..sources.testdata import load_table
@@ -138,20 +155,51 @@ def frontier_admit(df: DataFrame) -> DataFrame:
             .drop("blocked_by", "_path"))
 
 
-def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
-                       out_dir: str, keep_langs: tuple[str, ...] = ("en",),
-                       bloom_fpr: float = 0.01) -> list[StageResult]:
-    """Run the crawl tier end-to-end over ``landing_dir``'s JSONL
-    shards and land the layers under ``out_dir``: bronze/ rejects/
-    extracted/ admitted/ deduped/ bloom_seen/ corpus/. Returns
-    per-stage audited counts + wall times."""
-    from ..functions import langid as LG
+def keep_lowest(df: DataFrame, key: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """Skew-safe keep-lowest-id per key (VERDICT r14 #5): partial-agg
+    groupBy(key).agg(min(id)) + semi-join back on (key, id). A hot key
+    (the power-law canonical URL) collapses map-side in the partial
+    aggregation and the composite-key join hash-spreads its replicas;
+    the row_number-window form this replaces sorted ALL of a hot key's
+    replicas in a single window partition. Requires id_col unique per
+    row (landing line ids are)."""
+    reps = df.groupBy(key).agg(F.min(id_col).alias(id_col))
+    return df.join(reps, [key, id_col], "left_semi")
+
+
+def write_seen_set(spark: SparkSession, deduped: DataFrame,
+                   out_dir: str, n: int, bloom_fpr: float) -> int:
+    """Land the two-part seen-set contract for the NEXT increment:
+    seen_digests/ (the exact side — one slim digest column) and
+    bloom_seen/ (the prefilter — packed words WITH the sizing
+    persisted as constant columns m/k/fpr/n, because m is
+    data-dependent and a prober recomputing it from a different count
+    silently loses the zero-false-negative guarantee). Returns m."""
+    from ..operators import sketch as K
+
+    deduped.select("digest").write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "seen_digests"))
+    m = K.bloom_m_for(max(int(n), 1), bloom_fpr)
+    (K.bloom_bits(deduped.select(F.col("digest").alias("item")), m=m)
+     .select("word_idx", "bits",
+             F.lit(m).cast("int").alias("m"),
+             F.lit(K.BLOOM_K).cast("int").alias("k"),
+             F.lit(float(bloom_fpr)).alias("fpr"),
+             F.lit(int(n)).cast("long").alias("n"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "bloom_seen")))
+    return m
+
+
+def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
+                 results: list[StageResult]) -> int:
+    """The shared front half — ingest through within-run dedup; lands
+    bronze/ rejects/ extracted/ admitted/ deduped/ and appends stage
+    stats. Returns the deduped count."""
     from ..functions.html import with_html_extraction
     from ..functions.urls import with_canonical_url
-    from ..operators import sketch as K
     from ..sources.jsonl import read_jsonl, split_rejects
-
-    results: list[StageResult] = []
 
     def _stage(name: str, n_in: int, df: DataFrame, path: str,
                t0: float) -> int:
@@ -182,40 +230,139 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
 
     t0 = time.time()
     # keep-lowest per canonical URL (crawl identity), then per content
-    # digest (exact dedup) — both one shuffle on the content key
-    by_url = admitted.withColumn(
-        "_rk", F.row_number().over(
-            W.partitionBy("canonical_url").orderBy("doc_id"))) \
-        .filter(F.col("_rk") == 1).drop("_rk")
+    # digest (exact dedup) — both skew-safe partial-agg + semi-join
+    by_url = keep_lowest(admitted, "canonical_url")
     digested = by_url.withColumn("digest", F.md5(F.col("text")))
-    deduped = digested.withColumn(
-        "_rk", F.row_number().over(
-            W.partitionBy("digest").orderBy("doc_id"))) \
-        .filter(F.col("_rk") == 1).drop("_rk")
-    n = _stage("dedup", n, deduped, "deduped", t0)
-    deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
+    deduped = keep_lowest(digested, "digest")
+    return _stage("dedup", n, deduped, "deduped", t0)
 
-    # the seen-set artifact the next crawl increment probes: one
-    # filter over this run's surviving digests, sized by the
-    # production formula at the observed count
-    t0 = time.time()
-    m = K.bloom_m_for(max(int(n), 1), bloom_fpr)
-    K.bloom_bits(deduped.select(F.col("digest").alias("item")), m=m) \
-        .write.mode("overwrite") \
-        .parquet(os.path.join(out_dir, "bloom_seen"))
-    results.append(StageResult("bloom_seen", n, m,
-                               round(time.time() - t0, 2)))
+
+def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
+                keep_langs: tuple[str, ...],
+                results: list[StageResult], n: int) -> int:
+    """The shared back half — script-aware langid gate + quality
+    gate; lands langpass/ corpus/."""
+    from ..functions import langid as LG
 
     t0 = time.time()
-    lang = LG.with_langid(deduped, "doc_id", "text")
-    kept = deduped.join(
+    lang = LG.with_langid_script(docs, "doc_id", "text")
+    kept = docs.join(
         lang.filter(F.col("lang").isin(list(keep_langs))
                     & (F.col("margin") > 0)).select("doc_id"),
         "doc_id", "left_semi")
-    n = _stage("langid_gate", n, kept, "langpass", t0)
+    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "langpass"))
+    n_out = spark.read.parquet(os.path.join(out_dir, "langpass")).count()
+    results.append(StageResult("langid_gate", n, n_out,
+                               round(time.time() - t0, 2)))
     kept = spark.read.parquet(os.path.join(out_dir, "langpass"))
 
     t0 = time.time()
     final = quality_gate(kept)
-    n = _stage("quality_gate", n, final, "corpus", t0)
+    final.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+    n_final = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
+    results.append(StageResult("quality_gate", n_out, n_final,
+                               round(time.time() - t0, 2)))
+    return n_final
+
+
+def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
+                       out_dir: str, keep_langs: tuple[str, ...] = ("en",),
+                       bloom_fpr: float = 0.01) -> list[StageResult]:
+    """Run the crawl tier end-to-end over ``landing_dir``'s JSONL
+    shards and land the layers under ``out_dir``: bronze/ rejects/
+    extracted/ admitted/ deduped/ bloom_seen/ seen_digests/ langpass/
+    corpus/. The language gate is SCRIPT-AWARE (functions/langid.py::
+    with_langid_script) — non-Latin documents classify by Unicode
+    script (zh/ja/ko/ru/ar/he/hi/el) instead of silently failing the
+    trigram gate, so keep_langs=("en", "zh") keeps Chinese pages.
+    Returns per-stage audited counts + wall times."""
+    results: list[StageResult] = []
+    n = _crawl_front(spark, landing_dir, out_dir, results)
+    deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
+
+    # the seen-set artifact the next crawl increment probes: exact
+    # digests + a formula-sized Bloom prefilter with persisted sizing
+    t0 = time.time()
+    m = write_seen_set(spark, deduped, out_dir, n, bloom_fpr)
+    results.append(StageResult("bloom_seen", n, m,
+                               round(time.time() - t0, 2)))
+
+    _crawl_back(spark, deduped, out_dir, keep_langs, results, n)
+    return results
+
+
+def run_crawl_increment(spark: SparkSession, landing_dir: str,
+                        out_dir: str, prior_out_dir: str,
+                        keep_langs: tuple[str, ...] = ("en",),
+                        bloom_fpr: float = 0.01) -> list[StageResult]:
+    """Process crawl increment N+1 against increment N's seen-set
+    (VERDICT r14 #2 — the batch twin of the streaming dedup sink):
+
+    1. the shared front half over the NEW landing dir (ingest ->
+       extract -> canonicalize -> frontier -> within-increment dedup);
+    2. probe the prior ``bloom_seen`` with this increment's surviving
+       digests, reading m/k from the artifact's persisted sizing
+       columns (recomputing m from this run's count would probe a
+       DIFFERENT filter and silently break zero-false-negatives);
+    3. exact-verify the "might contain" candidates against the prior
+       ``seen_digests`` (mandatory — the Bloom's fpr means a hit is
+       only probable); docs whose digest verifies seen are dropped,
+       everything else is genuinely new;
+    4. langid + quality gates run on the NEW docs only;
+    5. land the MERGED seen-set (prior digests ∪ this increment's
+       survivors, Bloom re-sized at the merged count) for increment
+       N+2.
+
+    Cross-increment identity is CONTENT (digest): a URL recrawled
+    with changed content is a new document by design, and a digest
+    first seen in increment N keeps N's copy (keep-lowest is
+    per-increment, so the global doc_id tiebreak is first-increment-
+    wins, not global-min — parity with a from-scratch run on the
+    union therefore holds on digest sets, which is what the parity
+    test pins). At 100 TB: the probe is a broadcast join against a
+    ~m/32-row filter, and only candidates (true dupes + fpr x new)
+    ever reach the prior-digest shuffle."""
+    from ..operators import sketch as K
+
+    results: list[StageResult] = []
+    n = _crawl_front(spark, landing_dir, out_dir, results)
+    deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
+
+    t0 = time.time()
+    bloom = spark.read.parquet(
+        os.path.join(prior_out_dir, "bloom_seen"))
+    meta = bloom.select("m", "k").limit(1).collect()
+    if meta:
+        pm, pk = int(meta[0]["m"]), int(meta[0]["k"])
+        verdicts = K.bloom_might_contain(
+            deduped.select(F.col("digest").alias("item")),
+            bloom.select("word_idx", "bits"), m=pm, k=pk)
+        cand = verdicts.filter(F.col("might_contain")) \
+            .select(F.col("item").alias("digest"))
+        prior = spark.read.parquet(
+            os.path.join(prior_out_dir, "seen_digests"))
+        verified = cand.join(prior, "digest", "left_semi")
+        new_docs = deduped.join(verified, "digest", "left_anti")
+    else:  # empty prior filter: nothing was ever seen
+        prior = spark.read.parquet(
+            os.path.join(prior_out_dir, "seen_digests"))
+        new_docs = deduped
+    new_docs.write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "new_docs"))
+    n_new = spark.read.parquet(os.path.join(out_dir, "new_docs")).count()
+    results.append(StageResult("seen_filter", n, n_new,
+                               round(time.time() - t0, 2)))
+    new_docs = spark.read.parquet(os.path.join(out_dir, "new_docs"))
+
+    # merged seen-set for increment N+2: prior ∪ this increment's
+    # survivors (distinct — replays and cross-increment dupes collapse)
+    t0 = time.time()
+    merged = prior.unionByName(deduped.select("digest")) \
+        .dropDuplicates(["digest"])
+    n_seen = merged.count()
+    m = write_seen_set(spark, merged, out_dir, n_seen, bloom_fpr)
+    results.append(StageResult("bloom_seen", n_seen, m,
+                               round(time.time() - t0, 2)))
+
+    _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new)
     return results

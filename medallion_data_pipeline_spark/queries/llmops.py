@@ -4955,15 +4955,16 @@ def bloom_rolling_epochs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _langid_oracle() -> str:
+def _langid_profile_ctes() -> str:
+    """seeds/snorm/stri/sprof — the trigram profile chain shared by
+    the plain (_langid_oracle) and script-aware (_langid_script_oracle)
+    oracles; derived in SQL from the module's seed literals."""
     from ..functions import langid as L
 
     seeds = ", ".join(f"('{lng}', '{txt}')"
                       for lng, txt in sorted(L.LANG_SEEDS.items()))
     k = L.LANGID_K
-    first = sorted(L.LANG_SEEDS)[0]
-    return f"""
-WITH seeds(lang, seed) AS (VALUES {seeds}),
+    return f"""seeds(lang, seed) AS (VALUES {seeds}),
 snorm AS (SELECT lang, {L.langid_norm_sql('seed')} AS s FROM seeds),
 stri AS (SELECT lang, unnest({L.trigrams_sql('s')}) AS tri FROM snorm),
 sprof AS MATERIALIZED (
@@ -4973,11 +4974,19 @@ sprof AS MATERIALIZED (
                    ORDER BY COUNT(*) DESC, tri) AS rl
         FROM stri GROUP BY lang, tri)
     WHERE rl <= {k}
-),
-dnorm AS MATERIALIZED (
-    SELECT doc_id, {L.langid_norm_sql('text')} AS s FROM documents
-),
-dtri AS (SELECT doc_id, unnest({L.trigrams_sql('s')}) AS tri FROM dnorm),
+)"""
+
+
+def _langid_score_ctes() -> str:
+    """dtri..runner + triout — the Cavnar-Trenkle scoring chain over
+    a CTE named dnorm(doc_id, s) the caller defines. triout carries
+    (doc_id, lang, dist, margin) including the no-trigram fallback
+    rows (first language alphabetically, dist 0, margin 0)."""
+    from ..functions import langid as L
+
+    k = L.LANGID_K
+    first = sorted(L.LANG_SEEDS)[0]
+    return f"""dtri AS (SELECT doc_id, unnest({L.trigrams_sql('s')}) AS tri FROM dnorm),
 dprof AS MATERIALIZED (
     SELECT doc_id, tri, rd FROM (
         SELECT doc_id, tri,
@@ -5001,14 +5010,28 @@ ranked AS (
     FROM scored
 ),
 best AS (SELECT doc_id, lang, dist FROM ranked WHERE rk = 1),
-runner AS (SELECT doc_id, dist AS d2 FROM ranked WHERE rk = 2)
-SELECT b.doc_id, b.lang, CAST(b.dist AS BIGINT) AS dist,
-       CAST(COALESCE(r.d2, b.dist) - b.dist AS BIGINT) AS margin
-FROM best b LEFT JOIN runner r USING (doc_id)
-UNION ALL
-SELECT doc_id, '{first}' AS lang, CAST(0 AS BIGINT) AS dist,
-       CAST(0 AS BIGINT) AS margin
-FROM dnorm WHERE s IS NULL OR length(s) < 3
+runner AS (SELECT doc_id, dist AS d2 FROM ranked WHERE rk = 2),
+triout AS (
+    SELECT b.doc_id, b.lang, CAST(b.dist AS BIGINT) AS dist,
+           CAST(COALESCE(r.d2, b.dist) - b.dist AS BIGINT) AS margin
+    FROM best b LEFT JOIN runner r USING (doc_id)
+    UNION ALL
+    SELECT doc_id, '{first}' AS lang, CAST(0 AS BIGINT) AS dist,
+           CAST(0 AS BIGINT) AS margin
+    FROM dnorm WHERE s IS NULL OR length(s) < 3
+)"""
+
+
+def _langid_oracle() -> str:
+    from ..functions import langid as L
+
+    return f"""
+WITH {_langid_profile_ctes()},
+dnorm AS MATERIALIZED (
+    SELECT doc_id, {L.langid_norm_sql('text')} AS s FROM documents
+),
+{_langid_score_ctes()}
+SELECT doc_id, lang, dist, margin FROM triout
 """
 
 
@@ -5029,6 +5052,111 @@ def langid_confidence(spark, sf_dir):
     from ..functions import langid as L
 
     return L.with_langid(td(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q — SCRIPT-AWARE language identification (VERDICT r14 #1): the
+# trigram profiles normalize to [a-z ], so non-Latin text used to hit
+# the no-trigram fallback and the crawl gate silently dropped every
+# CJK/Cyrillic/Arabic document. Stage 1 is a Unicode-script codepoint
+# histogram (literal codepoint-range classes, count-by-removal —
+# exact and identical in Java regex and RE2, probed: both engines'
+# length() counts codepoints); the dominant script routes Latin rows
+# to the existing trigram profiles and classifies non-Latin rows by
+# script directly (kana-presence rule for Japanese). The corpus is
+# Latin-only, so the query transparently plants held-out per-script
+# sentences on doc_id % 10 (same literals on both engines, each with
+# a short Latin tail to prove the argmax on mixed content; family 9
+# is the kana-dominant ja variant so both ja routes are pinned).
+# ---------------------------------------------------------------------------
+
+
+#: the mixed-content Latin tail planted after every non-Latin sample
+_LS_TAIL = " see www example com 42"
+
+
+def _langid_script_oracle() -> str:
+    from ..functions import langid as L
+
+    whens = "\n".join(
+        f"    WHEN {i} THEN '{L.SCRIPT_SAMPLES[lng]}{_LS_TAIL}'"
+        for i, lng in enumerate(sorted(L.SCRIPT_SAMPLES), start=1))
+    counts = ",\n           ".join(
+        f"{L.script_count_sql('t', cls)} AS c_{n}"
+        for n, cls in L.SCRIPT_CLASSES)
+    mx = "greatest(" + ", ".join(f"c_{n}" for n, _ in L.SCRIPT_CLASSES) + ")"
+    script_case = ("CASE WHEN mx = 0 THEN 'none'\n" + "\n".join(
+        f"        WHEN c_{n} = mx THEN '{n}'"
+        for n, _ in L.SCRIPT_CLASSES) + " END")
+    lang_case = ("CASE WHEN script IN ('cjk', 'kana') AND c_kana > 0 "
+                 "THEN 'ja'\n" + "\n".join(
+                     f"        WHEN script = '{s}' THEN '{lng}'"
+                     for s, lng in L.SCRIPT_LANGS.items())
+                 + "\n        ELSE 'und' END")
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           CASE doc_id % 10
+           WHEN 0 THEN text
+{whens}
+           ELSE '{L.SCRIPT_SAMPLE_JA_KANA}{_LS_TAIL}' END AS text
+    FROM documents
+),
+scc AS (SELECT doc_id, COALESCE(text, '') AS t FROM raw),
+scn AS MATERIALIZED (
+    SELECT doc_id, t,
+           {counts}
+    FROM scc
+),
+scm AS (SELECT *, {mx} AS mx FROM scn),
+scs AS MATERIALIZED (
+    SELECT doc_id, t, c_kana, mx,
+           {script_case} AS script
+    FROM scm
+),
+nonlat AS (
+    SELECT doc_id, script,
+           {lang_case} AS lang,
+           CAST(0 AS BIGINT) AS dist, CAST(mx AS BIGINT) AS margin
+    FROM scs WHERE script <> 'latin'
+),
+{_langid_profile_ctes()},
+dnorm AS MATERIALIZED (
+    SELECT doc_id, {L.langid_norm_sql('t')} AS s
+    FROM scs WHERE script = 'latin'
+),
+{_langid_score_ctes()}
+SELECT doc_id, 'latin' AS script, lang, dist, margin FROM triout
+UNION ALL
+SELECT doc_id, script, lang, dist, margin FROM nonlat
+"""
+
+
+@register("langid_script", oracle=_langid_script_oracle(), bench=True)
+def langid_script(spark, sf_dir):
+    """Script-aware language identification over a transparently
+    multi-script corpus: doc_id % 10 keeps the original (Latin) text
+    on family 0 and plants held-out Cyrillic/Greek/Arabic/Hebrew/
+    Devanagari/Chinese/Japanese/Korean sentences (each with a short
+    Latin tail) on families 1-9 — family 5 is kanji-DOMINANT Japanese
+    (the kana-presence rule, not the argmax, must say ja) and family
+    9 kana-dominant Japanese (both routes to the same verdict).
+    Output per doc: (script, lang, dist, margin) — Latin rows carry
+    the trigram profile verdict, non-Latin rows dist 0 and margin =
+    winning script codepoint count. The script stage is scan-local
+    named-column regex counting (no UDFs, no joins); at 100 TB the
+    only shuffles remain the Latin branch's doc-partitioned profile
+    build — non-Latin classification costs exactly one scan."""
+    from ..functions import langid as L
+
+    fam = F.col("doc_id") % 10
+    plant = F.when(fam == 0, F.col("text"))
+    for i, lng in enumerate(sorted(L.SCRIPT_SAMPLES), start=1):
+        plant = plant.when(fam == i,
+                           F.lit(L.SCRIPT_SAMPLES[lng] + _LS_TAIL))
+    plant = plant.otherwise(F.lit(L.SCRIPT_SAMPLE_JA_KANA + _LS_TAIL))
+    d = td(spark, sf_dir).select("doc_id", plant.alias("text"))
+    return L.with_langid_script(d, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

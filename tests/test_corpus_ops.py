@@ -1562,6 +1562,79 @@ def test_langid_discriminates_planted_languages(spark):
     assert got[92] == (first, 0, 0)
 
 
+def test_langid_script_routing(spark):
+    """functions/langid.py::with_langid_script (VERDICT r14 #1):
+    held-out multi-script sentences route correctly — non-Latin
+    scripts classify by script with margin = winning codepoint count,
+    kanji-DOMINANT Japanese goes to ja via the kana-presence rule
+    (NOT the argmax, which says cjk), kana-dominant Japanese agrees,
+    Latin text flows to the trigram profiles unchanged, mixed content
+    resolves by majority, and scriptless rows get none/und."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.functions import langid as L
+
+    rows = [
+        # held-out (not the SCRIPT_SAMPLES literals)
+        (1, "cyrillic", "ru", "утром она шла по улице и купила хлеб и молоко в магазине"),
+        (2, "greek", "el", "το πρωι περπατησε στον δρομο και αγορασε ψωμι και γαλα"),
+        (3, "arabic", "ar", "في الصباح مشت في الشارع واشترت الخبز والحليب من المتجر"),
+        (4, "hebrew", "he", "בבוקר היא הלכה ברחוב וקנתה לחם וחלב בחנות"),
+        (5, "devanagari", "hi", "सुबह वह सड़क पर चली और दुकान से रोटी और दूध खरीदा"),
+        (6, "cjk", "zh", "早上她沿着街道散步并在商店买了面包和牛奶然后回家做早餐"),
+        # kanji strictly outnumber kana -> argmax is cjk, kana rule -> ja
+        (7, "cjk", "ja", "東京大阪京都名古屋横浜神戸福岡は大都市です"),
+        # kana dominant -> argmax kana -> ja by both routes
+        (8, "kana", "ja", "あさ かのじょは みちを あるいて パンと ぎゅうにゅうを かいました"),
+        (9, "hangul", "ko", "아침에 그녀는 거리를 걸으며 가게에서 빵과 우유를 샀다"),
+        # mixed majority: more Cyrillic than Latin
+        (10, "cyrillic", "ru", "смотрите на сайте горячие новости дня see www example com"),
+        # scriptless rows
+        (90, "none", "und", ""),
+        (91, "none", "und", "123 456 !!!"),
+        (92, "none", "und", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, _, t in rows], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           L.with_langid_script(df, "doc_id", "text").collect()}
+    assert len(got) == len(rows)
+    for i, script, lang, text in rows:
+        r = got[i]
+        assert r.script == script, (i, r)
+        assert r.lang == lang, (i, r)
+        if script == "none":
+            assert (r.dist, r.margin) == (0, 0), (i, r)
+        else:
+            assert r.dist == 0 and r.margin > 0, (i, r)
+
+    # Latin rows flow to the trigram classifier with IDENTICAL
+    # verdicts to plain with_langid
+    lat = spark.createDataFrame(
+        [(20, "she walked along the street in the morning and bought "
+              "some bread and milk from the shop"),
+         (21, "sie ging am morgen die strasse entlang und kaufte brot "
+              "und milch im laden")],
+        "doc_id long, text string")
+    plain = {r.doc_id: (r.lang, r.dist, r.margin)
+             for r in L.with_langid(lat, "doc_id", "text").collect()}
+    scripted = {r.doc_id: (r.lang, r.dist, r.margin)
+                for r in L.with_langid_script(lat, "doc_id", "text")
+                .collect()}
+    assert plain == scripted
+    assert scripted[20][0] == "en" and scripted[21][0] == "de"
+    sc = {r.doc_id: r.script for r in
+          L.with_script(lat, "doc_id", "text").collect()}
+    assert sc == {20: "latin", 21: "latin"}
+
+    # the script stage itself is scan-local: no shuffle below the
+    # script columns (Exchange appears only in the Latin branch's
+    # trigram profile build)
+    plan = L.with_script(lat, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_langid_profile_contract(spark):
     """Seed profiles: one rank sequence 1..n per language, capped at
     LANGID_K, every trigram 3 chars from [a-z ], and all five seed

@@ -425,7 +425,11 @@ def test_bloom_filter_contract(spark):
     assert a == b
 
 
-def test_bloom_m_for_formula_and_mirror():
+def test_bloom_m_for_formula_and_mirror(spark):
+    # the spark fixture is required even though no DataFrame is built:
+    # operators.sketch's module import constructs Column expressions,
+    # which asserts an active SparkContext — without the fixture this
+    # test fails standalone / under -k / xdist ordering (ADVICE r14)
     """bloom_m_for: the 1.44*n*log2(1/fpr) sizing rounded up to packed
     words, and the query-module mirror (_bloom_m_for, the _CMS_D
     import-trap duplication idiom) must agree exactly."""

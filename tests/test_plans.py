@@ -403,19 +403,33 @@ def test_crawl_pipeline_stages_and_parity(spark, tmp_path):
     assert dd.groupBy("digest").count() \
         .filter(F.col("count") > 1).count() == 0
 
-    # bloom artifact: formula-sized, zero false negatives on digests
+    # bloom artifact: formula-sized, sizing PERSISTED as constant
+    # columns (ADVICE r14 — m is data-dependent, a prober recomputing
+    # it from a different count silently loses zero-false-negatives),
+    # zero false negatives on digests; seen_digests carries the exact
+    # side of the seen-set contract
     m = stages["bloom_seen"].rows_out  # recorded as m
     assert m == K.bloom_m_for(stages["dedup"].rows_out, 0.01)
     bloom = spark.read.parquet(f"{out}/bloom_seen")
+    metas = bloom.select("m", "k", "fpr", "n").distinct().collect()
+    assert len(metas) == 1 and metas[0]["m"] == m \
+        and metas[0]["k"] == K.BLOOM_K and metas[0]["fpr"] == 0.01 \
+        and metas[0]["n"] == stages["dedup"].rows_out
     miss = K.bloom_might_contain(
-        dd.select(F.col("digest").alias("item")), bloom, m=m) \
+        dd.select(F.col("digest").alias("item")),
+        bloom.select("word_idx", "bits"), m=m) \
         .filter(~F.col("might_contain")).count()
     assert miss == 0
+    seen = spark.read.parquet(f"{out}/seen_digests")
+    assert {r.digest for r in seen.collect()} == \
+        {r.digest for r in dd.select("digest").collect()}
 
     # langid gate: survivors are exactly the confident-en deduped rows
+    # under the SCRIPT-AWARE classifier (Latin corpus, so the trigram
+    # verdicts decide; the multi-script routing is pinned separately)
     from medallion_data_pipeline_spark.functions import langid as LG
     lp = spark.read.parquet(f"{out}/langpass")
-    verdicts = LG.with_langid(dd, "doc_id", "text")
+    verdicts = LG.with_langid_script(dd, "doc_id", "text")
     want = {r.doc_id for r in verdicts.filter(
         (F.col("lang") == "en") & (F.col("margin") > 0)).collect()}
     assert {r.doc_id for r in lp.select("doc_id").collect()} == want
@@ -427,6 +441,122 @@ def test_crawl_pipeline_stages_and_parity(spark, tmp_path):
     for r in results:
         if r.stage not in ("ingest", "bloom_seen"):
             assert r.rows_out <= r.rows_in
+
+
+def test_crawl_keep_lowest_skew_safe(spark):
+    """plans/crawl.py::keep_lowest (VERDICT r14 #5): the planted
+    hot-URL case — one canonical URL with 5000 replicas among
+    singletons — must keep exactly the min-id row per key, and the
+    plan must be partial-agg + join with NO window (the row_number
+    form sorted every hot-key replica in a single window
+    partition)."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.plans import crawl as C
+
+    df = spark.range(5000).select(
+        F.lit("http://hot.example.com/").alias("canonical_url"),
+        (F.col("id") + 17).alias("doc_id")
+    ).unionByName(spark.range(40).select(
+        F.concat(F.lit("http://cold.example.com/"),
+                 F.col("id").cast("string")).alias("canonical_url"),
+        (F.col("id") + 100_000).alias("doc_id")))
+    out = C.keep_lowest(df, "canonical_url")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = {r.canonical_url: r.doc_id for r in out.collect()}
+    assert len(rows) == 41
+    assert rows["http://hot.example.com/"] == 17
+    assert rows["http://cold.example.com/39"] == 100_039
+
+
+def test_crawl_increment_parity(spark, tmp_path):
+    """plans/crawl.py::run_crawl_increment (VERDICT r14 #2):
+    increment(A) then increment(B | seen(A)) must equal a from-scratch
+    run on A∪B on the surviving corpus DIGEST sets (cross-increment
+    identity is content; the doc_id tiebreak is first-increment-wins
+    by design). Also pins: the seen_filter stage drops exactly the
+    digests increment A already saw (Bloom prefilter + mandatory
+    exact verification — zero false negatives means no new doc is
+    ever wrongly dropped), and the merged seen-set artifact covers
+    A∪B with its re-sized Bloom's sizing persisted."""
+    import json as J
+
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.operators import sketch as K
+    from medallion_data_pipeline_spark.plans import crawl as C
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter(F.col("text").isNotNull())
+            .orderBy("doc_id").limit(20)
+            .select("doc_id", "source", "text").collect())
+    assert len(docs) == 20
+
+    def line(rid, d):
+        html = (f"<html><head><title>Doc {d.doc_id}</title></head>"
+                f"<body><h1>Heading</h1><p>{d.text}</p>"
+                f"<a href=\"/next\">next</a></body></html>")
+        # /doc/, not /page/: the frontier's /page/13 path-prefix rule
+        # would swallow one planted doc and blur the exact counts (the
+        # frontier stage is pinned in the main stage-parity test)
+        url = f"http://{d.source}.example.com/doc/{d.doc_id}"
+        return J.dumps({"doc_id": rid, "url": url, "html": html})
+
+    # A = docs 0..11; B = docs 6..19 under HIGHER line ids (so the
+    # overlap 6..11 re-appears as content dupes, 12..19 are new)
+    a_lines = [line(i, d) for i, d in enumerate(docs[:12])]
+    b_lines = [line(100_000 + i, d) for i, d in enumerate(docs[6:])]
+    for name, lines in [("land_a", a_lines), ("land_b", b_lines),
+                        ("land_full", a_lines + b_lines)]:
+        p = tmp_path / name
+        p.mkdir()
+        (p / "part0.jsonl").write_text("\n".join(lines) + "\n")
+
+    out_a, out_b, out_full = (str(tmp_path / x)
+                              for x in ("wh_a", "wh_b", "wh_full"))
+    C.run_crawl_pipeline(spark, str(tmp_path / "land_a"), out_a)
+    res_b = C.run_crawl_increment(spark, str(tmp_path / "land_b"),
+                                  out_b, prior_out_dir=out_a)
+    C.run_crawl_pipeline(spark, str(tmp_path / "land_full"), out_full)
+
+    stages = {r.stage: r for r in res_b}
+    # B's within-increment dedup keeps all 14 (distinct texts); the
+    # seen-filter then drops exactly A's 6 already-seen digests
+    assert stages["dedup"].rows_out == 14
+    assert stages["seen_filter"].rows_out == 8
+    new_digests = {r.digest for r in spark.read.parquet(
+        f"{out_b}/new_docs").select("digest").collect()}
+    a_digests = {r.digest for r in spark.read.parquet(
+        f"{out_a}/seen_digests").collect()}
+    assert not (new_digests & a_digests)
+
+    # merged seen-set covers A∪B, Bloom re-sized at the merged count
+    # with the sizing persisted and zero false negatives
+    merged = spark.read.parquet(f"{out_b}/seen_digests")
+    b_deduped = {r.digest for r in spark.read.parquet(
+        f"{out_b}/deduped").select("digest").collect()}
+    assert {r.digest for r in merged.collect()} == a_digests | b_deduped
+    bloom = spark.read.parquet(f"{out_b}/bloom_seen")
+    meta = bloom.select("m", "k", "n").distinct().collect()
+    assert len(meta) == 1
+    assert meta[0]["m"] == K.bloom_m_for(meta[0]["n"], 0.01)
+    assert meta[0]["n"] == stages["bloom_seen"].rows_in
+    miss = K.bloom_might_contain(
+        merged.select(F.col("digest").alias("item")),
+        bloom.select("word_idx", "bits"), m=meta[0]["m"]) \
+        .filter(~F.col("might_contain")).count()
+    assert miss == 0
+
+    # corpus parity on digest sets: A's corpus ∪ B's new corpus ==
+    # the from-scratch corpus on A∪B
+    def corpus_digests(out):
+        return {r.digest for r in spark.read.parquet(f"{out}/corpus")
+                .select("digest").collect()}
+
+    assert corpus_digests(out_a) | corpus_digests(out_b) == \
+        corpus_digests(out_full)
 
 
 def test_session_excludes_infer_filters_from_generate(spark):
