@@ -139,16 +139,50 @@ class _Calibration:
         return {k: round(v * f, 3) for k, v in timings.items()}
 
 
-#: burst-guard threshold (VERDICT r13 #1): an entry whose min-of-reps
-#: exceeds this multiple of the prior round's committed min gets one
-#: end-of-run retry rep, recorded alongside (never replacing) the
-#: originals.
-BURST_X = 2.5
+#: burst-guard threshold: an entry whose min-of-reps exceeds this
+#: multiple of the prior round's committed min gets one end-of-run
+#: retry rep, recorded alongside (never replacing) the originals.
+#: 1.5, down from r13's 2.5 (VERDICT r14 #4): the 1.5-2.5x band was a
+#: blind spot — r14's dedup_span_intervals read 1.57x on
+#: diff-unchanged code and needed a judge session to adjudicate as
+#: host noise, where one cheap retry rep would have resolved it
+#: in-artifact. A genuinely-regressed entry just confirms its slow
+#: number on the retry (burst-adjusted total takes min(main, retry)).
+BURST_X = 1.5
+
+
+def prior_round_n(here: str) -> int | None:
+    """The newest committed round number (max N over BENCH_r{N}.json
+    next to this script), or None before the first round artifact."""
+    import glob
+    import re
+
+    ns = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) if ns else None
+
+
+def prior_detail_path(here: str) -> str:
+    """The prior round's committed PER-ROUND detail archive
+    (docs/bench_history/BENCH_DETAIL_r{N}.json — VERDICT r14 #4: the
+    rotating BENCH_DETAIL.json is overwritten by the round's FIRST
+    bench run, which cost r14 its in-artifact normalized pair),
+    falling back to the rotating file when no archive exists."""
+    n = prior_round_n(here)
+    if n is not None:
+        p = os.path.join(here, "docs", "bench_history",
+                         f"BENCH_DETAIL_r{n}.json")
+        if os.path.exists(p):
+            return p
+    return os.path.join(here, "BENCH_DETAIL.json")
 
 
 def load_prior_mins(detail_path: str) -> dict[str, float]:
-    """Per-entry min-of-reps from a prior round's committed
-    BENCH_DETAIL.json ({} when absent/unreadable)."""
+    """Per-entry min-of-reps from a prior round's committed detail
+    file ({} when absent/unreadable)."""
     try:
         with open(detail_path) as fh:
             d = json.load(fh)
@@ -315,8 +349,8 @@ def main() -> None:
     # so a stalled stage reading shows up in their multi-rep lists in
     # BENCH_DETAIL instead.
     retries: dict[str, dict] = {}
-    prior_min = load_prior_mins(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"))
+    prior_min = load_prior_mins(prior_detail_path(
+        os.path.dirname(os.path.abspath(__file__))))
     q_by_name = dict(bench_queries)
     for name in burst_candidates(
             {k: v for k, v in timings.items() if k in q_by_name},
@@ -440,10 +474,42 @@ def main() -> None:
         finally:
             shutil.rmtree(cw, ignore_errors=True)
         _release_cached_blocks(spark)
-    shutil.rmtree(crawl_land, ignore_errors=True)
     all_reps["pipeline_crawl_50k"] = reps
     timings["pipeline_crawl_50k"] = _min_warm(reps)
     cal.tick("pipeline_crawl_50k")
+
+    # Incremental crawl (plans/crawl.py::run_crawl_increment): the
+    # prior increment is a full run over HALF the documents (untimed
+    # prep); the timed entry processes the FULL landing against its
+    # seen-set — ~half the digests Bloom-probe seen and exact-verify
+    # away, half are genuinely new and flow through the gates. This
+    # is the steady-state cost a crawler pays per increment: probe +
+    # verification join + merged seen-set + gates on the new half.
+    half_land = tempfile.mkdtemp(prefix="mdp_bench_crawl_half_")
+    crawl_plan.synthesize_crawl_shards(spark, sf_dir, half_land,
+                                       replicas=10, shards=8,
+                                       keep_mod=2, keep_rem=0)
+    prior_out = tempfile.mkdtemp(prefix="mdp_bench_crawl_prior_")
+    crawl_plan.run_crawl_pipeline(spark, half_land, prior_out)
+    shutil.rmtree(half_land, ignore_errors=True)
+    reps = []
+    for _rep in range(3):
+        if _rep == 2 and reps[0] <= 1.0:
+            break  # third rep only when the entry runs hot (see _min_warm)
+        cw = tempfile.mkdtemp(prefix="mdp_bench_crawl_inc_")
+        try:
+            t0 = time.time()
+            crawl_plan.run_crawl_increment(spark, crawl_land, cw,
+                                           prior_out_dir=prior_out)
+            reps.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(cw, ignore_errors=True)
+        _release_cached_blocks(spark)
+    shutil.rmtree(prior_out, ignore_errors=True)
+    shutil.rmtree(crawl_land, ignore_errors=True)
+    all_reps["pipeline_crawl_increment"] = reps
+    timings["pipeline_crawl_increment"] = _min_warm(reps)
+    cal.tick("pipeline_crawl_increment")
     cal.probe()  # closing checkpoint so the last entries have an
     # after-neighbor
     queries_norm = cal.normalize(timings)
@@ -511,12 +577,15 @@ def main() -> None:
             }
             # probe-normalized like-for-like (the number to actually
             # diff round-over-round): the prev round's normalized
-            # series lives in its committed BENCH_DETAIL.json; use it
-            # only after validating that detail file belongs to the
-            # same run as BENCH_r{N} (raw values must agree — the
-            # stdout line may be rounded to 2 dp, so 2% tolerance).
+            # series lives in its committed PER-ROUND archive
+            # (docs/bench_history/BENCH_DETAIL_r{N}.json, never
+            # rotated — VERDICT r14 #4), falling back to the rotating
+            # BENCH_DETAIL.json; use it only after validating that
+            # detail file belongs to the same run as BENCH_r{N} (raw
+            # values must agree — the stdout line may be rounded to
+            # 2 dp, so 2% tolerance).
             try:
-                with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+                with open(prior_detail_path(here)) as fh:
                     prev_detail = json.load(fh)
                 pd_q, pd_n = prev_detail.get("queries", {}), \
                     prev_detail.get("queries_norm", {})
@@ -572,6 +641,17 @@ def main() -> None:
             "layout_ingest": timings["layout_ingest"],
             "sf": sf,
         }, fh, indent=1)
+
+    # per-round archive (VERDICT r14 #4): the CURRENT round's detail,
+    # never rotated — the NEXT round's normalized pair and burst
+    # guard key off this committed file even after BENCH_DETAIL.json
+    # has been overwritten by a later run.
+    cur_round = (prior_round_n(here) or 0) + 1
+    hist = os.path.join(here, "docs", "bench_history")
+    os.makedirs(hist, exist_ok=True)
+    shutil.copyfile(detail_path,
+                    os.path.join(hist, f"BENCH_DETAIL_r{cur_round}.json"))
+
     def _line(q):
         return json.dumps({
             "metric": "headline_queries_total_wall",

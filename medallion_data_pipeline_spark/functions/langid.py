@@ -225,6 +225,14 @@ def with_langid_script(df: DataFrame, id_col: str, text_col: str,
     doc-partitioned profile build — unchanged from with_langid."""
     staged = _with_script_cols(df.select(id_col, text_col),
                                id_col, text_col)
+    # lineage barrier (the _staged_argmin rule, PERFORMANCE.md #30):
+    # the two branch FILTERS below would otherwise push through the
+    # projection and CollapseProject re-substitutes the count/argmax
+    # chain into every reference — ~90 regex nodes per filter, which
+    # overflows janino's 64 KB method limit on planted when-chain
+    # inputs and falls back to interpreted row eval (measured: the
+    # gated query went 104 s -> seconds at sf0.1 with the barrier)
+    staged = staged.localCheckpoint(eager=False)
     non = (staged.filter(F.col("script") != "latin")
            .select(id_col, "script", script_lang_expr().alias("lang"),
                    F.lit(0).cast("long").alias("dist"),

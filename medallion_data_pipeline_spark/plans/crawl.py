@@ -79,7 +79,9 @@ CRAWL_BLOCK_RULES = [
 def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,
                             landing_dir: str, replicas: int = 10,
                             shards: int = 8,
-                            corrupt_every: int = 997) -> int:
+                            corrupt_every: int = 997,
+                            keep_mod: int = 1,
+                            keep_rem: int = 0) -> int:
     """Materialize a crawl landing directory from the documents table:
     each document appears ``replicas`` times under rotating messy URL
     forms (mixed-case scheme/host + default port + trailing slash,
@@ -87,9 +89,16 @@ def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,
     which the frontier blocklist rejects), with the text wrapped in a
     deterministic HTML skeleton; every ``corrupt_every``-th line is
     truncated mid-object to exercise the corrupt-line capture. Returns
-    the number of lines written. Deterministic end to end."""
+    the number of lines written. Deterministic end to end.
+    ``keep_mod``/``keep_rem`` restrict the synthesized landing to
+    documents with doc_id % keep_mod == keep_rem — two landings from
+    different residues give an increment corpus with controlled
+    seen/new overlap (the bench's increment entry synthesizes the
+    prior run from half the documents and the increment from all)."""
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "source", "text")
+    if keep_mod > 1:
+        docs = docs.filter(F.col("doc_id") % keep_mod == keep_rem)
     reps = F.explode(F.array(*[F.lit(i) for i in range(replicas)]))
     raw = docs.select("doc_id", "source", "text", reps.alias("rep"))
     rid = (F.col("doc_id") * replicas + F.col("rep"))
@@ -193,7 +202,8 @@ def write_seen_set(spark: SparkSession, deduped: DataFrame,
 
 
 def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
-                 results: list[StageResult]) -> int:
+                 results: list[StageResult],
+                 stage_hook=None) -> int:
     """The shared front half — ingest through within-run dedup; lands
     bronze/ rejects/ extracted/ admitted/ deduped/ and appends stage
     stats. Returns the deduped count."""
@@ -207,6 +217,8 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
         n_out = spark.read.parquet(os.path.join(out_dir, path)).count()
         results.append(StageResult(name, n_in, n_out,
                                    round(time.time() - t0, 2)))
+        if stage_hook is not None:
+            stage_hook(name)
         return n_out
 
     t0 = time.time()
@@ -239,7 +251,8 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
 
 def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
                 keep_langs: tuple[str, ...],
-                results: list[StageResult], n: int) -> int:
+                results: list[StageResult], n: int,
+                stage_hook=None) -> int:
     """The shared back half — script-aware langid gate + quality
     gate; lands langpass/ corpus/."""
     from ..functions import langid as LG
@@ -254,6 +267,8 @@ def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
     n_out = spark.read.parquet(os.path.join(out_dir, "langpass")).count()
     results.append(StageResult("langid_gate", n, n_out,
                                round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("langid_gate")
     kept = spark.read.parquet(os.path.join(out_dir, "langpass"))
 
     t0 = time.time()
@@ -262,12 +277,15 @@ def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
     n_final = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
     results.append(StageResult("quality_gate", n_out, n_final,
                                round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("quality_gate")
     return n_final
 
 
 def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
                        out_dir: str, keep_langs: tuple[str, ...] = ("en",),
-                       bloom_fpr: float = 0.01) -> list[StageResult]:
+                       bloom_fpr: float = 0.01,
+                       stage_hook=None) -> list[StageResult]:
     """Run the crawl tier end-to-end over ``landing_dir``'s JSONL
     shards and land the layers under ``out_dir``: bronze/ rejects/
     extracted/ admitted/ deduped/ bloom_seen/ seen_digests/ langpass/
@@ -277,7 +295,7 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
     trigram gate, so keep_langs=("en", "zh") keeps Chinese pages.
     Returns per-stage audited counts + wall times."""
     results: list[StageResult] = []
-    n = _crawl_front(spark, landing_dir, out_dir, results)
+    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook)
     deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
 
     # the seen-set artifact the next crawl increment probes: exact
@@ -286,15 +304,19 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
     m = write_seen_set(spark, deduped, out_dir, n, bloom_fpr)
     results.append(StageResult("bloom_seen", n, m,
                                round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("bloom_seen")
 
-    _crawl_back(spark, deduped, out_dir, keep_langs, results, n)
+    _crawl_back(spark, deduped, out_dir, keep_langs, results, n,
+                stage_hook)
     return results
 
 
 def run_crawl_increment(spark: SparkSession, landing_dir: str,
                         out_dir: str, prior_out_dir: str,
                         keep_langs: tuple[str, ...] = ("en",),
-                        bloom_fpr: float = 0.01) -> list[StageResult]:
+                        bloom_fpr: float = 0.01,
+                        stage_hook=None) -> list[StageResult]:
     """Process crawl increment N+1 against increment N's seen-set
     (VERDICT r14 #2 — the batch twin of the streaming dedup sink):
 
@@ -352,6 +374,8 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     n_new = spark.read.parquet(os.path.join(out_dir, "new_docs")).count()
     results.append(StageResult("seen_filter", n, n_new,
                                round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("seen_filter")
     new_docs = spark.read.parquet(os.path.join(out_dir, "new_docs"))
 
     # merged seen-set for increment N+2: prior ∪ this increment's
@@ -363,6 +387,9 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     m = write_seen_set(spark, merged, out_dir, n_seen, bloom_fpr)
     results.append(StageResult("bloom_seen", n_seen, m,
                                round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("bloom_seen")
 
-    _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new)
+    _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new,
+                stage_hook)
     return results

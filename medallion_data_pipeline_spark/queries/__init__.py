@@ -128,10 +128,16 @@ PRIORITY: tuple[str, ...] = (
     # its slot goes to langid_confidence, the Cavnar-Trenkle trigram
     # rank-profile classifier — profile windows + out-of-place
     # distance, a shape nothing else in the prefix has)
+    # (langid_confidence moved past the prefix in r15 — langid_script
+    # is a strict superset shape: it runs the IDENTICAL trigram
+    # profile chain on its Latin rows AND adds the Unicode-script
+    # codepoint histogram + script routing on a transparently planted
+    # multi-script corpus, the capability VERDICT r14 ranked the #1
+    # real-user gap; langid_confidence stays in the full inventory)
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh_skew",
     "dedup_ngram_jaccard", "dedup_canonical_url",
     "knn_cosine_bruteforce", "text_analysis",
-    "phash_recall_certification", "langid_confidence",
+    "phash_recall_certification", "langid_script",
     "gopher_quality_filters",
     # (knn_cosine_lsh moved past the prefix — hyperplane sign-LSH
     # banding is already pinned in-prefix by dedup_embedding_lsh, and
