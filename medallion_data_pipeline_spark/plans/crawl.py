@@ -172,9 +172,19 @@ def keep_lowest(df: DataFrame, key: str,
     aggregation and the composite-key join hash-spreads its replicas;
     the row_number-window form this replaces sorted ALL of a hot key's
     replicas in a single window partition. Requires id_col unique per
-    row (landing line ids are)."""
-    reps = df.groupBy(key).agg(F.min(id_col).alias(id_col))
-    return df.join(reps, [key, id_col], "left_semi")
+    row (landing line ids are).
+
+    The key equality is NULL-SAFE (<=>): a crawl row with a NULL key
+    (e.g. NULL html -> NULL extracted text -> NULL digest) groups into
+    the NULL bucket and keeps its min-id representative, matching the
+    window form's NULL-partition behavior — a plain equi-join would
+    silently drop every NULL-key row (caught in the round-15
+    self-review, regression-pinned)."""
+    reps = (df.groupBy(key).agg(F.min(id_col).alias("_kl_min"))
+            .withColumnRenamed(key, "_kl_key"))
+    cond = (F.col(key).eqNullSafe(F.col("_kl_key"))
+            & (F.col(id_col) == F.col("_kl_min")))
+    return df.join(reps, cond, "left_semi")
 
 
 def write_seen_set(spark: SparkSession, deduped: DataFrame,
@@ -347,7 +357,7 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     from ..operators import sketch as K
 
     results: list[StageResult] = []
-    n = _crawl_front(spark, landing_dir, out_dir, results)
+    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook)
     deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
 
     t0 = time.time()

@@ -460,14 +460,22 @@ def test_crawl_keep_lowest_skew_safe(spark):
     ).unionByName(spark.range(40).select(
         F.concat(F.lit("http://cold.example.com/"),
                  F.col("id").cast("string")).alias("canonical_url"),
-        (F.col("id") + 100_000).alias("doc_id")))
+        (F.col("id") + 100_000).alias("doc_id")
+    )).unionByName(spark.range(3).select(
+        # NULL keys (e.g. NULL html -> NULL digest) must keep ONE
+        # min-id representative like the window form did — a plain
+        # equi-join semi would silently drop all three (r15
+        # self-review regression pin)
+        F.lit(None).cast("string").alias("canonical_url"),
+        (F.col("id") + 200_000).alias("doc_id")))
     out = C.keep_lowest(df, "canonical_url")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, plan
     rows = {r.canonical_url: r.doc_id for r in out.collect()}
-    assert len(rows) == 41
+    assert len(rows) == 42
     assert rows["http://hot.example.com/"] == 17
     assert rows["http://cold.example.com/39"] == 100_039
+    assert rows[None] == 200_000
 
 
 def test_crawl_increment_parity(spark, tmp_path):

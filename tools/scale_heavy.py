@@ -117,24 +117,39 @@ def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
             sum(s.get("shuffleReadBytes", 0) for s in stages))
 
 
-def cpu_write_totals(spark: SparkSession) -> dict:
+def cpu_write_totals(spark: SparkSession, settle: bool = True) -> dict:
     """Cumulative {cpu_s, out_mb, shuf_mb} over all completed stages
     (executor CPU seconds, table-output bytes, shuffle-write bytes) —
     callers take deltas around a pipeline stage, so wall-vs-CPU
     attribution (is the excess compute or disk writeback?) is
-    MEASURED rather than argued (VERDICT r14 #6)."""
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
-    stages = json.loads(urllib.request.urlopen(url).read())
-    return {
-        "cpu_s": round(sum(s.get("executorCpuTime", 0)
-                           for s in stages) / 1e9, 2),
-        "out_mb": round(sum(s.get("outputBytes", 0)
-                            for s in stages) / 2 ** 20, 1),
-        "shuf_mb": round(sum(s.get("shuffleWriteBytes", 0)
-                             for s in stages) / 2 ** 20, 1),
-    }
+    MEASURED rather than argued (VERDICT r14 #6). The UI status store
+    is fed by an ASYNC listener bus, so a sample taken right after an
+    action returns can miss its final stages (the delta then smears
+    into the next stage's window); ``settle`` polls until two
+    consecutive samples agree (≤2 s) before returning."""
+    def one() -> dict:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        stages = json.loads(urllib.request.urlopen(url).read())
+        return {
+            "cpu_s": round(sum(s.get("executorCpuTime", 0)
+                               for s in stages) / 1e9, 2),
+            "out_mb": round(sum(s.get("outputBytes", 0)
+                                for s in stages) / 2 ** 20, 1),
+            "shuf_mb": round(sum(s.get("shuffleWriteBytes", 0)
+                                 for s in stages) / 2 ** 20, 1),
+        }
+
+    cur = one()
+    if settle:
+        for _ in range(10):
+            time.sleep(0.2)
+            nxt = one()
+            if nxt == cur:
+                break
+            cur = nxt
+    return cur
 
 
 def _fresh_vectors(r: int, n: int, dim: int):
