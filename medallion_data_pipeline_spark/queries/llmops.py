@@ -4818,6 +4818,125 @@ def bloom_seen_digests(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — the incremental-crawl SEEN FILTER decision, composed end-to-end
+# (VERDICT r14 #2's logic tier): plans/crawl.py::run_crawl_increment
+# drops a doc iff its digest Bloom-probes "might contain" against the
+# prior increment's filter AND exact-verifies against the prior
+# digest set (the fpr makes verification mandatory; zero false
+# negatives makes skipping non-candidates safe). Here the "prior
+# increment" is the even-doc_id half of the corpus, the increment is
+# the whole corpus, and every per-digest verdict — bloom_hit,
+# verified_seen, is_new, the false positives verification caught, and
+# the provably-all-false fn_violation — is hash-matched. The plan is
+# the pipeline's: broadcast probe join against <= m/32 packed words,
+# then a digest semi-join whose left side is only the candidates.
+# ---------------------------------------------------------------------------
+
+
+def _inc_seen_oracle() -> str:
+    params = X.minhash_params(_BLOOM_K)
+    hh = "CAST('0x' || substr(md5(item), 1, 8) AS BIGINT)"
+    poss = ", ".join(
+        f"(({a} * h + {b}) % {X.MINHASH_PRIME}) % {_BLOOM_M} AS p{j}"
+        for j, (a, b) in enumerate(params))
+
+    def unpiv(src, keep):
+        return " UNION ALL ".join(
+            f"SELECT {keep}, {j} AS j, p{j} AS pos FROM {src}"
+            for j in range(_BLOOM_K))
+
+    return f"""
+WITH inc AS (
+    SELECT md5(text) AS digest, MIN(doc_id) AS rep_doc_id
+    FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+),
+prior AS (
+    SELECT DISTINCT md5(text) AS item FROM documents
+    WHERE text IS NOT NULL AND doc_id % 2 = 0
+),
+pstage AS (
+    SELECT item, {poss}
+    FROM (SELECT item, {hh} AS h FROM prior)
+),
+bloom AS (
+    SELECT pos // {_BLOOM_W} AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+    FROM ({unpiv('pstage', 'item')}) GROUP BY pos // {_BLOOM_W}
+),
+istage AS (
+    SELECT item, {poss}
+    FROM (SELECT digest AS item, {hh} AS h FROM inc)
+),
+hits AS (
+    SELECT item, SUM(CASE WHEN (coalesce(b.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_W} AS INT)))
+               <> 0 THEN 1 ELSE 0 END) AS n_hits
+    FROM ({unpiv('istage', 'item')}) p
+    LEFT JOIN bloom b ON b.word_idx = p.pos // {_BLOOM_W}
+    GROUP BY item
+)
+SELECT i.digest, i.rep_doc_id,
+       h.n_hits = {_BLOOM_K} AS bloom_hit,
+       (h.n_hits = {_BLOOM_K} AND pr.item IS NOT NULL) AS verified_seen,
+       NOT (h.n_hits = {_BLOOM_K} AND pr.item IS NOT NULL) AS is_new,
+       (h.n_hits = {_BLOOM_K} AND pr.item IS NULL) AS fp_caught,
+       (pr.item IS NOT NULL AND h.n_hits < {_BLOOM_K}) AS fn_violation
+FROM inc i
+JOIN hits h ON h.item = i.digest
+LEFT JOIN prior pr ON pr.item = i.digest
+"""
+
+
+@register("crawl_increment_seen_filter", oracle=_inc_seen_oracle())
+def crawl_increment_seen_filter(spark, sf_dir):
+    """Per-digest increment verdicts against the prior half-corpus
+    seen-set: bloom_hit (the prefilter), verified_seen (hit AND in
+    the exact prior set — what the pipeline drops), is_new (what
+    flows to the gates), fp_caught (false positives the mandatory
+    verification intercepted — the rows a Bloom-only dedup would have
+    WRONGLY dropped), fn_violation (provably all false: a prior
+    digest always hits all k bits). Fixed m for oracle determinism;
+    the formula-sized production path is bloom_rolling_epochs +
+    plans/crawl.py::write_seen_set. At 100 TB the filter side is
+    <= m/32 rows broadcast and only candidates reach the exact
+    semi-join — new documents never shuffle against the prior corpus."""
+    from ..operators import sketch as K
+
+    docs = td(spark, sf_dir).filter(F.col("text").isNotNull())
+    inc = docs.groupBy(F.md5(F.col("text")).alias("digest")) \
+        .agg(F.min("doc_id").alias("rep_doc_id"))
+    prior = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select(F.md5(F.col("text")).alias("item"))
+             .dropDuplicates(["item"]))
+
+    bloom = K.bloom_bits(prior, m=_BLOOM_M, k=_BLOOM_K)
+    verdicts = K.bloom_might_contain(
+        inc.select(F.col("digest").alias("item")), bloom,
+        m=_BLOOM_M, k=_BLOOM_K) \
+        .select(F.col("item").alias("digest"),
+                F.col("might_contain").alias("bloom_hit"))
+    # exact verification only for candidates — the pipeline's shape
+    cand = verdicts.filter(F.col("bloom_hit")).select("digest")
+    verified = cand.join(prior.select(F.col("item").alias("digest")),
+                         "digest", "left_semi") \
+        .withColumn("verified_seen", F.lit(True))
+    # fn_violation needs prior membership independent of the filter
+    in_prior = prior.select(F.col("item").alias("digest"),
+                            F.lit(True).alias("_in_prior"))
+    seen = F.coalesce("verified_seen", F.lit(False))
+    was_prior = F.coalesce("_in_prior", F.lit(False))
+    return (inc.join(verdicts, "digest")
+            .join(verified, "digest", "left")
+            .join(in_prior, "digest", "left")
+            .select("digest", "rep_doc_id", "bloom_hit",
+                    seen.alias("verified_seen"),
+                    (~seen).alias("is_new"),
+                    (F.col("bloom_hit") & ~was_prior).alias("fp_caught"),
+                    (was_prior & ~F.col("bloom_hit"))
+                    .alias("fn_violation")))
+
+
+# ---------------------------------------------------------------------------
 # q — ROLLING-EPOCH Bloom seen-set (the production sizing contract as
 # a gated query, VERDICT r13 #4): bloom_seen_digests' fixed m=4096
 # filter saturates beyond ~500 items (SCALING.md addendum 14b); a

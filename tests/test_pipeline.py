@@ -263,3 +263,30 @@ def test_bench_burst_guard_selection(tmp_path):
     # unreadable/missing detail file -> no priors -> no retries
     assert load_prior_mins(str(tmp_path / "nope.json")) == {}
     assert burst_candidates(timings, {}) == []
+
+
+def test_bench_prior_detail_archive_resolution(tmp_path):
+    """bench.py per-round detail archive (VERDICT r14 #4): prior-min
+    and normalized-pair loading resolve to the newest committed
+    docs/bench_history/BENCH_DETAIL_r{N}.json, falling back to the
+    rotating BENCH_DETAIL.json when no archive matches — so the
+    cross-round pair survives same-round bench reruns."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from bench import prior_detail_path, prior_round_n
+
+    here = str(tmp_path)
+    assert prior_round_n(here) is None
+    assert prior_detail_path(here) == f"{here}/BENCH_DETAIL.json"
+
+    (tmp_path / "BENCH_r3.json").write_text("{}")
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    (tmp_path / "BENCH_rX.json").write_text("{}")  # non-numeric: skip
+    assert prior_round_n(here) == 12
+    # archive absent for r12 -> fallback to the rotating file
+    assert prior_detail_path(here) == f"{here}/BENCH_DETAIL.json"
+    hist = tmp_path / "docs" / "bench_history"
+    hist.mkdir(parents=True)
+    (hist / "BENCH_DETAIL_r12.json").write_text("{}")
+    assert prior_detail_path(here) == str(hist / "BENCH_DETAIL_r12.json")
