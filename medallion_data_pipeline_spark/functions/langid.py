@@ -207,7 +207,8 @@ def with_script(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def with_langid_script(df: DataFrame, id_col: str, text_col: str,
-                       k: int = LANGID_K) -> DataFrame:
+                       k: int = LANGID_K,
+                       cyrillic_profiles: bool = False) -> DataFrame:
     """(id_col, script, lang, dist, margin): script-aware language
     identification (VERDICT r14 #1 — the trigram profiles normalize
     to [a-z ], so non-Latin text used to take the no-trigram fallback
@@ -217,23 +218,31 @@ def with_langid_script(df: DataFrame, id_col: str, text_col: str,
     rows classify by script directly (kana-presence rule for ja; see
     SCRIPT_LANGS) with dist 0 and margin = winning script codepoint
     count (so margin > 0 gates out only scriptless rows), scriptless
-    rows get ('none', 'und', 0, 0).
+    rows get ('none', 'und', 0, 0). With ``cyrillic_profiles=True``,
+    Cyrillic-dominant rows additionally flow through the
+    CYRILLIC_SEEDS trigram profiles (ru/uk/bg discrimination — the
+    script histogram alone cannot separate languages sharing a
+    script) instead of the flat cyrillic->ru map; their dist/margin
+    are then trigram quantities like the Latin branch's.
 
     Scale shape: the script stage is scan-local named-column
-    expressions; the Latin branch is a FILTER on those columns (no
-    join back), so the only shuffles remain the trigram path's
-    doc-partitioned profile build — unchanged from with_langid."""
+    expressions; the per-script branches are FILTERS on those columns
+    (no join back), so the only shuffles remain the trigram paths'
+    doc-partitioned profile builds — unchanged from with_langid."""
     staged = _with_script_cols(df.select(id_col, text_col),
                                id_col, text_col)
     # lineage barrier (the _staged_argmin rule, PERFORMANCE.md #30):
-    # the two branch FILTERS below would otherwise push through the
+    # the branch FILTERS below would otherwise push through the
     # projection and CollapseProject re-substitutes the count/argmax
     # chain into every reference — ~90 regex nodes per filter, which
     # overflows janino's 64 KB method limit on planted when-chain
     # inputs and falls back to interpreted row eval (measured: the
     # gated query went 104 s -> seconds at sf0.1 with the barrier)
     staged = staged.localCheckpoint(eager=False)
-    non = (staged.filter(F.col("script") != "latin")
+    non_scripts = F.col("script") != "latin"
+    if cyrillic_profiles:
+        non_scripts = non_scripts & (F.col("script") != "cyrillic")
+    non = (staged.filter(non_scripts)
            .select(id_col, "script", script_lang_expr().alias("lang"),
                    F.lit(0).cast("long").alias("dist"),
                    F.col("script_chars").alias("margin")))
@@ -242,7 +251,58 @@ def with_langid_script(df: DataFrame, id_col: str, text_col: str,
     lat_out = with_langid(lat, id_col, text_col, k) \
         .select(id_col, F.lit("latin").alias("script"),
                 "lang", "dist", "margin")
-    return lat_out.unionByName(non)
+    out = lat_out.unionByName(non)
+    if cyrillic_profiles:
+        cyr = staged.filter(F.col("script") == "cyrillic") \
+            .select(id_col, text_col)
+        cyr_out = with_langid(cyr, id_col, text_col, k,
+                              seeds=CYRILLIC_SEEDS,
+                              norm=langid_norm_cyrillic) \
+            .select(id_col, F.lit("cyrillic").alias("script"),
+                    "lang", "dist", "margin")
+        out = out.unionByName(cyr_out)
+    return out
+
+
+#: Cyrillic-script seed paragraphs — the per-script profile set that
+#: discriminates WITHIN the Cyrillic script (the script histogram can
+#: only say "cyrillic"; ru/uk/bg need trigram profiles over a
+#: Cyrillic normalization). Same authoring rules as LANG_SEEDS: plain
+#: paragraphs written for this module, no apostrophes (Ukrainian
+#: words with apostrophes are deliberately avoided), so the literals
+#: embed in oracle SQL unescaped.
+CYRILLIC_SEEDS: dict[str, str] = {
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку и люди "
+        "сказали что они придут в дом со своими друзьями потому что "
+        "это был хороший день для всех и вот что мы знаем о вещах "
+        "которые происходят когда мир вращается и вода бежит вниз по "
+        "реке к морю пока дети играют в саду и старик читает свою "
+        "книгу под деревом думая о годах которые прошли и о работе "
+        "которую еще нужно сделать прежде чем наступит ночь и все "
+        "снова станет тихо в маленьком городе где ничто никогда не "
+        "меняется от одного дня к другому"),
+    "uk": (
+        "швидка коричнева лисиця стрибає через ледачого пса і люди "
+        "казали що вони прийдуть до будинку зі своїми друзями бо це "
+        "був гарний день для всіх і ось що ми знаємо про речі які "
+        "відбуваються коли світ обертається і вода біжить вниз рікою "
+        "до моря поки діти граються в саду і старий чоловік читає "
+        "свою книгу під деревом думаючи про роки що минули і про "
+        "роботу яку ще треба зробити перш ніж настане ніч і все знову "
+        "стане тихо в маленькому місті де ніщо ніколи не змінюється "
+        "від одного дня до іншого"),
+    "bg": (
+        "бързата кафява лисица скача през мързеливото куче и хората "
+        "казаха че ще дойдат в къщата със своите приятели защото беше "
+        "хубав ден за всички и ето какво знаем за нещата които се "
+        "случват когато светът се върти и водата тече надолу по "
+        "реката към морето докато децата играят в градината и "
+        "старецът чете своята книга под дървото мислейки за годините "
+        "които са минали и за работата която още трябва да се свърши "
+        "преди да настъпи нощта и всичко отново стане тихо в малкия "
+        "град където нищо никога не се променя от един ден на друг"),
+}
 
 
 def langid_norm(col: Column) -> Column:
@@ -259,6 +319,25 @@ def langid_norm_sql(col: str) -> str:
     """DuckDB dual of langid_norm (RE2 needs the explicit g flag)."""
     return (f"trim(regexp_replace(regexp_replace(lower({col}), "
             f"'[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+#: the Cyrillic keep-class: а-я covers Russian/Bulgarian lowercase
+#: (incl. ъ/ь/щ/ю/я); ё (ru) and і/ї/є/ґ (uk) sit outside that block.
+#: Both engines lowercase Cyrillic identically (simple 1:1 case maps).
+_CYR_KEEP = "а-яёєіїґ"
+
+
+def langid_norm_cyrillic(col: Column) -> Column:
+    """Cyrillic dual of langid_norm: lowercase -> strip to the
+    Cyrillic keep-class -> collapse runs -> trim."""
+    s = F.regexp_replace(F.lower(col), f"[^{_CYR_KEEP} ]", " ")
+    return F.trim(F.regexp_replace(s, " +", " "))
+
+
+def langid_norm_cyrillic_sql(col: str) -> str:
+    """DuckDB dual of langid_norm_cyrillic."""
+    return (f"trim(regexp_replace(regexp_replace(lower({col}), "
+            f"'[^{_CYR_KEEP} ]', ' ', 'g'), ' +', ' ', 'g'))")
 
 
 def trigram_array(col: Column) -> Column:
@@ -281,18 +360,24 @@ def trigrams_sql(col: str) -> str:
             f"ELSE [] END")
 
 
-def seed_profiles(spark: SparkSession, k: int = LANGID_K) -> DataFrame:
+def seed_profiles(spark: SparkSession, k: int = LANGID_K,
+                  seeds: dict[str, str] | None = None,
+                  norm=langid_norm) -> DataFrame:
     """(lang, tri, rl) — each seed language's top-k trigram ranks,
-    derived IN-PLAN from LANG_SEEDS through the same normalization /
-    trigram expressions the documents go through (the oracle derives
-    them in SQL from the identical literals, so the two engines
-    cannot drift). <= n_langs * k rows; broadcast by construction."""
+    derived IN-PLAN from the seed literals through the same
+    normalization / trigram expressions the documents go through (the
+    oracle derives them in SQL from the identical literals, so the
+    two engines cannot drift). <= n_langs * k rows; broadcast by
+    construction. ``seeds``/``norm`` default to the Latin profile set
+    (LANG_SEEDS + langid_norm); pass CYRILLIC_SEEDS +
+    langid_norm_cyrillic for the within-Cyrillic profiles."""
     from pyspark.sql.window import Window as W
 
-    seeds = spark.createDataFrame(sorted(LANG_SEEDS.items()),
-                                  "lang string, seed string")
-    norm = seeds.select("lang", langid_norm(F.col("seed")).alias("_s"))
-    tri = norm.select(
+    seed_map = LANG_SEEDS if seeds is None else seeds
+    seeds_df = spark.createDataFrame(sorted(seed_map.items()),
+                                     "lang string, seed string")
+    norm_df = seeds_df.select("lang", norm(F.col("seed")).alias("_s"))
+    tri = norm_df.select(
         "lang", F.explode(trigram_array(F.col("_s"))).alias("tri"))
     counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
     w = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
@@ -301,24 +386,29 @@ def seed_profiles(spark: SparkSession, k: int = LANGID_K) -> DataFrame:
 
 
 def with_langid(df: DataFrame, id_col: str, text_col: str,
-                k: int = LANGID_K) -> DataFrame:
+                k: int = LANGID_K,
+                seeds: dict[str, str] | None = None,
+                norm=langid_norm) -> DataFrame:
     """(id_col, lang, dist, margin): Cavnar-Trenkle classification of
-    each row's text against the seed profiles. lang is the
-    min-distance language (ties broken lexicographically); margin =
-    runner-up distance - best distance (0 on a tie; larger = more
-    confident). Rows whose normalized text has no trigrams get the
-    documented fallback: first language alphabetically, dist 0,
-    margin 0."""
+    each row's text against the seed profiles (``seeds``/``norm``
+    default to the Latin set; pass CYRILLIC_SEEDS +
+    langid_norm_cyrillic to discriminate ru/uk/bg within the Cyrillic
+    script). lang is the min-distance language (ties broken
+    lexicographically); margin = runner-up distance - best distance
+    (0 on a tie; larger = more confident). Rows whose normalized text
+    has no trigrams get the documented fallback: first language
+    alphabetically, dist 0, margin 0."""
     from pyspark.sql.window import Window as W
 
+    seed_map = LANG_SEEDS if seeds is None else seeds
     spark = df.sparkSession
-    profs = seed_profiles(spark, k)
-    langs = spark.createDataFrame([(lng,) for lng in sorted(LANG_SEEDS)],
+    profs = seed_profiles(spark, k, seeds=seed_map, norm=norm)
+    langs = spark.createDataFrame([(lng,) for lng in sorted(seed_map)],
                                   "lang string")
 
-    norm = df.select(F.col(id_col), langid_norm(F.col(text_col))
-                     .alias("_s"))
-    doc_tri = norm.select(
+    norm_df = df.select(F.col(id_col), norm(F.col(text_col))
+                        .alias("_s"))
+    doc_tri = norm_df.select(
         id_col, F.explode(trigram_array(F.col("_s"))).alias("tri"))
     dcounts = doc_tri.groupBy(id_col, "tri") \
         .agg(F.count(F.lit(1)).alias("c"))
@@ -361,10 +451,10 @@ def with_langid(df: DataFrame, id_col: str, text_col: str,
     # must be matched explicitly: length(NULL) < 3 is NULL, not true,
     # and the row would otherwise vanish from BOTH paths (the crawl
     # tier makes null text representable).
-    missing = (norm.filter(F.col("_s").isNull()
-                           | (F.length("_s") < 3))
+    missing = (norm_df.filter(F.col("_s").isNull()
+                              | (F.length("_s") < 3))
                .select(id_col,
-                       F.lit(sorted(LANG_SEEDS)[0]).alias("lang"),
+                       F.lit(sorted(seed_map)[0]).alias("lang"),
                        F.lit(0).cast("long").alias("dist"),
                        F.lit(0).cast("long").alias("margin")))
     return out.unionByName(missing)

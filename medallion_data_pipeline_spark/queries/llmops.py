@@ -5074,17 +5074,22 @@ def bloom_rolling_epochs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _langid_profile_ctes() -> str:
+def _langid_profile_ctes(seed_map: dict | None = None,
+                         norm_sql=None) -> str:
     """seeds/snorm/stri/sprof — the trigram profile chain shared by
-    the plain (_langid_oracle) and script-aware (_langid_script_oracle)
-    oracles; derived in SQL from the module's seed literals."""
+    the plain (_langid_oracle), script-aware (_langid_script_oracle),
+    and within-Cyrillic (_langid_cyrillic_oracle) oracles; derived in
+    SQL from the module's seed literals. Defaults to the Latin
+    profile set."""
     from ..functions import langid as L
 
+    seed_map = L.LANG_SEEDS if seed_map is None else seed_map
+    norm_sql = L.langid_norm_sql if norm_sql is None else norm_sql
     seeds = ", ".join(f"('{lng}', '{txt}')"
-                      for lng, txt in sorted(L.LANG_SEEDS.items()))
+                      for lng, txt in sorted(seed_map.items()))
     k = L.LANGID_K
     return f"""seeds(lang, seed) AS (VALUES {seeds}),
-snorm AS (SELECT lang, {L.langid_norm_sql('seed')} AS s FROM seeds),
+snorm AS (SELECT lang, {norm_sql('seed')} AS s FROM seeds),
 stri AS (SELECT lang, unnest({L.trigrams_sql('s')}) AS tri FROM snorm),
 sprof AS MATERIALIZED (
     SELECT lang, tri, rl FROM (
@@ -5096,15 +5101,16 @@ sprof AS MATERIALIZED (
 )"""
 
 
-def _langid_score_ctes() -> str:
+def _langid_score_ctes(seed_map: dict | None = None) -> str:
     """dtri..runner + triout — the Cavnar-Trenkle scoring chain over
     a CTE named dnorm(doc_id, s) the caller defines. triout carries
     (doc_id, lang, dist, margin) including the no-trigram fallback
     rows (first language alphabetically, dist 0, margin 0)."""
     from ..functions import langid as L
 
+    seed_map = L.LANG_SEEDS if seed_map is None else seed_map
     k = L.LANGID_K
-    first = sorted(L.LANG_SEEDS)[0]
+    first = sorted(seed_map)[0]
     return f"""dtri AS (SELECT doc_id, unnest({L.trigrams_sql('s')}) AS tri FROM dnorm),
 dprof AS MATERIALIZED (
     SELECT doc_id, tri, rd FROM (
@@ -5276,6 +5282,88 @@ def langid_script(spark, sf_dir):
     plant = plant.otherwise(F.lit(L.SCRIPT_SAMPLE_JA_KANA + _LS_TAIL))
     d = td(spark, sf_dir).select("doc_id", plant.alias("text"))
     return L.with_langid_script(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q — WITHIN-SCRIPT language discrimination (the refinement past
+# langid_script): a script histogram can say "cyrillic" but never
+# ru-vs-uk-vs-bg — that needs trigram profiles over a CYRILLIC
+# normalization (functions/langid.py::CYRILLIC_SEEDS +
+# langid_norm_cyrillic: lowercase -> strip to [а-яёєіїґ ] -> collapse;
+# both engines lowercase Cyrillic identically). Same Cavnar-Trenkle
+# machinery, same integer out-of-place distances — the generalized
+# seed_profiles/with_langid parameterization is what this gates.
+# Held-out sentences plant on doc_id % 4 (family 0 keeps the original
+# Latin text, which normalizes to near-empty under the Cyrillic class
+# and takes the documented fallback: first language alphabetically,
+# dist 0, margin 0).
+# ---------------------------------------------------------------------------
+
+#: held-out Cyrillic sentences (NOT from the seed paragraphs; no
+#: apostrophes so the literals embed in oracle SQL unescaped)
+_CYR_SAMPLES = {
+    "ru": ("утром она шла по улице и купила хлеб и молоко в магазине "
+           "а потом вернулась домой чтобы приготовить завтрак для "
+           "своей семьи"),
+    "uk": ("вранці вона йшла вулицею і купила хліб і молоко в "
+           "крамниці а потім повернулася додому щоб приготувати "
+           "сніданок для своєї родини"),
+    "bg": ("сутринта тя вървеше по улицата и купи хляб и мляко от "
+           "магазина а после се върна у дома за да приготви закуска "
+           "за семейството си"),
+}
+
+
+def _langid_cyrillic_oracle() -> str:
+    from ..functions import langid as L
+
+    whens = "\n".join(
+        f"           WHEN {i} THEN '{_CYR_SAMPLES[lng]}'"
+        for i, lng in enumerate(sorted(_CYR_SAMPLES), start=1))
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+{whens}
+           ELSE text END AS text
+    FROM documents
+),
+{_langid_profile_ctes(L.CYRILLIC_SEEDS, L.langid_norm_cyrillic_sql)},
+dnorm AS MATERIALIZED (
+    SELECT doc_id, {L.langid_norm_cyrillic_sql('text')} AS s FROM raw
+),
+{_langid_score_ctes(L.CYRILLIC_SEEDS)}
+SELECT doc_id, lang, dist, margin FROM triout
+"""
+
+
+@register("langid_cyrillic", oracle=_langid_cyrillic_oracle())
+def langid_cyrillic(spark, sf_dir):
+    """ru/uk/bg discrimination within the Cyrillic script: held-out
+    Russian/Ukrainian/Bulgarian sentences planted on doc_id % 4
+    (family 0 keeps the original Latin text — near-empty under the
+    Cyrillic normalization, so it pins the documented no-trigram
+    fallback), classified by Cavnar-Trenkle profiles derived in-plan
+    from the CYRILLIC_SEEDS literals. Exactly the langid_confidence
+    plan shape — broadcast profile table, one explode,
+    doc-partitioned ranking window, matched-only scoring join — over
+    a different normalization, which is the point: the profile
+    machinery is seed-set-parameterized, so adding a script family
+    costs one dict + one keep-class. with_langid_script(...,
+    cyrillic_profiles=True) routes Cyrillic-dominant rows here
+    instead of the flat cyrillic->ru map."""
+    from ..functions import langid as L
+
+    fam = F.col("doc_id") % 4
+    plant = F.lit(None).cast("string")
+    for i, lng in enumerate(sorted(_CYR_SAMPLES), start=1):
+        plant = F.when(fam == i, F.lit(_CYR_SAMPLES[lng])) \
+            if i == 1 else plant.when(fam == i, F.lit(_CYR_SAMPLES[lng]))
+    plant = plant.otherwise(F.col("text"))
+    d = td(spark, sf_dir).select("doc_id", plant.alias("text"))
+    return L.with_langid(d, "doc_id", "text",
+                         seeds=L.CYRILLIC_SEEDS,
+                         norm=L.langid_norm_cyrillic)
 
 
 # ---------------------------------------------------------------------------

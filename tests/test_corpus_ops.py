@@ -1635,6 +1635,55 @@ def test_langid_script_routing(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_langid_cyrillic_profiles_and_routing(spark):
+    """functions/langid.py CYRILLIC_SEEDS tier: held-out ru/uk/bg
+    sentences (NOT the seed paragraphs) classify to their language
+    with positive margin under with_langid(seeds=CYRILLIC_SEEDS,
+    norm=langid_norm_cyrillic); with_langid_script's
+    cyrillic_profiles=True routes Cyrillic-dominant rows through
+    those profiles (uk/bg no longer flattened to ru) while the
+    default keeps the flat map; Latin text under the Cyrillic
+    normalization takes the documented fallback (first language
+    alphabetically = bg, 0, 0)."""
+    from medallion_data_pipeline_spark.functions import langid as L
+
+    planted = {
+        "ru": ("вечером он читал книгу возле окна и думал о работе "
+               "которую нужно закончить до конца недели"),
+        "uk": ("ввечері він читав книгу біля вікна і думав про роботу "
+               "яку треба закінчити до кінця тижня"),
+        "bg": ("вечерта той четеше книга до прозореца и мислеше за "
+               "работата която трябва да завърши до края на седмицата"),
+    }
+    rows = [(i, lang, txt)
+            for i, (lang, txt) in enumerate(sorted(planted.items()))]
+    rows.append((90, "bg", "latin only text here"))  # fallback
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string")
+
+    got = {r.doc_id: (r.lang, r.margin) for r in
+           L.with_langid(df, "doc_id", "text", seeds=L.CYRILLIC_SEEDS,
+                         norm=L.langid_norm_cyrillic).collect()}
+    for i, lang, _ in rows[:3]:
+        assert got[i][0] == lang and got[i][1] > 0, (lang, got[i])
+    assert got[90] == ("bg", 0)
+
+    # routing: default flattens to ru; cyrillic_profiles discriminates
+    cyr_df = spark.createDataFrame(
+        [(1, planted["uk"]), (2, planted["bg"]), (3, planted["ru"])],
+        "doc_id long, text string")
+    flat = {r.doc_id: (r.script, r.lang) for r in
+            L.with_langid_script(cyr_df, "doc_id", "text").collect()}
+    assert flat == {1: ("cyrillic", "ru"), 2: ("cyrillic", "ru"),
+                    3: ("cyrillic", "ru")}
+    prof = {r.doc_id: (r.script, r.lang, r.margin) for r in
+            L.with_langid_script(cyr_df, "doc_id", "text",
+                                 cyrillic_profiles=True).collect()}
+    assert prof[1][:2] == ("cyrillic", "uk") and prof[1][2] > 0
+    assert prof[2][:2] == ("cyrillic", "bg") and prof[2][2] > 0
+    assert prof[3][:2] == ("cyrillic", "ru") and prof[3][2] > 0
+
+
 def test_langid_profile_contract(spark):
     """Seed profiles: one rank sequence 1..n per language, capped at
     LANGID_K, every trigram 3 chars from [a-z ], and all five seed
