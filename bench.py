@@ -506,10 +506,52 @@ def main() -> None:
             shutil.rmtree(cw, ignore_errors=True)
         _release_cached_blocks(spark)
     shutil.rmtree(prior_out, ignore_errors=True)
-    shutil.rmtree(crawl_land, ignore_errors=True)
     all_reps["pipeline_crawl_increment"] = reps
     timings["pipeline_crawl_increment"] = _min_warm(reps)
     cal.tick("pipeline_crawl_increment")
+
+    # Epoch-LEDGER incremental crawl (plans/crawl.py::
+    # run_crawl_increment_epochs): same prior/increment split as
+    # above, but the seen-set is the per-epoch ledger — the increment
+    # probes every live epoch filter with its own persisted m,
+    # exact-verifies against only the hit epochs' digest shards, and
+    # writes ONE new epoch sized at its own new-digest count. The
+    # merged-mode entry above re-hashes the whole corpus per
+    # increment; this entry's write is O(new docs), so the delta
+    # between the two is the merge cost a ledger amortizes away.
+    # Each rep gets a FRESH COPY of the prior ledger (the run
+    # appends an epoch — reps must not see each other's appends).
+    half_land = tempfile.mkdtemp(prefix="mdp_bench_crawl_half_")
+    crawl_plan.synthesize_crawl_shards(spark, sf_dir, half_land,
+                                       replicas=10, shards=8,
+                                       keep_mod=2, keep_rem=0)
+    prior_root = tempfile.mkdtemp(prefix="mdp_bench_crawl_ledg_")
+    prior_boot = tempfile.mkdtemp(prefix="mdp_bench_crawl_boot_")
+    crawl_plan.run_crawl_increment_epochs(spark, half_land, prior_boot,
+                                          seen_root=prior_root)
+    shutil.rmtree(half_land, ignore_errors=True)
+    shutil.rmtree(prior_boot, ignore_errors=True)
+    reps = []
+    for _rep in range(3):
+        if _rep == 2 and reps[0] <= 1.0:
+            break  # third rep only when the entry runs hot (see _min_warm)
+        cw = tempfile.mkdtemp(prefix="mdp_bench_crawl_einc_")
+        ledger = os.path.join(cw, "ledger")
+        shutil.copytree(prior_root, ledger)
+        try:
+            t0 = time.time()
+            crawl_plan.run_crawl_increment_epochs(
+                spark, crawl_land, os.path.join(cw, "wh"),
+                seen_root=ledger)
+            reps.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(cw, ignore_errors=True)
+        _release_cached_blocks(spark)
+    shutil.rmtree(prior_root, ignore_errors=True)
+    shutil.rmtree(crawl_land, ignore_errors=True)
+    all_reps["pipeline_crawl_increment_epochs"] = reps
+    timings["pipeline_crawl_increment_epochs"] = _min_warm(reps)
+    cal.tick("pipeline_crawl_increment_epochs")
     cal.probe()  # closing checkpoint so the last entries have an
     # after-neighbor
     queries_norm = cal.normalize(timings)

@@ -212,6 +212,71 @@ def bloom_epochs_might_contain(probes: DataFrame, eblooms: DataFrame,
             .withColumn("might_contain", F.col("n_epochs_hit") > 0))
 
 
+def bloom_epoch_hit_pairs_sized(probes: DataFrame, eblooms: DataFrame,
+                                col: str = "item",
+                                k: int = BLOOM_K) -> DataFrame:
+    """(col, epoch) pairs where epoch's filter reads full-hit — against
+    epoch filters whose m DIFFERS per epoch (the seen-ledger shape,
+    plans/crawl.py::append_epoch_seen): each crawl increment sizes its
+    own epoch filter at its own new-digest count (bloom_m_for), so
+    probe positions must be recomputed with each epoch's persisted m —
+    probing epoch e with epoch f's m silently loses the
+    zero-false-negative guarantee. ``eblooms`` carries (epoch,
+    word_idx, bits, m); m participates as a per-row COLUMN in the
+    position arithmetic (no collect), while k is structural (the
+    number of affine hash rows) and is uniform across the ledger by
+    contract (BLOOM_K constant columns). The pairs are what epoch-
+    pruned exact verification wants: a candidate only needs checking
+    against the digest shards of the epochs whose filter hit.
+
+    Cost: probes x live-epochs staged rows (epochs are bounded by the
+    retention policy, never by data volume) and a broadcast of
+    sum_e m_e/32 filter rows."""
+    meta = eblooms.select("epoch", "m").dropDuplicates(["epoch"])
+    p = probes.select(col).dropDuplicates([col]) \
+        .withColumn("h", token_hash(F.col(col)))
+    staged = p.crossJoin(F.broadcast(meta))
+    pos = staged.select(
+        col, "epoch",
+        F.explode(F.array(*[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.MINHASH_PRIME)
+             % F.col("m"))
+            for (a, b) in X.minhash_params(k)])).alias("pos"))
+    pw = pos.select(
+        col, "epoch",
+        F.expr(f"pos div {BLOOM_W}").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+               f"CAST(pos % {BLOOM_W} AS INT))").alias("mask"))
+    j = pw.join(F.broadcast(eblooms.select("epoch", "word_idx", "bits")),
+                ["epoch", "word_idx"], "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("mask")) != 0).cast("int")
+    return (j.withColumn("hit", hit)
+            .groupBy(col, "epoch").agg(F.sum("hit").alias("nh"))
+            .filter(F.col("nh") == k)
+            .select(col, "epoch"))
+
+
+def bloom_epochs_might_contain_sized(probes: DataFrame,
+                                     eblooms: DataFrame,
+                                     col: str = "item",
+                                     k: int = BLOOM_K) -> DataFrame:
+    """Membership verdicts (col, n_epochs_hit, might_contain) ORed
+    across epoch filters with PER-EPOCH m (see
+    bloom_epoch_hit_pairs_sized). Zero false negatives holds per
+    epoch with its own m, hence across the union; the fpr is the
+    union bound over the per-epoch formula rates."""
+    pairs = bloom_epoch_hit_pairs_sized(probes, eblooms, col, k)
+    per_item = pairs.groupBy(col).agg(
+        F.count(F.lit(1)).alias("n_epochs_hit"))
+    return (probes.select(col).dropDuplicates([col])
+            .join(per_item, col, "left")
+            .select(col,
+                    F.coalesce("n_epochs_hit", F.lit(0)).cast("long")
+                    .alias("n_epochs_hit"))
+            .withColumn("might_contain", F.col("n_epochs_hit") > 0))
+
+
 def merge_bloom(parts: DataFrame) -> DataFrame:
     """Merge partial filters (any union of (word_idx, bits) frames):
     bitwise OR IS filter union, and it is idempotent — a partial

@@ -403,3 +403,132 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new,
                 stage_hook)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Epoch-ledger incremental crawling: the O(new-docs) increment.
+#
+# run_crawl_increment above is correct but pays an O(total corpus)
+# merge every increment — the merged seen-set re-hashes EVERY digest
+# ever seen into a re-sized Bloom, so increment cost grows with
+# corpus age even when the increment itself is small. The ledger form
+# stores the seen-set the way the r14 rolling-epoch contract says to:
+# one epoch per increment, each holding only THAT increment's
+# genuinely-new digests plus a Bloom filter sized at that count
+# (operators/sketch.py::bloom_m_for), laid out as parquet partitions
+#
+#     seen_root/digests/epoch=N/       (exact side, append-only)
+#     seen_root/bloom_epochs/epoch=N/  (prefilter, persisted m/k/fpr/n)
+#
+# An increment probes ALL live epoch filters in one pass
+# (bloom_epoch_hit_pairs_sized — per-epoch m as a column, positions
+# recomputed per epoch), then exact-verifies candidates against ONLY
+# the digest shards of the epochs whose filter hit (path-level
+# partition pruning: the per-epoch candidate sets are filters on the
+# hit pairs, and each epoch shard is read by its own path). Writes
+# are one new epoch: O(this increment's new digests), independent of
+# corpus age. Retiring old epochs = deleting their two directories.
+# ---------------------------------------------------------------------------
+
+
+def append_epoch_seen(spark: SparkSession, new_digests: DataFrame,
+                      seen_root: str, epoch: int, n: int,
+                      bloom_fpr: float) -> int:
+    """Append ONE epoch to the seen-ledger: digests/epoch=N/ (only
+    this increment's genuinely-new digests — the ledger stays
+    globally distinct because an increment never re-writes a digest
+    an earlier epoch verified) and bloom_epochs/epoch=N/ (the filter
+    sized at this epoch's OWN count, sizing persisted as constant
+    columns). Returns m. O(new digests) — prior epochs are never
+    touched."""
+    from ..operators import sketch as K
+
+    new_digests.select("digest").write.mode("overwrite").parquet(
+        os.path.join(seen_root, "digests", f"epoch={epoch}"))
+    m = K.bloom_m_for(max(int(n), 1), bloom_fpr)
+    (K.bloom_bits(new_digests.select(F.col("digest").alias("item")),
+                  m=m)
+     .select("word_idx", "bits",
+             F.lit(m).cast("int").alias("m"),
+             F.lit(K.BLOOM_K).cast("int").alias("k"),
+             F.lit(float(bloom_fpr)).alias("fpr"),
+             F.lit(int(n)).cast("long").alias("n"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(seen_root, "bloom_epochs", f"epoch={epoch}")))
+    return m
+
+
+def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
+                               out_dir: str, seen_root: str,
+                               keep_langs: tuple[str, ...] = ("en",),
+                               bloom_fpr: float = 0.01,
+                               stage_hook=None) -> list[StageResult]:
+    """Process a crawl increment against the epoch seen-LEDGER at
+    ``seen_root`` (see the block comment above): the front half runs
+    as usual, the seen-filter probes every live epoch filter with its
+    own persisted m and exact-verifies candidates against only the
+    hit epochs' digest shards, the gates run on genuinely-new docs,
+    and the ledger gains exactly one new epoch. Bootstrap: an empty
+    ``seen_root`` means nothing was ever seen — everything is new and
+    the ledger starts at epoch 0.
+
+    Cross-increment identity is CONTENT (digest), first-increment-
+    wins, exactly as run_crawl_increment — the parity test pins both
+    modes to the same from-scratch digest sets. The difference is
+    purely cost shape: merged mode re-hashes the whole corpus per
+    increment; ledger mode writes O(new) and reads O(candidate
+    epochs), so increment cost no longer grows with corpus age."""
+    from ..operators import sketch as K
+
+    results: list[StageResult] = []
+    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook)
+    deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
+
+    bloom_root = os.path.join(seen_root, "bloom_epochs")
+    t0 = time.time()
+    epochs: list[int] = []
+    if os.path.isdir(bloom_root):
+        eblooms = spark.read.parquet(bloom_root)
+        epochs = sorted(int(r["epoch"]) for r in
+                        eblooms.select("epoch").dropDuplicates().collect())
+    if epochs:
+        pairs = K.bloom_epoch_hit_pairs_sized(
+            deduped.select(F.col("digest").alias("item")), eblooms) \
+            .select(F.col("item").alias("digest"), "epoch")
+        # exact verification, epoch-pruned: candidates for epoch e
+        # only ever join e's digest shard (read by path — explicit
+        # partition pruning; the union is one lazy plan, not a job
+        # per epoch). The Bloom's fpr makes this join mandatory.
+        verified = None
+        for e in epochs:
+            shard = spark.read.parquet(
+                os.path.join(seen_root, "digests", f"epoch={e}"))
+            v = pairs.filter(F.col("epoch") == e).select("digest") \
+                .join(shard, "digest", "left_semi")
+            verified = v if verified is None else verified.unionByName(v)
+        # a digest lives in exactly one epoch (the ledger invariant),
+        # so the union is already distinct
+        new_docs = deduped.join(verified, "digest", "left_anti")
+    else:
+        new_docs = deduped
+    new_docs.write.mode("overwrite") \
+        .parquet(os.path.join(out_dir, "new_docs"))
+    n_new = spark.read.parquet(os.path.join(out_dir, "new_docs")).count()
+    results.append(StageResult("seen_filter", n, n_new,
+                               round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("seen_filter")
+    new_docs = spark.read.parquet(os.path.join(out_dir, "new_docs"))
+
+    t0 = time.time()
+    next_epoch = (max(epochs) + 1) if epochs else 0
+    m = append_epoch_seen(spark, new_docs, seen_root, next_epoch,
+                          n_new, bloom_fpr)
+    results.append(StageResult("epoch_append", n_new, m,
+                               round(time.time() - t0, 2)))
+    if stage_hook is not None:
+        stage_hook("epoch_append")
+
+    _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new,
+                stage_hook)
+    return results

@@ -5063,6 +5063,134 @@ def bloom_rolling_epochs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — PER-EPOCH-SIZED Bloom probe (the epoch seen-LEDGER's arithmetic,
+# plans/crawl.py::run_crawl_increment_epochs): bloom_rolling_epochs
+# proves the cross-epoch OR at one shared m, but a real ledger sizes
+# EACH increment's epoch filter at that increment's own new-digest
+# count — so the live epochs have DIFFERENT m, and a probe must
+# recompute its bit positions per epoch with that epoch's persisted m
+# (probing epoch e with epoch f's m silently loses zero false
+# negatives). Here the corpus digests land in 3 epochs whose filters
+# are sized at three different design capacities; every verdict
+# (present digests + 200 absent probes) is hash-matched, proving the
+# per-epoch-m position arithmetic and the OR across heterogeneous
+# filters are oracle-stable.
+# ---------------------------------------------------------------------------
+
+#: per-epoch design capacities — deliberately different so the three
+#: epoch filters get three different m (the ledger's real shape)
+_SE_CAPS = (512, 1024, 2048)
+_SE_MS = tuple(_bloom_m_for(c, _BE_FPR) for c in _SE_CAPS)
+
+
+def _bloom_sized_epochs_oracle() -> str:
+    params = X.minhash_params(_BLOOM_K)
+    hh = "CAST('0x' || substr(md5(item), 1, 8) AS BIGINT)"
+
+    def poss(m: int) -> str:
+        return ", ".join(
+            f"(({a} * h + {b}) % {X.MINHASH_PRIME}) % {m} AS p{j}"
+            for j, (a, b) in enumerate(params))
+
+    def unpiv(src: str, extra: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {extra}, item, p{j} AS pos FROM {src}"
+            for j in range(_BLOOM_K))
+
+    per_epoch = []
+    for e, m in enumerate(_SE_MS):
+        per_epoch.append(f"""estaged{e} AS (
+    SELECT item, {poss(m)}
+    FROM (SELECT item, {hh} AS h FROM present WHERE epoch = {e})
+), ebloom{e} AS (
+    SELECT pos // {_BLOOM_W} AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INT)) AS bits
+    FROM ({unpiv(f'estaged{e}', f'{e} AS epoch')})
+    GROUP BY pos // {_BLOOM_W}
+), pstaged{e} AS (
+    SELECT label, item, {poss(m)}
+    FROM (SELECT label, item, {hh} AS h FROM probes)
+), ehits{e} AS (
+    SELECT item, SUM(CASE WHEN (coalesce(b.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_W} AS INT)))
+               <> 0 THEN 1 ELSE 0 END) AS nh
+    FROM ({unpiv(f'pstaged{e}', 'label')}) p
+    LEFT JOIN ebloom{e} b ON b.word_idx = p.pos // {_BLOOM_W}
+    GROUP BY item
+)""")
+    hits_union = " UNION ALL ".join(
+        f"SELECT item, {e} AS epoch FROM ehits{e} WHERE nh = {_BLOOM_K}"
+        for e in range(len(_SE_MS)))
+    return f"""
+WITH present AS (
+    SELECT md5(text) AS item,
+           CAST(MIN(doc_id) % {len(_SE_MS)} AS INT) AS epoch
+    FROM documents GROUP BY md5(text)
+), probes AS (
+    SELECT 'present' AS label, item FROM present
+    UNION ALL
+    SELECT DISTINCT 'absent', md5('absent:' || CAST(i AS VARCHAR))
+    FROM (SELECT unnest(range(0, {_BLOOM_ABSENT})) AS i)
+), {', '.join(per_epoch)},
+per_item AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_epochs_hit
+    FROM ({hits_union}) GROUP BY item
+)
+SELECT label, p.item,
+       COALESCE(n_epochs_hit, 0) AS n_epochs_hit,
+       COALESCE(n_epochs_hit, 0) > 0 AS might_contain,
+       (label = 'present' AND COALESCE(n_epochs_hit, 0) = 0)
+           AS fn_violation
+FROM probes p LEFT JOIN per_item USING (item)
+"""
+
+
+@register("bloom_sized_epochs", oracle=_bloom_sized_epochs_oracle())
+def bloom_sized_epochs(spark, sf_dir):
+    """Cross-epoch Bloom membership where each epoch filter has its
+    OWN m (sized at design capacities 512/1024/2048 by the production
+    formula): corpus digests land in 3 epochs (min doc_id mod 3),
+    probes (every present digest + 200 absent) recompute positions
+    per epoch with that epoch's m — the epoch seen-ledger's exact
+    arithmetic (plans/crawl.py::run_crawl_increment_epochs reads m
+    from each epoch's persisted sizing columns and probes all live
+    epochs in one pass; operators/sketch.py::
+    bloom_epoch_hit_pairs_sized). fn_violation is provably all-false:
+    a present digest always full-hits its OWN epoch's filter
+    regardless of the other epochs' m. At 100 TB: the filter side is
+    sum_e m_e/32 rows broadcast, probe staging is new-digests x
+    live-epochs (epochs bounded by retention, not data), and an
+    increment's write is one new epoch — O(new), not O(corpus)."""
+    from ..operators import sketch as K
+
+    present = (td(spark, sf_dir)
+               .groupBy(F.md5(F.col("text")).alias("item"))
+               .agg((F.min("doc_id") % len(_SE_MS)).cast("int")
+                    .alias("epoch")))
+    absent = spark.range(_BLOOM_ABSENT).select(
+        F.lit("absent").alias("label"),
+        F.md5(F.concat(F.lit("absent:"), F.col("id").cast("string")))
+        .alias("item")).dropDuplicates(["item"])
+    probes = present.select(F.lit("present").alias("label"), "item") \
+        .unionByName(absent)
+
+    eblooms = None
+    for e, m_e in enumerate(_SE_MS):
+        b = (K.bloom_bits(present.filter(F.col("epoch") == e)
+                          .select("item"), m=m_e)
+             .select(F.lit(e).cast("int").alias("epoch"),
+                     "word_idx", "bits",
+                     F.lit(m_e).cast("int").alias("m")))
+        eblooms = b if eblooms is None else eblooms.unionByName(b)
+    out = K.bloom_epochs_might_contain_sized(probes.select("item"),
+                                             eblooms)
+    return (out.join(probes, "item")
+            .select("label", "item", "n_epochs_hit", "might_contain",
+                    ((F.col("label") == "present")
+                     & ~F.col("might_contain")).alias("fn_violation")))
+
+
+# ---------------------------------------------------------------------------
 # q — language identification (functions/langid.py, Cavnar-Trenkle
 # 1994 trigram rank profiles): the one canonical corpus-prep stage
 # the crawl tier still lacked (VERDICT r13 #2) — real pipelines

@@ -567,6 +567,93 @@ def test_crawl_increment_parity(spark, tmp_path):
         corpus_digests(out_full)
 
 
+def test_crawl_increment_epochs_parity(spark, tmp_path):
+    """plans/crawl.py::run_crawl_increment_epochs — the O(new-docs)
+    epoch-LEDGER increment must agree with both the merged-mode
+    increment and a from-scratch run on A∪B, while writing only one
+    new epoch per increment: epoch 0 holds exactly A's deduped
+    digests, epoch 1 exactly B's genuinely-new ones, each Bloom sized
+    at ITS OWN count (different m across epochs — the arithmetic the
+    gated bloom_sized_epochs query hash-pins), and probing the ledger
+    never false-negatives a seen digest."""
+    import json as J
+
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.operators import sketch as K
+    from medallion_data_pipeline_spark.plans import crawl as C
+    from medallion_data_pipeline_spark.sources.testdata import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter(F.col("text").isNotNull())
+            .orderBy("doc_id").limit(20)
+            .select("doc_id", "source", "text").collect())
+
+    def line(rid, d):
+        html = (f"<html><head><title>Doc {d.doc_id}</title></head>"
+                f"<body><h1>Heading</h1><p>{d.text}</p>"
+                f"<a href=\"/next\">next</a></body></html>")
+        url = f"http://{d.source}.example.com/doc/{d.doc_id}"
+        return J.dumps({"doc_id": rid, "url": url, "html": html})
+
+    a_lines = [line(i, d) for i, d in enumerate(docs[:12])]
+    b_lines = [line(100_000 + i, d) for i, d in enumerate(docs[6:])]
+    for name, lines in [("eland_a", a_lines), ("eland_b", b_lines),
+                        ("eland_full", a_lines + b_lines)]:
+        p = tmp_path / name
+        p.mkdir()
+        (p / "part0.jsonl").write_text("\n".join(lines) + "\n")
+
+    ledger = str(tmp_path / "seen_ledger")
+    out_a, out_b, out_full = (str(tmp_path / x)
+                              for x in ("ewh_a", "ewh_b", "ewh_full"))
+    res_a = C.run_crawl_increment_epochs(
+        spark, str(tmp_path / "eland_a"), out_a, seen_root=ledger)
+    res_b = C.run_crawl_increment_epochs(
+        spark, str(tmp_path / "eland_b"), out_b, seen_root=ledger)
+    C.run_crawl_pipeline(spark, str(tmp_path / "eland_full"), out_full)
+
+    # bootstrap: everything new, epoch 0 holds A's 12 deduped digests
+    st_a = {r.stage: r for r in res_a}
+    assert st_a["seen_filter"].rows_out == 12
+    # increment: B's 14 distinct texts, A's 6 already-seen drop
+    st_b = {r.stage: r for r in res_b}
+    assert st_b["dedup"].rows_out == 14
+    assert st_b["seen_filter"].rows_out == 8
+
+    # the ledger: two epochs, disjoint digest shards, per-epoch sizing
+    ldg = spark.read.parquet(f"{ledger}/digests")
+    per_epoch = {int(r["epoch"]): r["cnt"] for r in
+                 ldg.groupBy("epoch").agg(F.count(F.lit(1)).alias("cnt"))
+                 .collect()}
+    assert per_epoch == {0: 12, 1: 8}
+    eblooms = spark.read.parquet(f"{ledger}/bloom_epochs")
+    meta = {int(r["epoch"]): r for r in
+            eblooms.select("epoch", "m", "k", "n").distinct().collect()}
+    assert meta[0]["m"] == K.bloom_m_for(12, 0.01)
+    assert meta[1]["m"] == K.bloom_m_for(8, 0.01)
+    assert meta[0]["m"] != meta[1]["m"]  # heterogeneous m is the point
+
+    # ledger union == from-scratch seen set; zero false negatives:
+    # every ledger digest full-hits its OWN epoch's filter
+    ledger_digests = {r.digest for r in ldg.select("digest").collect()}
+    scratch = {r.digest for r in spark.read.parquet(
+        f"{out_full}/seen_digests").collect()}
+    assert ledger_digests == scratch
+    pairs = {(r.item, int(r.epoch)) for r in K.bloom_epoch_hit_pairs_sized(
+        ldg.select(F.col("digest").alias("item")), eblooms).collect()}
+    for r in ldg.collect():
+        assert (r.digest, int(r.epoch)) in pairs
+
+    # corpus parity across all three runs
+    def corpus_digests(out):
+        return {r.digest for r in spark.read.parquet(f"{out}/corpus")
+                .select("digest").collect()}
+
+    assert corpus_digests(out_a) | corpus_digests(out_b) == \
+        corpus_digests(out_full)
+
+
 def test_session_excludes_infer_filters_from_generate(spark):
     """The engine session must exclude InferFiltersFromGenerate: its
     inferred size(arr) > 0 filter re-substitutes a computed array
