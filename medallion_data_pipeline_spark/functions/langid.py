@@ -208,7 +208,8 @@ def with_script(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def with_langid_script(df: DataFrame, id_col: str, text_col: str,
                        k: int = LANGID_K,
-                       cyrillic_profiles: bool = False) -> DataFrame:
+                       cyrillic_profiles: bool = False,
+                       arabic_profiles: bool = False) -> DataFrame:
     """(id_col, script, lang, dist, margin): script-aware language
     identification (VERDICT r14 #1 — the trigram profiles normalize
     to [a-z ], so non-Latin text used to take the no-trigram fallback
@@ -224,6 +225,9 @@ def with_langid_script(df: DataFrame, id_col: str, text_col: str,
     script histogram alone cannot separate languages sharing a
     script) instead of the flat cyrillic->ru map; their dist/margin
     are then trigram quantities like the Latin branch's.
+    ``arabic_profiles=True`` does the same for Arabic-dominant rows
+    through ARABIC_SEEDS (ar/fa/ur) instead of the flat arabic->ar
+    map.
 
     Scale shape: the script stage is scan-local named-column
     expressions; the per-script branches are FILTERS on those columns
@@ -242,6 +246,8 @@ def with_langid_script(df: DataFrame, id_col: str, text_col: str,
     non_scripts = F.col("script") != "latin"
     if cyrillic_profiles:
         non_scripts = non_scripts & (F.col("script") != "cyrillic")
+    if arabic_profiles:
+        non_scripts = non_scripts & (F.col("script") != "arabic")
     non = (staged.filter(non_scripts)
            .select(id_col, "script", script_lang_expr().alias("lang"),
                    F.lit(0).cast("long").alias("dist"),
@@ -261,6 +267,15 @@ def with_langid_script(df: DataFrame, id_col: str, text_col: str,
             .select(id_col, F.lit("cyrillic").alias("script"),
                     "lang", "dist", "margin")
         out = out.unionByName(cyr_out)
+    if arabic_profiles:
+        ara = staged.filter(F.col("script") == "arabic") \
+            .select(id_col, text_col)
+        ara_out = with_langid(ara, id_col, text_col, k,
+                              seeds=ARABIC_SEEDS,
+                              norm=langid_norm_arabic) \
+            .select(id_col, F.lit("arabic").alias("script"),
+                    "lang", "dist", "margin")
+        out = out.unionByName(ara_out)
     return out
 
 
@@ -305,6 +320,47 @@ CYRILLIC_SEEDS: dict[str, str] = {
 }
 
 
+#: Arabic-script seed paragraphs — ar/fa/ur discrimination within the
+#: Arabic script (the script histogram can only say "arabic"; Persian
+#: and Urdu share the base alphabet but add their own letters and very
+#: different function-word trigrams). Same authoring rules as
+#: LANG_SEEDS: plain paragraphs written for this module, no
+#: apostrophes (Arabic-script text has none), no ZWNJ (the Persian
+#: half-space is written as a plain space so normalization is pure
+#: keep-class stripping).
+ARABIC_SEEDS: dict[str, str] = {
+    "ar": (
+        "الثعلب البني السريع يقفز فوق الكلب الكسول وقال الناس انهم "
+        "سياتون الى البيت مع اصدقائهم لانه كان يوما جيدا للجميع وهذا "
+        "ما نعرفه عن الاشياء التي تحدث عندما يدور العالم ويجري الماء "
+        "في النهر الى البحر بينما يلعب الاطفال في الحديقة ويقرا الرجل "
+        "العجوز كتابه تحت الشجرة وهو يفكر في السنين التي مضت وفي "
+        "العمل الذي ما زال يجب ان ينجز قبل ان ياتي الليل ويعود كل شيء "
+        "هادئا في البلدة الصغيرة حيث لا يتغير شيء كثيرا من يوم الى اخر"),
+    "fa": (
+        "روباه قهوه ای تند از روی سگ تنبل می پرد و مردم گفتند که با "
+        "دوستان خود به خانه خواهند امد چون روز خوبی برای همه بود و "
+        "این چیزی است که ما درباره چیزهایی می دانیم که رخ می دهند "
+        "وقتی جهان می چرخد و اب در رودخانه به سوی دریا می رود در "
+        "حالی که کودکان در باغ بازی می کنند و پیرمرد کتاب خود را زیر "
+        "درخت می خواند و به سال هایی که گذشته اند و به کاری که هنوز "
+        "باید انجام شود فکر می کند پیش از ان که شب بیاید و همه چیز "
+        "دوباره در شهر کوچکی که هیچ چیز در ان از روزی به روز دیگر "
+        "تغییر نمی کند ارام شود"),
+    "ur": (
+        "تیز بھوری لومڑی سست کتے کے اوپر چھلانگ لگاتی ہے اور لوگوں "
+        "نے کہا کہ وہ اپنے دوستوں کے ساتھ گھر ائیں گے کیونکہ یہ سب "
+        "کے لیے اچھا دن تھا اور یہ وہ ہے جو ہم ان چیزوں کے بارے میں "
+        "جانتے ہیں جو اس وقت ہوتی ہیں جب دنیا گھومتی ہے اور پانی "
+        "دریا میں بہتا ہوا سمندر کی طرف جاتا ہے جب کہ بچے باغ میں "
+        "کھیلتے ہیں اور بوڑھا ادمی درخت کے نیچے اپنی کتاب پڑھتا ہے "
+        "اور ان سالوں کے بارے میں سوچتا ہے جو گزر گئے اور اس کام کے "
+        "بارے میں جو ابھی کرنا باقی ہے اس سے پہلے کہ رات اجائے اور "
+        "سب کچھ پھر اس چھوٹے شہر میں خاموش ہو جائے جہاں کچھ بھی ایک "
+        "دن سے دوسرے دن تک زیادہ نہیں بدلتا"),
+}
+
+
 def langid_norm(col: Column) -> Column:
     """lowercase -> strip to [a-z ] -> collapse runs -> trim: the
     canonical form both profiles and documents are trigrammed from.
@@ -338,6 +394,31 @@ def langid_norm_cyrillic_sql(col: str) -> str:
     """DuckDB dual of langid_norm_cyrillic."""
     return (f"trim(regexp_replace(regexp_replace(lower({col}), "
             f"'[^{_CYR_KEEP} ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+#: the Arabic keep-class: ء-ي covers the base Arabic letters
+#: (U+0621-064A incl. hamza/alef forms); the extras are the Persian
+#: letters (پ چ ژ گ), the shared Perso-Urdu ک/ی, and the Urdu set
+#: (ٹ ڈ ڑ ں ھ ہ ے) — presence/absence of these letters is itself a
+#: strong ar/fa/ur signal, on top of the function-word trigrams.
+#: Harakat (U+064B-0652), tatweel, and Arabic-Indic digits all fall
+#: outside the class and strip. Arabic script has no case, so lower()
+#: is identity in both engines (kept for symmetry with the other
+#: normalizers).
+_AR_KEEP = "ء-يپچژگکٹڈڑںھہیے"
+
+
+def langid_norm_arabic(col: Column) -> Column:
+    """Arabic dual of langid_norm: lowercase (identity) -> strip to
+    the Arabic keep-class -> collapse runs -> trim."""
+    s = F.regexp_replace(F.lower(col), f"[^{_AR_KEEP} ]", " ")
+    return F.trim(F.regexp_replace(s, " +", " "))
+
+
+def langid_norm_arabic_sql(col: str) -> str:
+    """DuckDB dual of langid_norm_arabic."""
+    return (f"trim(regexp_replace(regexp_replace(lower({col}), "
+            f"'[^{_AR_KEEP} ]', ' ', 'g'), ' +', ' ', 'g'))")
 
 
 def trigram_array(col: Column) -> Column:

@@ -5495,6 +5495,81 @@ def langid_cyrillic(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — within-ARABIC-script discrimination (ar/fa/ur), the langid_cyrillic
+# pattern instantiated on the second-largest non-Latin web script:
+# Persian and Urdu share the Arabic base alphabet, so the script
+# histogram alone flattens a third of a real crawl's Arabic-script
+# documents to 'ar'. The ARABIC_SEEDS profiles separate them by
+# function-word trigrams plus the letters only fa (پ چ ژ گ) or ur
+# (ٹ ڈ ڑ ں ھ ہ ے) use — all inside the integer-exact Cavnar-Trenkle
+# machinery, so the hash gate has no float risk.
+# ---------------------------------------------------------------------------
+
+#: held-out Arabic-script sentences (NOT from the seed paragraphs; no
+#: apostrophes or ZWNJ so the literals embed in oracle SQL unescaped)
+_AR_SAMPLES = {
+    "ar": ("في الصباح مشت في الشارع واشترت الخبز والحليب من الدكان "
+           "ثم عادت الى البيت لتعد الفطور لعائلتها"),
+    "fa": ("صبح او در خیابان راه می رفت و نان و شیر را از مغازه "
+           "خرید و سپس به خانه برگشت تا برای خانواده خود صبحانه "
+           "اماده کند"),
+    "ur": ("صبح وہ گلی میں چل رہی تھی اور اس نے دکان سے روٹی اور "
+           "دودھ خریدا اور پھر اپنے گھر واپس ائی تاکہ اپنے خاندان "
+           "کے لیے ناشتہ تیار کرے"),
+}
+
+
+def _langid_arabic_oracle() -> str:
+    from ..functions import langid as L
+
+    whens = "\n".join(
+        f"           WHEN {i} THEN '{_AR_SAMPLES[lng]}'"
+        for i, lng in enumerate(sorted(_AR_SAMPLES), start=1))
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+{whens}
+           ELSE text END AS text
+    FROM documents
+),
+{_langid_profile_ctes(L.ARABIC_SEEDS, L.langid_norm_arabic_sql)},
+dnorm AS MATERIALIZED (
+    SELECT doc_id, {L.langid_norm_arabic_sql('text')} AS s FROM raw
+),
+{_langid_score_ctes(L.ARABIC_SEEDS)}
+SELECT doc_id, lang, dist, margin FROM triout
+"""
+
+
+@register("langid_arabic", oracle=_langid_arabic_oracle())
+def langid_arabic(spark, sf_dir):
+    """ar/fa/ur discrimination within the Arabic script: held-out
+    Arabic/Persian/Urdu sentences planted on doc_id % 4 (family 0
+    keeps the original Latin text — near-empty under the Arabic
+    normalization, so it pins the documented no-trigram fallback =
+    first language alphabetically, ar), classified by Cavnar-Trenkle
+    profiles derived in-plan from the ARABIC_SEEDS literals. Same
+    plan shape as langid_confidence/langid_cyrillic — the profile
+    machinery is seed-set-parameterized, so the third script family
+    again costs one dict + one keep-class. with_langid_script(...,
+    arabic_profiles=True) routes Arabic-dominant rows here instead
+    of the flat arabic->ar map."""
+    from ..functions import langid as L
+
+    fam = F.col("doc_id") % 4
+    plant = F.lit(None).cast("string")
+    for i, lng in enumerate(sorted(_AR_SAMPLES), start=1):
+        plant = F.when(fam == i, F.lit(_AR_SAMPLES[lng])) \
+            if i == 1 else plant.when(fam == i, F.lit(_AR_SAMPLES[lng]))
+    plant = plant.otherwise(F.col("text"))
+    d = td(spark, sf_dir).select("doc_id", plant.alias("text"))
+    return L.with_langid(d, "doc_id", "text",
+                         seeds=L.ARABIC_SEEDS,
+                         norm=L.langid_norm_arabic)
+
+
+# ---------------------------------------------------------------------------
 # q — HTML -> text extraction (functions/html.py): the step between a
 # crawl shard and the text-quality/dedup tier. The corpus has no HTML
 # column, so the query wraps each document's text in a deterministic

@@ -1684,6 +1684,68 @@ def test_langid_cyrillic_profiles_and_routing(spark):
     assert prof[3][:2] == ("cyrillic", "ru") and prof[3][2] > 0
 
 
+def test_langid_arabic_profiles_and_routing(spark):
+    """functions/langid.py ARABIC_SEEDS tier: held-out ar/fa/ur
+    sentences (NOT the seed paragraphs) classify to their language
+    with positive margin under with_langid(seeds=ARABIC_SEEDS,
+    norm=langid_norm_arabic); with_langid_script's
+    arabic_profiles=True routes Arabic-dominant rows through those
+    profiles (fa/ur no longer flattened to ar) while the default
+    keeps the flat map; Latin text under the Arabic normalization
+    takes the documented fallback (first language alphabetically =
+    ar, 0, 0)."""
+    from medallion_data_pipeline_spark.functions import langid as L
+
+    planted = {
+        "ar": ("في المساء كان يقرا كتابا بجانب النافذة ويفكر في "
+               "العمل الذي يجب ان ينتهي قبل نهاية الاسبوع"),
+        "fa": ("در شب او کتابی را کنار پنجره می خواند و به کاری فکر "
+               "می کرد که باید تا پایان هفته تمام شود"),
+        "ur": ("شام کو وہ کھڑکی کے پاس کتاب پڑھ رہا تھا اور اس کام "
+               "کے بارے میں سوچ رہا تھا جو ہفتے کے اخر تک ختم ہونا "
+               "چاہیے"),
+    }
+    rows = [(i, lang, txt)
+            for i, (lang, txt) in enumerate(sorted(planted.items()))]
+    rows.append((90, "ar", "latin only text here"))  # fallback
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string")
+
+    got = {r.doc_id: (r.lang, r.margin) for r in
+           L.with_langid(df, "doc_id", "text", seeds=L.ARABIC_SEEDS,
+                         norm=L.langid_norm_arabic).collect()}
+    for i, lang, _ in rows[:3]:
+        assert got[i][0] == lang and got[i][1] > 0, (lang, got[i])
+    assert got[90] == ("ar", 0)
+
+    # routing: default flattens to ar; arabic_profiles discriminates
+    ara_df = spark.createDataFrame(
+        [(1, planted["fa"]), (2, planted["ur"]), (3, planted["ar"])],
+        "doc_id long, text string")
+    flat = {r.doc_id: (r.script, r.lang) for r in
+            L.with_langid_script(ara_df, "doc_id", "text").collect()}
+    assert flat == {1: ("arabic", "ar"), 2: ("arabic", "ar"),
+                    3: ("arabic", "ar")}
+    prof = {r.doc_id: (r.script, r.lang, r.margin) for r in
+            L.with_langid_script(ara_df, "doc_id", "text",
+                                 arabic_profiles=True).collect()}
+    assert prof[1][:2] == ("arabic", "fa") and prof[1][2] > 0
+    assert prof[2][:2] == ("arabic", "ur") and prof[2][2] > 0
+    assert prof[3][:2] == ("arabic", "ar") and prof[3][2] > 0
+
+    # both per-script routes compose in one call
+    both_df = spark.createDataFrame(
+        [(1, planted["fa"]),
+         (2, "вечером он читал книгу возле окна и думал о работе "
+             "которую нужно закончить до конца недели")],
+        "doc_id long, text string")
+    both = {r.doc_id: (r.script, r.lang) for r in
+            L.with_langid_script(both_df, "doc_id", "text",
+                                 cyrillic_profiles=True,
+                                 arabic_profiles=True).collect()}
+    assert both == {1: ("arabic", "fa"), 2: ("cyrillic", "ru")}
+
+
 def test_langid_profile_contract(spark):
     """Seed profiles: one rank sequence 1..n per language, capped at
     LANGID_K, every trigram 3 chars from [a-z ], and all five seed
