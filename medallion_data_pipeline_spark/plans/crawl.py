@@ -264,11 +264,25 @@ def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
                 results: list[StageResult], n: int,
                 stage_hook=None) -> int:
     """The shared back half — script-aware langid gate + quality
-    gate; lands langpass/ corpus/."""
+    gate; lands langpass/ corpus/.
+
+    Within-script profile routing is derived from ``keep_langs``: the
+    flat script->language maps can only ever say ru for Cyrillic and
+    ar for Arabic script, so asking to keep uk/bg (or fa/ur) without
+    the trigram profiles would silently keep NOTHING — if keep_langs
+    names such a language, the matching per-script profile route
+    turns on (ru/ar stay reachable either way; under profile routing
+    a too-short-to-trigram doc falls back to the family's first
+    language with margin 0 and is gated out, where the flat map would
+    have kept it on script evidence alone — the price of asking for
+    within-script discrimination)."""
     from ..functions import langid as LG
 
     t0 = time.time()
-    lang = LG.with_langid_script(docs, "doc_id", "text")
+    lang = LG.with_langid_script(
+        docs, "doc_id", "text",
+        cyrillic_profiles=bool(set(keep_langs) & {"uk", "bg"}),
+        arabic_profiles=bool(set(keep_langs) & {"fa", "ur"}))
     kept = docs.join(
         lang.filter(F.col("lang").isin(list(keep_langs))
                     & (F.col("margin") > 0)).select("doc_id"),

@@ -567,6 +567,48 @@ def test_crawl_increment_parity(spark, tmp_path):
         corpus_digests(out_full)
 
 
+def test_crawl_langid_gate_profile_routing(spark, tmp_path):
+    """plans/crawl.py::_crawl_back derives within-script profile
+    routing from keep_langs: asking for Urdu turns the ARABIC_SEEDS
+    route on, so a ur document survives the gate (the flat map would
+    have labeled it ar and dropped it) while a PERSIAN document is
+    discriminated within the same script and dropped — the composed
+    pipeline, not just the langid function, honors
+    keep_langs=('en', 'ur')."""
+    import json as J
+
+    from medallion_data_pipeline_spark.plans import crawl as C
+
+    texts = {
+        1: ("the people said that they would come to the house with "
+            "their friends because it was a good day for everyone "
+            "there and the children play in the garden"),
+        2: ("شام کو وہ کھڑکی کے پاس کتاب پڑھ رہا تھا اور اس کام کے "
+            "بارے میں سوچ رہا تھا جو ہفتے کے اخر تک ختم ہونا چاہیے "
+            "اور لوگوں نے کہا کہ وہ اپنے دوستوں کے ساتھ گھر ائیں گے"),
+        3: ("در شب او کتابی را کنار پنجره می خواند و به کاری فکر می "
+            "کرد که باید تا پایان هفته تمام شود و مردم گفتند که با "
+            "دوستان خود به خانه خواهند امد"),
+    }
+    lines = []
+    for i, txt in sorted(texts.items()):
+        html = (f"<html><head><title>Doc {i}</title></head>"
+                f"<body><h1>Heading</h1><p>{txt}</p></body></html>")
+        lines.append(J.dumps({"doc_id": i,
+                              "url": f"http://s{i}.example.com/doc/{i}",
+                              "html": html}))
+    land = tmp_path / "rland"
+    land.mkdir()
+    (land / "part0.jsonl").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "rwh")
+    C.run_crawl_pipeline(spark, str(land), out,
+                         keep_langs=("en", "ur"))
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/langpass")
+            .select("doc_id").collect()}
+    assert kept == {1, 2}
+
+
 def test_crawl_increment_epochs_parity(spark, tmp_path):
     """plans/crawl.py::run_crawl_increment_epochs — the O(new-docs)
     epoch-LEDGER increment must agree with both the merged-mode
