@@ -8,6 +8,8 @@ number rather than a sum of query walls.
     landing JSONL -> permissive ingest (corrupt-line capture)
         -> HTML extraction (title / text / links)
         -> URL canonicalization (+ host identity)
+        -> robots.txt politeness gate (functions/robots.py, RFC 9309;
+           optional — pass robots_dir)
         -> frontier blocklist filter (rule table, lowest rule wins)
         -> dedup: canonical-URL keep-lowest, then content-digest
            keep-lowest; the surviving digests also build the
@@ -23,8 +25,8 @@ verified semantics; this module adds layering, writes, and stats.
 All stages are deterministic — re-running on the same landing dir
 reproduces byte-identical layers.
 
-Landed layers: bronze/ rejects/ extracted/ admitted/ deduped/
-bloom_seen/ seen_digests/ langpass/ corpus/.
+Landed layers: bronze/ rejects/ extracted/ [robotspass/] admitted/
+deduped/ bloom_seen/ seen_digests/ langpass/ corpus/.
 
 Incremental crawling (VERDICT r14 #2): run_crawl_increment takes a
 NEW landing directory plus the PRIOR run's out_dir, probes the prior
@@ -38,6 +40,16 @@ langid/quality gates, and writes the MERGED seen-set for increment
 N+1. The Bloom prefilter is what scales: new documents mostly probe
 false and never enter the prior-digest join — its left side is
 ~(true dupes + fpr x new), not the increment.
+
+The merged seen-set is O(corpus) to rewrite per increment, so for a
+LONG-LIVED crawl run run_crawl_increment_epochs instead: the seen-set
+becomes an append-only epoch LEDGER (seen_root/digests/epoch=N +
+seen_root/bloom_epochs/epoch=N, one epoch per increment, each Bloom
+sized at that increment's own new-digest count), probing ORs across
+all live epoch filters with each epoch's persisted m, verification
+touches only the hit epochs' digest shards, and an increment's write
+is O(new docs) regardless of corpus age (measured:
+tools/scale_crawl_ledger.py, SCALING.md addendum 17).
 
 Scale shape: ingest/extract/canonicalize/frontier are scan-local
 expressions (the rules side broadcasts); both dedup stages are
@@ -213,10 +225,18 @@ def write_seen_set(spark: SparkSession, deduped: DataFrame,
 
 def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
                  results: list[StageResult],
-                 stage_hook=None) -> int:
+                 stage_hook=None, robots_dir: str | None = None,
+                 robots_agent: str = "sparkbot") -> int:
     """The shared front half — ingest through within-run dedup; lands
     bronze/ rejects/ extracted/ admitted/ deduped/ and appends stage
-    stats. Returns the deduped count."""
+    stats. Returns the deduped count.
+
+    ``robots_dir`` (optional) points at a parquet of per-host
+    robots.txt bodies (host, robots_txt); when given, an RFC 9309
+    politeness gate (functions/robots.py) runs between
+    canonicalization and the frontier blocklist — URLs a host's
+    robots disallows for ``robots_agent`` are dropped and the stage
+    is audited like any other (lands robotspass/)."""
     from ..functions.html import with_html_extraction
     from ..functions.urls import with_canonical_url
     from ..sources.jsonl import read_jsonl, split_rejects
@@ -245,8 +265,22 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
     n = _stage("html_extract", n, extracted, "extracted", t0)
     extracted = spark.read.parquet(os.path.join(out_dir, "extracted"))
 
+    canon = with_canonical_url(extracted, "url")
+    if robots_dir is not None:
+        from ..functions.robots import with_robots_decision
+
+        t0 = time.time()
+        robots = spark.read.parquet(robots_dir)
+        verdicts = with_robots_decision(canon, robots,
+                                        agent=robots_agent)
+        canon = canon.join(
+            verdicts.filter(F.col("allowed")).select("doc_id"),
+            "doc_id", "left_semi")
+        n = _stage("robots_gate", n, canon, "robotspass", t0)
+        canon = spark.read.parquet(os.path.join(out_dir, "robotspass"))
+
     t0 = time.time()
-    admitted = frontier_admit(with_canonical_url(extracted, "url"))
+    admitted = frontier_admit(canon)
     n = _stage("canonicalize_frontier", n, admitted, "admitted", t0)
     admitted = spark.read.parquet(os.path.join(out_dir, "admitted"))
 
@@ -309,7 +343,9 @@ def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
 def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
                        out_dir: str, keep_langs: tuple[str, ...] = ("en",),
                        bloom_fpr: float = 0.01,
-                       stage_hook=None) -> list[StageResult]:
+                       stage_hook=None,
+                       robots_dir: str | None = None,
+                       robots_agent: str = "sparkbot") -> list[StageResult]:
     """Run the crawl tier end-to-end over ``landing_dir``'s JSONL
     shards and land the layers under ``out_dir``: bronze/ rejects/
     extracted/ admitted/ deduped/ bloom_seen/ seen_digests/ langpass/
@@ -319,7 +355,8 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
     trigram gate, so keep_langs=("en", "zh") keeps Chinese pages.
     Returns per-stage audited counts + wall times."""
     results: list[StageResult] = []
-    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook)
+    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook,
+                     robots_dir=robots_dir, robots_agent=robots_agent)
     deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
 
     # the seen-set artifact the next crawl increment probes: exact
@@ -340,7 +377,9 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
                         out_dir: str, prior_out_dir: str,
                         keep_langs: tuple[str, ...] = ("en",),
                         bloom_fpr: float = 0.01,
-                        stage_hook=None) -> list[StageResult]:
+                        stage_hook=None,
+                        robots_dir: str | None = None,
+                        robots_agent: str = "sparkbot") -> list[StageResult]:
     """Process crawl increment N+1 against increment N's seen-set
     (VERDICT r14 #2 — the batch twin of the streaming dedup sink):
 
@@ -371,7 +410,8 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     from ..operators import sketch as K
 
     results: list[StageResult] = []
-    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook)
+    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook,
+                     robots_dir=robots_dir, robots_agent=robots_agent)
     deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
 
     t0 = time.time()
@@ -476,7 +516,9 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
                                out_dir: str, seen_root: str,
                                keep_langs: tuple[str, ...] = ("en",),
                                bloom_fpr: float = 0.01,
-                               stage_hook=None) -> list[StageResult]:
+                               stage_hook=None,
+                               robots_dir: str | None = None,
+                               robots_agent: str = "sparkbot") -> list[StageResult]:
     """Process a crawl increment against the epoch seen-LEDGER at
     ``seen_root`` (see the block comment above): the front half runs
     as usual, the seen-filter probes every live epoch filter with its
@@ -495,7 +537,8 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
     from ..operators import sketch as K
 
     results: list[StageResult] = []
-    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook)
+    n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook,
+                     robots_dir=robots_dir, robots_agent=robots_agent)
     deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
 
     bloom_root = os.path.join(seen_root, "bloom_epochs")

@@ -5570,6 +5570,175 @@ def langid_arabic(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — robots.txt compliance (functions/robots.py, RFC 9309): the
+# crawl-politeness decision a real crawler makes before every fetch,
+# as a broadcast-rule join. Robots bodies are synthesized per host
+# in-plan (transparent planting, oracle-replayed): a decoy group for
+# another crawler, a SparkBot-specific group on half the hosts
+# (exact-agent match beats *, so the * group is IGNORED there), a *
+# group with a trailing-$ anchored rule and an empty Disallow, plus
+# comments and an ignored crawl-delay directive. The whole parse —
+# comment stripping, group assembly, agent specificity, pattern ->
+# regex conversion, longest-match/allow-wins precedence — is exact
+# string/integer expressions hash-matched against the SQL dual.
+# ---------------------------------------------------------------------------
+
+#: the synthesized robots bodies (group variety documented above);
+#: SPECIFIC group only on hosts whose source name has even length.
+_ROBOTS_DECOY = ("# synthetic robots\\n"
+                 "User-Agent: OtherCrawler\\nDisallow: /\\n\\n")
+_ROBOTS_SPECIFIC = ("User-Agent: SparkBot\\nAllow: /page/1*\\n"
+                    "Disallow: /page/\\nCrawl-delay: 10\\n\\n")
+_ROBOTS_STAR = ("User-Agent: *\\nDisallow: /private/\\n"
+                "Disallow: /page/13$\\nAllow:\\n")
+
+#: regex metachar class + conversion chain shared with the Spark side
+#: (functions/robots.py::robots_pattern_regex — same class, same
+#: three replacements, byte-identical outputs)
+_ROBOTS_META = r"[\\.\^\+\?\(\)\[\]\{\}\|]"
+
+
+def _robots_conv_sql(x: str) -> str:
+    esc = f"regexp_replace({x}, '({_ROBOTS_META})', '\\\\\\1', 'g')"
+    esc = f"regexp_replace({esc}, '\\$', '\\\\$', 'g')"
+    return f"regexp_replace({esc}, '\\*', '.*', 'g')"
+
+
+def _robots_oracle() -> str:
+    nl = "chr(10)"
+    body = (f"replace('{_ROBOTS_DECOY}' || "
+            f"CASE WHEN length(source) % 2 = 0 "
+            f"THEN '{_ROBOTS_SPECIFIC}' ELSE '' END || "
+            f"'{_ROBOTS_STAR}', '\\n', {nl})")
+    return f"""
+WITH hosts AS (SELECT DISTINCT source FROM documents),
+robots AS (
+    SELECT source || '.example.com' AS host, {body} AS b FROM hosts
+),
+split AS (SELECT host, string_split(b, {nl}) AS ls FROM robots),
+lines AS (
+    SELECT host, CAST(i AS INT) AS pos,
+           trim(regexp_replace(ls[CAST(i AS INT)], '#.*$', '')) AS l
+    FROM split, UNNEST(range(1, len(ls) + 1)) AS t(i)
+),
+parsed AS (
+    SELECT host, pos,
+           lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS kind,
+           trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS value
+    FROM lines
+),
+kept AS (
+    SELECT host, pos, kind, value FROM parsed
+    WHERE kind IN ('user-agent', 'allow', 'disallow')
+),
+lagged AS (
+    SELECT host, pos, kind, value,
+           COALESCE(LAG(kind) OVER (PARTITION BY host ORDER BY pos),
+                    '') AS prev
+    FROM kept
+),
+grped AS (
+    SELECT host, pos, kind, value,
+           SUM(CASE WHEN kind = 'user-agent' AND prev <> 'user-agent'
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+    FROM lagged
+),
+spec AS (
+    SELECT host, grp,
+           MAX(CASE WHEN lower(value) = 'sparkbot' THEN 2
+                    WHEN lower(value) = '*' THEN 1 ELSE 0 END) AS s
+    FROM grped WHERE kind = 'user-agent' GROUP BY host, grp
+),
+chosen AS (
+    SELECT host, MAX(s) AS cs FROM spec WHERE s > 0 GROUP BY host
+),
+rules AS (
+    SELECT DISTINCT g.host, g.value AS pattern,
+           g.kind = 'allow' AS is_allow
+    FROM grped g
+    JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
+    JOIN chosen c ON c.host = g.host AND sp.s = c.cs
+    WHERE g.kind IN ('allow', 'disallow') AND length(g.value) > 0
+),
+rx AS (
+    SELECT host, pattern, is_allow, length(pattern) AS plen,
+           CASE WHEN pattern LIKE '%$' THEN
+               '^' || {_robots_conv_sql(
+                   "substr(pattern, 1, length(pattern) - 1)")} || '$'
+           ELSE '^' || {_robots_conv_sql("pattern")} END AS rx
+    FROM rules
+),
+urls AS (
+    SELECT doc_id, source || '.example.com' AS host,
+           '/page/' || CAST(doc_id % 50 AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 0 THEN '?x=1' ELSE '' END AS path
+    FROM documents
+),
+cand AS (
+    SELECT u.doc_id, r.plen, r.is_allow, r.pattern
+    FROM urls u JOIN rx r ON r.host = u.host
+    WHERE regexp_matches(u.path, r.rx)
+),
+best AS (
+    SELECT doc_id, is_allow, pattern FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY plen DESC, is_allow DESC, pattern DESC) = 1
+)
+SELECT u.doc_id,
+       COALESCE(b.is_allow, TRUE) AS allowed,
+       b.pattern AS matched_rule
+FROM urls u LEFT JOIN best b USING (doc_id)
+"""
+
+
+@register("robots_compliance", oracle=_robots_oracle())
+def robots_compliance(spark, sf_dir):
+    """RFC 9309 allow/deny per URL against per-host robots.txt parsed
+    entirely as distributed string expressions: comment stripping,
+    directive parsing, group assembly (consecutive User-Agent lines
+    head a group until a rule intervenes), agent specificity (exact
+    SparkBot match beats *, decoy groups ignored), pattern->regex
+    conversion (* wildcard, trailing-$ anchor, metachars escaped
+    identically in both engines), and longest-match / allow-wins /
+    no-match-allows precedence folded as one partial-agg max — no
+    window over URLs. The rule table is hosts x rules and broadcasts;
+    at 100 TB the per-host parse windows are bounded by the robots
+    file size, never the corpus. Planted variety: /page/1x is allowed
+    on SparkBot-group hosts (Allow /page/1* outranks Disallow /page/
+    by length) but /page/2x is not; /page/13 is blocked by the
+    anchored /page/13$ on * -group hosts while /page/13?x=1 escapes
+    the anchor; empty Disallow and Crawl-delay lines are ignored.
+    functions/robots.py::with_robots_decision is the pipeline
+    operator (slots between canonicalization and the frontier)."""
+    from ..functions import robots as R
+
+    docs = td(spark, sf_dir)
+    hosts = docs.select("source").distinct()
+    body = F.concat(
+        F.lit(_ROBOTS_DECOY.replace("\\n", "\n")),
+        F.when(F.length("source") % 2 == 0,
+               F.lit(_ROBOTS_SPECIFIC.replace("\\n", "\n")))
+        .otherwise(F.lit("")),
+        F.lit(_ROBOTS_STAR.replace("\\n", "\n")))
+    robots = hosts.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example.com/page/"),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.when(F.col("doc_id") % 7 == 0, F.lit("?x=1"))
+                 .otherwise(F.lit(""))).alias("canonical_url"),
+        F.concat(F.col("source"), F.lit(".example.com"))
+        .alias("url_host"))
+    return R.with_robots_decision(urls, robots, agent="SparkBot")
+
+
+# ---------------------------------------------------------------------------
 # q — HTML -> text extraction (functions/html.py): the step between a
 # crawl shard and the text-quality/dedup tier. The corpus has no HTML
 # column, so the query wraps each document's text in a deterministic

@@ -1746,6 +1746,71 @@ def test_langid_arabic_profiles_and_routing(spark):
     assert both == {1: ("arabic", "fa"), 2: ("cyrillic", "ru")}
 
 
+def test_robots_rules_and_decisions(spark):
+    """functions/robots.py (RFC 9309): group assembly with multi-agent
+    headers, exact-agent specificity beating * (the * group is then
+    IGNORED entirely), case-insensitive agent match, comment/unknown-
+    directive/empty-pattern handling, metachar escaping (+), trailing-$
+    anchoring, longest-match precedence with allow-beats-disallow, and
+    default-allow for unmatched URLs and robots-less hosts."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.functions import robots as R
+
+    body1 = "\n".join([
+        "# politeness for h1",
+        "User-Agent: OtherBot",
+        "Disallow: /",
+        "",
+        "User-Agent: SparkBot",
+        "User-Agent: AnotherBot",
+        "Allow: /a/1*",
+        "Disallow: /a/",
+        "Disallow: /b+c/",
+        "Disallow: /exact$",
+        "Allow:",
+        "Crawl-delay: 10",
+        "",
+        "User-Agent: *",
+        "Disallow: /z/",
+    ])
+    body2 = "\n".join(["User-Agent: *", "Disallow: /page/13$"])
+    robots = spark.createDataFrame(
+        [("h1.example.com", body1), ("h2.example.com", body2)],
+        "host string, robots_txt string")
+
+    cases = [
+        (1, "h1.example.com", "/a/15", True, "/a/1*"),
+        (2, "h1.example.com", "/a/25", False, "/a/"),
+        (3, "h1.example.com", "/b+c/x", False, "/b+c/"),
+        (4, "h1.example.com", "/exact", False, "/exact$"),
+        (5, "h1.example.com", "/exactly", True, None),
+        (6, "h1.example.com", "/z/q", True, None),  # * group ignored
+        (7, "h1.example.com", "/", True, None),     # empty Disallow dropped
+        (8, "h2.example.com", "/page/13", False, "/page/13$"),
+        (9, "h2.example.com", "/page/13?x=1", True, None),
+        (10, "h3.example.com", "/anything", True, None),  # no robots
+    ]
+    urls = spark.createDataFrame(
+        [(i, f"http://{h}{p}", h) for i, h, p, _, _ in cases],
+        "doc_id long, canonical_url string, url_host string")
+
+    got = {r.doc_id: (r.allowed, r.matched_rule) for r in
+           R.with_robots_decision(urls, robots, agent="sparkbot")
+           .collect()}
+    for i, _, p, allowed, rule in cases:
+        assert got[i] == (allowed, rule), (i, p, got[i])
+
+    # the rule table itself: decoy group absent, * group dropped on
+    # h1 (exact agent chosen), empty pattern dropped
+    rules = {(r.host, r.pattern, r.is_allow) for r in
+             R.robots_rules(robots, "sparkbot").collect()}
+    assert ("h1.example.com", "/", False) not in rules
+    assert ("h1.example.com", "/z/", False) not in rules
+    assert ("h1.example.com", "/a/1*", True) in rules
+    assert ("h2.example.com", "/page/13$", False) in rules
+
+
 def test_langid_profile_contract(spark):
     """Seed profiles: one rank sequence 1..n per language, capped at
     LANGID_K, every trigram 3 chars from [a-z ], and all five seed

@@ -609,6 +609,61 @@ def test_crawl_langid_gate_profile_routing(spark, tmp_path):
     assert kept == {1, 2}
 
 
+def test_crawl_robots_gate(spark, tmp_path):
+    """plans/crawl.py robots_dir option: the RFC 9309 politeness gate
+    slots between canonicalization and the frontier — URLs a host's
+    robots.txt disallows for the crawl agent drop with an audited
+    robotspass/ stage, hosts without robots rows pass, and omitting
+    robots_dir keeps the pipeline byte-identical (no robotspass
+    layer)."""
+    import json as J
+    import os
+
+    from medallion_data_pipeline_spark.plans import crawl as C
+
+    text = ("the people said that they would come to the house with "
+            "their friends because it was a good day for everyone "
+            "there and the children play in the garden")
+    lines = []
+    for i in (1, 2, 3):
+        html = (f"<html><head><title>Doc {i}</title></head>"
+                f"<body><h1>Heading</h1><p>{text} doc {i}</p>"
+                f"</body></html>")
+        lines.append(J.dumps({"doc_id": i,
+                              "url": f"http://s{i}.example.com/doc/{i}",
+                              "html": html}))
+    land = tmp_path / "rbland"
+    land.mkdir()
+    (land / "part0.jsonl").write_text("\n".join(lines) + "\n")
+
+    robots = spark.createDataFrame(
+        [("s1.example.com",
+          "User-Agent: *\nDisallow: /doc/"),
+         ("s2.example.com",
+          "User-Agent: sparkbot\nAllow: /doc/\n\n"
+          "User-Agent: *\nDisallow: /")],
+        "host string, robots_txt string")
+    rdir = str(tmp_path / "robots_pq")
+    robots.write.parquet(rdir)
+
+    out = str(tmp_path / "rbwh")
+    res = C.run_crawl_pipeline(spark, str(land), out, robots_dir=rdir)
+    stages = {r.stage: r for r in res}
+    assert stages["robots_gate"].rows_in == 3
+    assert stages["robots_gate"].rows_out == 2
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/robotspass")
+            .select("doc_id").collect()}
+    # s1 blocked by *-group Disallow /doc/; s2 allowed by the
+    # agent-specific group (its * group is ignored); s3 has no robots
+    assert kept == {2, 3}
+
+    out2 = str(tmp_path / "rbwh2")
+    C.run_crawl_pipeline(spark, str(land), out2)
+    assert not os.path.isdir(os.path.join(out2, "robotspass"))
+    assert {r.doc_id for r in spark.read.parquet(f"{out2}/deduped")
+            .select("doc_id").collect()} == {1, 2, 3}
+
+
 def test_crawl_increment_epochs_parity(spark, tmp_path):
     """plans/crawl.py::run_crawl_increment_epochs — the O(new-docs)
     epoch-LEDGER increment must agree with both the merged-mode
