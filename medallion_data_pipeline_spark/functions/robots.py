@@ -67,13 +67,16 @@ def robots_pattern_regex(pat: Column) -> Column:
         .otherwise(F.concat(F.lit("^"), esc))
 
 
-def robots_rules(robots: DataFrame, agent: str,
-                 host_col: str = "host",
-                 body_col: str = "robots_txt") -> DataFrame:
-    """(host, pattern, is_allow, rx, plen) — the effective rule table
-    for ``agent`` parsed from one robots.txt body per host. The line
-    windows are per-host (bounded by the robots file, never the
-    corpus); the output is hosts x rules rows and broadcasts."""
+def _robots_groups(robots: DataFrame, agent: str,
+                   host_col: str = "host",
+                   body_col: str = "robots_txt"):
+    """Internal: (kept, groups) — the parsed directive lines with
+    their group ids, and the (host, grp) set the crawler obeys for
+    ``agent``. Directives kept: user-agent / allow / disallow /
+    crawl-delay (crawl-delay both carries the politeness interval and
+    terminates a user-agent header run, so a UA line after it starts
+    a NEW group — dropping it before grouping would silently merge
+    the two groups)."""
     from pyspark.sql.window import Window as W
 
     agent_lc = agent.lower()
@@ -91,7 +94,8 @@ def robots_rules(robots: DataFrame, agent: str,
         .alias("kind"),
         F.trim(F.regexp_extract("l", "^[^:]+:(.*)$", 1)).alias("value"))
     kept = parsed.filter(
-        F.col("kind").isin("user-agent", "allow", "disallow"))
+        F.col("kind").isin("user-agent", "allow", "disallow",
+                           "crawl-delay"))
 
     # group assembly: a user-agent line starts a new group iff the
     # previous kept line is not a user-agent line
@@ -119,7 +123,17 @@ def robots_rules(robots: DataFrame, agent: str,
     groups = (spec.join(chosen, "host")
               .filter(F.col("spec") == F.col("cspec"))
               .select("host", "grp"))
+    return kept, groups
 
+
+def robots_rules(robots: DataFrame, agent: str,
+                 host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, pattern, is_allow, rx, plen) — the effective rule table
+    for ``agent`` parsed from one robots.txt body per host. The line
+    windows are per-host (bounded by the robots file, never the
+    corpus); the output is hosts x rules rows and broadcasts."""
+    kept, groups = _robots_groups(robots, agent, host_col, body_col)
     rules = (kept.filter(F.col("kind").isin("allow", "disallow"))
              .join(groups, ["host", "grp"], "left_semi")
              .filter(F.length("value") > 0)
@@ -131,6 +145,79 @@ def robots_rules(robots: DataFrame, agent: str,
         "host", "pattern", "is_allow",
         robots_pattern_regex(F.col("pattern")).alias("rx"),
         F.length("pattern").alias("plen"))
+
+
+def robots_crawl_delay(robots: DataFrame, agent: str,
+                       host_col: str = "host",
+                       body_col: str = "robots_txt") -> DataFrame:
+    """(host, crawl_delay_s) — the politeness interval the chosen
+    group declares, integer seconds (the de-facto Crawl-delay
+    extension; non-integer values are ignored like any malformed
+    line). Several delays in the chosen groups fold conservatively to
+    the MAX. Hosts with no delay are absent — callers coalesce to
+    their default."""
+    kept, groups = _robots_groups(robots, agent, host_col, body_col)
+    return (kept.filter(F.col("kind") == "crawl-delay")
+            .join(groups, ["host", "grp"], "left_semi")
+            .select("host",
+                    F.expr("try_cast(value AS INT)").alias("d"))
+            .filter(F.col("d").isNotNull())
+            .groupBy("host").agg(F.max("d").alias("crawl_delay_s")))
+
+
+def fetch_schedule(urls: DataFrame, robots: DataFrame | None = None,
+                   agent: str = "sparkbot",
+                   default_delay_s: int = 1,
+                   id_col: str = "doc_id",
+                   host_col: str = "url_host") -> DataFrame:
+    """(id_col, host, slot, delay_s, fetch_offset_ms) — the per-host
+    politeness schedule: URLs of one host fetch one per
+    ``crawl_delay_s`` seconds (the host's robots Crawl-delay, else
+    ``default_delay_s``), so slot i fires at i * delay. The slot
+    order within a host is a seeded md5 shuffle (politeness needs
+    SPACING, not any particular order — the shuffle spreads a host's
+    deep paths instead of walking them in id order).
+
+    Scale shape: slots use the 256-block offset pattern
+    (queries/llmops.py::training_order) PER HOST — row_number windows
+    partition on (host, blk) so no single partition ever holds a
+    whole hot host, and the per-host offset table is hosts x <=256
+    rows built from a partial agg + a <=256-row window per host. The
+    delay table broadcasts."""
+    from pyspark.sql.window import Window as W
+
+    u = urls.select(F.col(id_col), F.col(host_col).alias("host"))
+    if robots is not None:
+        delays = robots_crawl_delay(robots, agent)
+        u = u.join(F.broadcast(delays), "host", "left")
+    else:
+        u = u.withColumn("crawl_delay_s", F.lit(None).cast("int"))
+    u = u.withColumn(
+        "delay_s",
+        F.coalesce("crawl_delay_s", F.lit(default_delay_s)).cast("int"))
+
+    keyed = u.withColumn(
+        "_k", F.md5(F.concat(F.lit("slot:"),
+                             F.col(id_col).cast("string")))) \
+        .withColumn("blk", F.substring("_k", 1, 2))
+    counts = keyed.groupBy("host", "blk") \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "host", "blk",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.partitionBy("host").orderBy("blk")
+                .rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)).alias("offset"))
+    wl = W.partitionBy("host", "blk").orderBy("_k", id_col)
+    return (keyed.join(offsets, ["host", "blk"])
+            .withColumn("slot",
+                        (F.row_number().over(wl) + F.col("offset"))
+                        .cast("long"))
+            .select(id_col, "host", "slot", "delay_s",
+                    ((F.col("slot") - 1) * F.col("delay_s")
+                     * F.lit(1000)).cast("long")
+                    .alias("fetch_offset_ms")))
 
 
 def with_robots_decision(urls: DataFrame, robots: DataFrame,

@@ -5604,14 +5604,16 @@ def _robots_conv_sql(x: str) -> str:
     return f"regexp_replace({esc}, '\\*', '.*', 'g')"
 
 
-def _robots_oracle() -> str:
+def _robots_parse_sql() -> str:
+    """The shared robots.txt parse chain (hosts -> ... -> chosen) —
+    mirrors functions/robots.py::_robots_groups line for line,
+    including crawl-delay lines participating in group assembly."""
     nl = "chr(10)"
     body = (f"replace('{_ROBOTS_DECOY}' || "
             f"CASE WHEN length(source) % 2 = 0 "
             f"THEN '{_ROBOTS_SPECIFIC}' ELSE '' END || "
             f"'{_ROBOTS_STAR}', '\\n', {nl})")
-    return f"""
-WITH hosts AS (SELECT DISTINCT source FROM documents),
+    return f"""hosts AS (SELECT DISTINCT source FROM documents),
 robots AS (
     SELECT source || '.example.com' AS host, {body} AS b FROM hosts
 ),
@@ -5629,7 +5631,7 @@ parsed AS (
 ),
 kept AS (
     SELECT host, pos, kind, value FROM parsed
-    WHERE kind IN ('user-agent', 'allow', 'disallow')
+    WHERE kind IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ),
 lagged AS (
     SELECT host, pos, kind, value,
@@ -5654,7 +5656,12 @@ spec AS (
 ),
 chosen AS (
     SELECT host, MAX(s) AS cs FROM spec WHERE s > 0 GROUP BY host
-),
+)"""
+
+
+def _robots_oracle() -> str:
+    return f"""
+WITH {_robots_parse_sql()},
 rules AS (
     SELECT DISTINCT g.host, g.value AS pattern,
            g.kind = 'allow' AS is_allow
@@ -5736,6 +5743,90 @@ def robots_compliance(spark, sf_dir):
         F.concat(F.col("source"), F.lit(".example.com"))
         .alias("url_host"))
     return R.with_robots_decision(urls, robots, agent="SparkBot")
+
+
+# ---------------------------------------------------------------------------
+# q — per-host FETCH SCHEDULE honoring Crawl-delay (the politeness
+# scheduler a real crawler runs after robots admission): slot i of a
+# host fires at i x delay, where delay is the host's Crawl-delay from
+# the chosen robots group (the SparkBot groups declare 10 s; hosts on
+# the * group declare none and take the default 2 s). The slot order
+# is a seeded md5 shuffle, and the slots come from the 256-block
+# offset pattern PER HOST — the oracle is the naive per-host global
+# ROW_NUMBER, so the hash match proves the distributed slot
+# arithmetic equals the single-window definition (the
+# training_order_shuffle proof, per host).
+# ---------------------------------------------------------------------------
+
+_SCHED_DEFAULT_DELAY = 2
+
+
+def _fetch_schedule_oracle() -> str:
+    return f"""
+WITH {_robots_parse_sql()},
+delays AS (
+    SELECT g.host, MAX(TRY_CAST(g.value AS INT)) AS crawl_delay_s
+    FROM grped g
+    JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
+    JOIN chosen c ON c.host = g.host AND sp.s = c.cs
+    WHERE g.kind = 'crawl-delay'
+      AND TRY_CAST(g.value AS INT) IS NOT NULL
+    GROUP BY g.host
+),
+urls AS (
+    SELECT doc_id, source || '.example.com' AS host,
+           md5('slot:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+),
+sched AS (
+    SELECT doc_id, host,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY k, doc_id) AS BIGINT) AS slot
+    FROM urls
+)
+SELECT s.doc_id, s.host, s.slot,
+       CAST(COALESCE(d.crawl_delay_s, {_SCHED_DEFAULT_DELAY}) AS INT)
+           AS delay_s,
+       CAST((s.slot - 1)
+            * COALESCE(d.crawl_delay_s, {_SCHED_DEFAULT_DELAY})
+            * 1000 AS BIGINT) AS fetch_offset_ms
+FROM sched s LEFT JOIN delays d USING (host)
+"""
+
+
+@register("crawl_fetch_schedule", oracle=_fetch_schedule_oracle())
+def crawl_fetch_schedule(spark, sf_dir):
+    """Politeness fetch schedule per host: Crawl-delay extracted from
+    the same synthesized robots bodies as robots_compliance (chosen-
+    group semantics — the SparkBot groups' 10 s wins on even-length
+    hosts, * -group hosts fall back to the 2 s default; the decoy
+    group's delay is never read), slots assigned by a seeded md5
+    shuffle through the per-host 256-block offset pattern (no window
+    partition ever holds a whole hot host — the hash match against
+    the naive per-host ROW_NUMBER proves the distributed arithmetic),
+    fetch_offset_ms = (slot-1) x delay x 1000 in exact integers. At
+    100 TB: the delay table broadcasts, the offset table is
+    hosts x <=256 rows from one partial agg, and the per-(host, blk)
+    windows are ~1/256th of a host each."""
+    from ..functions import robots as R
+
+    docs = td(spark, sf_dir)
+    hosts = docs.select("source").distinct()
+    body = F.concat(
+        F.lit(_ROBOTS_DECOY.replace("\\n", "\n")),
+        F.when(F.length("source") % 2 == 0,
+               F.lit(_ROBOTS_SPECIFIC.replace("\\n", "\n")))
+        .otherwise(F.lit("")),
+        F.lit(_ROBOTS_STAR.replace("\\n", "\n")))
+    robots = hosts.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com"))
+        .alias("url_host"))
+    return R.fetch_schedule(urls, robots, agent="SparkBot",
+                            default_delay_s=_SCHED_DEFAULT_DELAY)
 
 
 # ---------------------------------------------------------------------------

@@ -1811,6 +1811,57 @@ def test_robots_rules_and_decisions(spark):
     assert ("h2.example.com", "/page/13$", False) in rules
 
 
+def test_robots_crawl_delay_and_fetch_schedule(spark):
+    """functions/robots.py crawl-delay + scheduler: the delay comes
+    from the CHOSEN group only (the decoy's 99 is never read), a
+    crawl-delay line terminates a User-Agent header run (the UA line
+    after it starts a NEW group — h2 pins the boundary), malformed
+    values are ignored, and fetch_schedule assigns each host a
+    1..n slot permutation with offsets = (slot-1) * delay * 1000,
+    defaulting hosts without a delay."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_pipeline_spark.functions import robots as R
+
+    body1 = "\n".join([
+        "User-Agent: OtherBot", "Crawl-delay: 99", "Disallow: /",
+        "", "User-Agent: SparkBot", "Crawl-delay: 7",
+        "Disallow: /private/",
+    ])
+    # crawl-delay between UA lines: group(a) = {agent a, delay 5};
+    # "User-Agent: *" after it is a NEW group with NO delay
+    body2 = "\n".join([
+        "User-Agent: a", "Crawl-delay: 5",
+        "User-Agent: *", "Disallow: /x/", "Crawl-delay: oops",
+    ])
+    robots = spark.createDataFrame(
+        [("h1.example.com", body1), ("h2.example.com", body2)],
+        "host string, robots_txt string")
+
+    delays = {r.host: r.crawl_delay_s for r in
+              R.robots_crawl_delay(robots, "sparkbot").collect()}
+    assert delays == {"h1.example.com": 7}  # h2: * group, malformed
+
+    urls = spark.createDataFrame(
+        [(i, "h1.example.com") for i in range(10)]
+        + [(100 + i, "h2.example.com") for i in range(5)]
+        + [(200, "h3.example.com")],
+        "doc_id long, url_host string")
+    sched = R.fetch_schedule(urls, robots, agent="sparkbot",
+                             default_delay_s=3).collect()
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r.host, []).append(r)
+        assert r.fetch_offset_ms == (r.slot - 1) * r.delay_s * 1000
+    assert sorted(r.slot for r in by_host["h1.example.com"]) == \
+        list(range(1, 11))
+    assert all(r.delay_s == 7 for r in by_host["h1.example.com"])
+    assert sorted(r.slot for r in by_host["h2.example.com"]) == \
+        list(range(1, 6))
+    assert all(r.delay_s == 3 for r in by_host["h2.example.com"])
+    assert by_host["h3.example.com"][0].delay_s == 3
+
+
 def test_langid_profile_contract(spark):
     """Seed profiles: one rank sequence 1..n per language, capped at
     LANGID_K, every trigram 3 chars from [a-z ], and all five seed
