@@ -5830,6 +5830,113 @@ def crawl_fetch_schedule(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q — sitemap parsing for frontier seeding (functions/sitemap.py):
+# the OTHER way URLs enter a crawl frontier besides page outlinks.
+# Per-host <urlset> fragments are synthesized in-plan with the
+# messes a real sitemap serves: entity-encoded locs (&amp;),
+# uppercase host + default port + trailing slash (collapses under
+# canonicalization with the clean twin), W3C datetimes in lastmod,
+# malformed lastmod (-> NULL, never a throw), loc-less entries
+# (dropped), and <sitemapindex> children (NOT page URLs — excluded
+# by construction from the <url> extraction). Every extracted loc
+# flows through the gated URL canonicalizer, the frontier handoff.
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_oracle() -> str:
+    from ..functions import sitemap as SM
+    from ..functions import urls as U
+
+    ds = "CAST(doc_id AS VARCHAR)"
+    mm = "lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')"
+    dd = "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    xml = f"""'<urlset><url><loc>HTTP://' || upper(source)
+ || '.EXAMPLE.COM:80/page/' || {ds} || '/</loc><lastmod>2024-'
+ || {mm} || '-' || {dd} || 'T08:30:00+00:00</lastmod><priority>0.'
+ || CAST(doc_id % 10 AS VARCHAR) || '</priority></url>'
+ || '<url><loc>http://' || source || '.example.com/page/' || {ds}
+ || '?ref=alt&amp;x=1#frag</loc></url>'
+ || CASE WHEN doc_id % 20 = 0 THEN '<sitemap><loc>http://' || source
+    || '.example.com/sitemap2.xml</loc></sitemap>' ELSE '' END
+ || CASE WHEN doc_id % 25 = 0
+    THEN '<url><lastmod>2024-01-01</lastmod></url>' ELSE '' END
+ || CASE WHEN doc_id % 30 = 0 THEN '<url><loc>http://' || source
+    || '.example.com/bad/' || {ds}
+    || '</loc><lastmod>soon</lastmod></url>' ELSE '' END
+ || '</urlset>'"""
+    return f"""
+WITH src AS (
+    SELECT doc_id, source || '.example.com' AS host,
+           {xml} AS sitemap_xml
+    FROM documents
+),
+ex AS ({SM.sitemap_urls_sql('src')})
+SELECT host, {U.canonical_url_sql('loc')} AS canonical_url,
+       {U.url_host_sql('loc')} AS url_host,
+       CAST(lastmod AS VARCHAR) AS lastmod, priority
+FROM ex
+"""
+
+
+@register("sitemap_frontier_seed", oracle=_sitemap_oracle())
+def sitemap_frontier_seed(spark, sf_dir):
+    """Frontier seeds from per-host sitemap XML: <url> entries
+    extracted with one regexp_extract_all + explode (output ~
+    entries — the map shape a 100 TB seed wants), locs
+    entity-decoded and pushed through the gated URL canonicalizer
+    (the messy twin — uppercase host, :80, trailing slash, tracking
+    params — collapses onto the clean form), lastmod parsed
+    leniently to its DATE prefix (malformed 'soon' -> NULL),
+    priority try-cast to double, loc-less entries dropped, and
+    <sitemapindex> children structurally excluded (they are
+    sitemaps to FETCH, surfaced by sitemap_index_locs, never page
+    URLs). functions/sitemap.py."""
+    from ..functions import sitemap as SM
+    from ..functions.urls import with_canonical_url
+
+    d = td(spark, sf_dir)
+    ds = F.col("doc_id").cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>HTTP://"), F.upper("source"),
+        F.lit(".EXAMPLE.COM:80/page/"), ds,
+        F.lit("/</loc><lastmod>2024-"), mm, F.lit("-"), dd,
+        F.lit("T08:30:00+00:00</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+        F.lit("<url><loc>http://"), F.col("source"),
+        F.lit(".example.com/page/"), ds,
+        F.lit("?ref=alt&amp;x=1#frag</loc></url>"),
+        F.when(F.col("doc_id") % 20 == 0,
+               F.concat(F.lit("<sitemap><loc>http://"),
+                        F.col("source"),
+                        F.lit(".example.com/sitemap2.xml"
+                              "</loc></sitemap>")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 25 == 0,
+               F.lit("<url><lastmod>2024-01-01</lastmod></url>"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 30 == 0,
+               F.concat(F.lit("<url><loc>http://"), F.col("source"),
+                        F.lit(".example.com/bad/"), ds,
+                        F.lit("</loc><lastmod>soon</lastmod></url>")))
+        .otherwise(F.lit("")),
+        F.lit("</urlset>"))
+    src = d.select(host.alias("host"), xml.alias("sitemap_xml"))
+    ex = SM.sitemap_urls(src)
+    # lastmod emits as its ISO string: a NULL DATE round-trips as a
+    # pandas NaT on the DuckDB side and would hash differently from
+    # Spark's None (the canonicalizer's ∅) — strings null cleanly on
+    # both engines and format identically ('yyyy-MM-dd')
+    return (with_canonical_url(ex, "loc")
+            .select("host", "canonical_url", "url_host",
+                    F.col("lastmod").cast("string").alias("lastmod"),
+                    "priority"))
+
+
+# ---------------------------------------------------------------------------
 # q — HTML -> text extraction (functions/html.py): the step between a
 # crawl shard and the text-quality/dedup tier. The corpus has no HTML
 # column, so the query wraps each document's text in a deterministic

@@ -1862,6 +1862,33 @@ def test_robots_crawl_delay_and_fetch_schedule(spark):
     assert by_host["h3.example.com"][0].delay_s == 3
 
 
+def test_sitemap_extraction(spark):
+    """functions/sitemap.py: <url> entries extract loc (entity-
+    decoded) / lastmod (lenient DATE prefix) / priority; loc-less
+    entries drop; <sitemapindex> children surface via
+    sitemap_index_locs and never leak into the page-URL stream."""
+    from medallion_data_pipeline_spark.functions import sitemap as SM
+
+    xml = ("<urlset>"
+           "<url><loc>http://h/a?x=1&amp;y=2</loc>"
+           "<lastmod>2024-03-05T10:00:00+00:00</lastmod>"
+           "<priority>0.8</priority></url>"
+           "<url><loc> http://h/b </loc><lastmod>soon</lastmod></url>"
+           "<url><lastmod>2024-01-01</lastmod></url>"
+           "<sitemap><loc>http://h/more.xml</loc></sitemap>"
+           "</urlset>")
+    df = spark.createDataFrame([("h", xml)],
+                               "host string, sitemap_xml string")
+    rows = {r.loc: r for r in SM.sitemap_urls(df).collect()}
+    assert set(rows) == {"http://h/a?x=1&y=2", "http://h/b"}
+    a = rows["http://h/a?x=1&y=2"]
+    assert str(a.lastmod) == "2024-03-05" and a.priority == 0.8
+    b = rows["http://h/b"]
+    assert b.lastmod is None and b.priority is None
+    idx = [r.sitemap_loc for r in SM.sitemap_index_locs(df).collect()]
+    assert idx == ["http://h/more.xml"]
+
+
 def test_langid_profile_contract(spark):
     """Seed profiles: one rank sequence 1..n per language, capped at
     LANGID_K, every trigram 3 chars from [a-z ], and all five seed
