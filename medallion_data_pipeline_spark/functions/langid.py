@@ -484,8 +484,6 @@ def with_langid(df: DataFrame, id_col: str, text_col: str,
     seed_map = LANG_SEEDS if seeds is None else seeds
     spark = df.sparkSession
     profs = seed_profiles(spark, k, seeds=seed_map, norm=norm)
-    langs = spark.createDataFrame([(lng,) for lng in sorted(seed_map)],
-                                  "lang string")
 
     norm_df = df.select(F.col(id_col), norm(F.col(text_col))
                         .alias("_s"))
@@ -496,44 +494,65 @@ def with_langid(df: DataFrame, id_col: str, text_col: str,
     wd = W.partitionBy(id_col).orderBy(F.desc("c"), F.asc("tri"))
     dprof = (dcounts.withColumn("rd", F.row_number().over(wd))
              .filter(F.col("rd") <= k).drop("c"))
+    # lineage-reuse barrier (r15 optimization round, guide §2.4): the
+    # doc-profile subtree (norm regex -> trigram explode -> count agg
+    # -> ranking window) feeds BOTH the scoring join and the per-doc
+    # profile size below; without the barrier each consumer re-runs
+    # the whole explode pipeline (the _before plan shows the subtree
+    # 4-6x, ~50 Exchanges). Lazy: computed once on first use, then
+    # read back; blocks are released per bench entry.
+    dprof = dprof.localCheckpoint(eager=False)
 
     # The out-of-place distance decomposes as
     #   dist(d, l) = sum_{t in dprof(d) ∩ prof(l)} |rd - rl|
     #              + k * (|dprof(d)| - |dprof(d) ∩ prof(l)|)
+    #              = k * |dprof(d)| - bonus(d, l),
+    #   bonus(d, l) = sum_{t in dprof(d) ∩ prof(l)} (k - |rd - rl|) > 0
     # so scoring is ONE inner broadcast join on trigram (only matched
-    # rows survive) plus a per-(doc x lang) arithmetic fix-up — not a
-    # doc-profile x n_langs cross join (measured ~n_langs x fewer
-    # intermediate rows; identical integer results, same oracle).
+    # rows survive) plus per-doc arithmetic — not a doc-profile x
+    # n_langs cross join (measured ~n_langs x fewer intermediate
+    # rows; identical integer results, same oracle). Ranking by
+    # (dist asc, lang asc) is, per doc, ranking by (-bonus asc, lang
+    # asc) — a sort over <= n_langs array elements, so best/runner-up
+    # come from one fold instead of a rank window plus two
+    # filter-and-rejoin passes over the scored frame (r15: the
+    # _before plan paid a window Exchange + two SortMergeJoins here).
     matched = (dprof.join(F.broadcast(profs), "tri")
                .groupBy(id_col, "lang")
-               .agg(F.sum(F.abs(F.col("rd") - F.col("rl"))).alias("_s_m"),
-                    F.count(F.lit(1)).alias("_c_m")))
+               .agg((F.lit(k) * F.count(F.lit(1))
+                     - F.sum(F.abs(F.col("rd") - F.col("rl"))))
+                    .alias("_b")))
+    folded = (matched
+              .select(id_col, F.struct((-F.col("_b")).alias("nb"),
+                                       F.col("lang").alias("lang"))
+                      .alias("_e"))
+              .groupBy(id_col).agg(F.collect_list("_e").alias("_es")))
     nd = dprof.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_d"))
-    scored = (nd.crossJoin(F.broadcast(langs))
-              .join(matched, [id_col, "lang"], "left")
-              .select(id_col, "lang",
-                      (F.coalesce("_s_m", F.lit(0))
-                       + F.lit(k) * (F.col("_n_d")
-                                     - F.coalesce("_c_m", F.lit(0))))
-                      .alias("dist")))
-    wr = W.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("lang"))
-    ranked = scored.withColumn("_rk", F.row_number().over(wr))
-    best = ranked.filter(F.col("_rk") == 1) \
-        .select(id_col, "lang", "dist")
-    second = ranked.filter(F.col("_rk") == 2) \
-        .select(id_col, F.col("dist").alias("_d2"))
-    out = (best.join(second, id_col, "left")
-           .select(id_col, "lang",
-                   F.col("dist").cast("long").alias("dist"),
-                   (F.coalesce("_d2", F.col("dist")) - F.col("dist"))
-                   .cast("long").alias("margin")))
+    # pad with zero-bonus entries for languages the doc matched no
+    # trigrams of (the cross-join form scored them at dist = k*n_d)
+    pad = F.array(*[F.struct(F.lit(0).cast("long").alias("nb"),
+                             F.lit(lng).alias("lang"))
+                    for lng in sorted(seed_map)])
+    es = F.coalesce(F.col("_es"),
+                    F.expr("array()").cast(
+                        "array<struct<nb:bigint,lang:string>>"))
+    cand = F.array_sort(F.concat(
+        es, F.filter(pad, lambda p: ~F.exists(
+            es, lambda m: m["lang"] == p["lang"]))))
+    e1, e2 = F.element_at(cand, 1), F.element_at(cand, 2)
+    out = (nd.join(folded, id_col, "left")
+           .select(id_col, e1["lang"].alias("lang"),
+                   (F.lit(k) * F.col("_n_d") + e1["nb"])
+                   .cast("long").alias("dist"),
+                   (e2["nb"] - e1["nb"]).cast("long").alias("margin")))
     # docs with NO trigrams never enter dprof; re-attach them with the
-    # documented fallback so every input row gets a verdict. NULL text
-    # must be matched explicitly: length(NULL) < 3 is NULL, not true,
-    # and the row would otherwise vanish from BOTH paths (the crawl
-    # tier makes null text representable).
-    missing = (norm_df.filter(F.col("_s").isNull()
-                              | (F.length("_s") < 3))
+    # documented fallback so every input row gets a verdict. Probing
+    # membership in nd (anti-join on the slim id column) rather than
+    # re-filtering norm_df: the latter re-ran the normalization regex
+    # over every document a second time. NULL text has no trigrams,
+    # so it lands here exactly as the old `_s IS NULL` arm did.
+    missing = (df.select(id_col)
+               .join(nd.select(id_col), id_col, "left_anti")
                .select(id_col,
                        F.lit(sorted(seed_map)[0]).alias("lang"),
                        F.lit(0).cast("long").alias("dist"),
