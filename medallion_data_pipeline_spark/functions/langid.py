@@ -485,8 +485,26 @@ def with_langid(df: DataFrame, id_col: str, text_col: str,
     spark = df.sparkSession
     profs = seed_profiles(spark, k, seeds=seed_map, norm=norm)
 
-    norm_df = df.select(F.col(id_col), norm(F.col(text_col))
-                        .alias("_s"))
+    # Shuffle the slim (id, text) rows ONCE, keyed on the doc id,
+    # BEFORE the normalize/explode work (r15 optimization round,
+    # guide §2.1 "shuffle fewer bytes"): hashpartitioning(id)
+    # satisfies the clustering every downstream operator needs —
+    # groupBy(id, tri), the ranking window over id, groupBy(id, lang)
+    # and groupBy(id) — so the ~1000x-larger exploded trigram frames
+    # never hit an Exchange (the _before plan shuffled them twice).
+    # Normalization runs AFTER the exchange so its regex CPU rides
+    # the shuffled parallelism even when the input is one parquet
+    # row group (the spread() rationale in queries/_util.td). The
+    # partition count is explicit (an unnumbered repartition is
+    # AQE-coalescible, and ~MBs of text would coalesce to ONE
+    # partition, serializing the explode CPU); it derives from
+    # cluster width and input size, not a local constant.
+    from ..session import default_parallelism
+    n_part = max(default_parallelism(), df.rdd.getNumPartitions())
+    norm_df = (df.select(F.col(id_col), F.col(text_col))
+               .repartition(n_part, F.col(id_col))
+               .select(F.col(id_col), norm(F.col(text_col))
+                       .alias("_s")))
     doc_tri = norm_df.select(
         id_col, F.explode(trigram_array(F.col("_s"))).alias("tri"))
     dcounts = doc_tri.groupBy(id_col, "tri") \
@@ -494,67 +512,66 @@ def with_langid(df: DataFrame, id_col: str, text_col: str,
     wd = W.partitionBy(id_col).orderBy(F.desc("c"), F.asc("tri"))
     dprof = (dcounts.withColumn("rd", F.row_number().over(wd))
              .filter(F.col("rd") <= k).drop("c"))
-    # lineage-reuse barrier (r15 optimization round, guide §2.4): the
-    # doc-profile subtree (norm regex -> trigram explode -> count agg
-    # -> ranking window) feeds BOTH the scoring join and the per-doc
-    # profile size below; without the barrier each consumer re-runs
-    # the whole explode pipeline (the _before plan shows the subtree
-    # 4-6x, ~50 Exchanges). Lazy: computed once on first use, then
-    # read back; blocks are released per bench entry.
-    dprof = dprof.localCheckpoint(eager=False)
 
     # The out-of-place distance decomposes as
     #   dist(d, l) = sum_{t in dprof(d) ∩ prof(l)} |rd - rl|
     #              + k * (|dprof(d)| - |dprof(d) ∩ prof(l)|)
     #              = k * |dprof(d)| - bonus(d, l),
     #   bonus(d, l) = sum_{t in dprof(d) ∩ prof(l)} (k - |rd - rl|) > 0
-    # so scoring is ONE inner broadcast join on trigram (only matched
-    # rows survive) plus per-doc arithmetic — not a doc-profile x
-    # n_langs cross join (measured ~n_langs x fewer intermediate
-    # rows; identical integer results, same oracle). Ranking by
-    # (dist asc, lang asc) is, per doc, ranking by (-bonus asc, lang
-    # asc) — a sort over <= n_langs array elements, so best/runner-up
-    # come from one fold instead of a rank window plus two
-    # filter-and-rejoin passes over the scored frame (r15: the
-    # _before plan paid a window Exchange + two SortMergeJoins here).
-    matched = (dprof.join(F.broadcast(profs), "tri")
-               .groupBy(id_col, "lang")
-               .agg((F.lit(k) * F.count(F.lit(1))
-                     - F.sum(F.abs(F.col("rd") - F.col("rl"))))
-                    .alias("_b")))
-    folded = (matched
-              .select(id_col, F.struct((-F.col("_b")).alias("nb"),
-                                       F.col("lang").alias("lang"))
-                      .alias("_e"))
-              .groupBy(id_col).agg(F.collect_list("_e").alias("_es")))
-    nd = dprof.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_d"))
+    # so scoring is ONE broadcast join on trigram plus per-doc
+    # arithmetic — not a doc-profile x n_langs cross join (measured
+    # ~n_langs x fewer intermediate rows; identical integer results,
+    # same oracle). The join is LEFT so |dprof(d)| rides the same
+    # chain as max(rd) (row_number is dense, so max = count) and the
+    # profile subtree has exactly ONE consumer — the r14 shape
+    # recomputed it per consumer (or checkpointed it, which under AQE
+    # loses the partitioning and reintroduces three Exchanges).
+    # Ranking by (dist asc, lang asc) is, per doc, ranking by
+    # (-bonus asc, lang asc) — a sort over <= n_langs array elements,
+    # so best/runner-up come from one fold instead of a rank window
+    # plus two filter-and-rejoin passes over the scored frame.
+    joined = dprof.join(F.broadcast(profs), "tri", "left")
+    g1 = (joined.groupBy(id_col, "lang")
+          .agg(F.max("rd").alias("_mx"),
+               (F.lit(k) * F.count("rl")
+                - F.coalesce(F.sum(F.abs(F.col("rd") - F.col("rl"))),
+                             F.lit(0))).alias("_b")))
+    g2 = (g1.groupBy(id_col)
+          .agg(F.max("_mx").alias("_n_d"),
+               F.collect_list(
+                   F.when(F.col("lang").isNotNull(),
+                          F.struct((-F.col("_b")).alias("nb"),
+                                   F.col("lang").alias("lang"))))
+               .alias("_es")))
     # pad with zero-bonus entries for languages the doc matched no
     # trigrams of (the cross-join form scored them at dist = k*n_d)
     pad = F.array(*[F.struct(F.lit(0).cast("long").alias("nb"),
                              F.lit(lng).alias("lang"))
                     for lng in sorted(seed_map)])
-    es = F.coalesce(F.col("_es"),
-                    F.expr("array()").cast(
-                        "array<struct<nb:bigint,lang:string>>"))
+    es = F.col("_es")
     cand = F.array_sort(F.concat(
         es, F.filter(pad, lambda p: ~F.exists(
             es, lambda m: m["lang"] == p["lang"]))))
     e1, e2 = F.element_at(cand, 1), F.element_at(cand, 2)
-    out = (nd.join(folded, id_col, "left")
-           .select(id_col, e1["lang"].alias("lang"),
-                   (F.lit(k) * F.col("_n_d") + e1["nb"])
-                   .cast("long").alias("dist"),
-                   (e2["nb"] - e1["nb"]).cast("long").alias("margin")))
+    out = g2.select(id_col, e1["lang"].alias("lang"),
+                    (F.lit(k) * F.col("_n_d") + e1["nb"])
+                    .cast("long").alias("dist"),
+                    (e2["nb"] - e1["nb"]).cast("long").alias("margin"))
     # docs with NO trigrams never enter dprof; re-attach them with the
-    # documented fallback so every input row gets a verdict. Probing
-    # membership in nd (anti-join on the slim id column) rather than
-    # re-filtering norm_df: the latter re-ran the normalization regex
-    # over every document a second time. NULL text has no trigrams,
-    # so it lands here exactly as the old `_s IS NULL` arm did.
-    missing = (df.select(id_col)
-               .join(nd.select(id_col), id_col, "left_anti")
-               .select(id_col,
-                       F.lit(sorted(seed_map)[0]).alias("lang"),
-                       F.lit(0).cast("long").alias("dist"),
-                       F.lit(0).cast("long").alias("margin")))
-    return out.unionByName(missing)
+    # documented fallback so every input row gets a verdict. One LEFT
+    # join from the slim id spine with coalesced fallback values —
+    # not a union + anti-join, which would consume `out` twice and
+    # either recompute the whole explode chain or need a lineage
+    # barrier that hides the plan. `out` is already clustered on id,
+    # so only the spine side exchanges. NULL text has no trigrams, so
+    # it lands on the fallback exactly as the old `_s IS NULL` arm
+    # did.
+    return (df.select(id_col)
+            .join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("lang"),
+                               F.lit(sorted(seed_map)[0])).alias("lang"),
+                    F.coalesce(F.col("dist"),
+                               F.lit(0).cast("long")).alias("dist"),
+                    F.coalesce(F.col("margin"),
+                               F.lit(0).cast("long")).alias("margin")))

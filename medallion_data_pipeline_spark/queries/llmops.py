@@ -5301,10 +5301,13 @@ def langid_confidence(spark, sf_dir):
     the corpus size. The synthetic corpus is English-like, so top-1
     concentrates on 'en' — the planted-language discrimination
     property is pinned separately in tests on held-out
-    per-language sentences."""
+    per-language sentences. Unspread input (r15): with_langid now
+    hash-repartitions the raw rows itself before any per-row work,
+    so td()'s round-robin spread would just add a second full-text
+    shuffle."""
     from ..functions import langid as L
 
-    return L.with_langid(td(spark, sf_dir), "doc_id", "text")
+    return L.with_langid(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
