@@ -88,6 +88,19 @@ CRAWL_BLOCK_RULES = [
 ]
 
 
+def _write_counted(df: DataFrame, path: str) -> int:
+    """Write ``df`` to parquet and return the row count observed ON
+    the write action itself (r15 optimization: every stage audit used
+    to pay a second job re-reading the files it just wrote; count()
+    never returns NULL on empty input, so no normalization needed)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")) \
+        .write.mode("overwrite").parquet(path)
+    return int(obs.get["n"])
+
+
 def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,
                             landing_dir: str, replicas: int = 10,
                             shards: int = 8,
@@ -200,19 +213,29 @@ def keep_lowest(df: DataFrame, key: str,
 
 
 def write_seen_set(spark: SparkSession, deduped: DataFrame,
-                   out_dir: str, n: int, bloom_fpr: float) -> int:
+                   out_dir: str, n: int | None,
+                   bloom_fpr: float) -> tuple[int, int]:
     """Land the two-part seen-set contract for the NEXT increment:
     seen_digests/ (the exact side — one slim digest column) and
     bloom_seen/ (the prefilter — packed words WITH the sizing
     persisted as constant columns m/k/fpr/n, because m is
     data-dependent and a prober recomputing it from a different count
-    silently loses the zero-false-negative guarantee). Returns m."""
+    silently loses the zero-false-negative guarantee). Returns (m, n).
+
+    r15 optimization: the digest write observes its own row count
+    (pass n=None to size the Bloom from it) and the Bloom builds from
+    the JUST-WRITTEN parquet, so a computed ``deduped`` — the
+    increment's merged union+distinct — executes once, where the old
+    shape re-ran it three times (count, digest write, bit build)."""
     from ..operators import sketch as K
 
-    deduped.select("digest").write.mode("overwrite") \
-        .parquet(os.path.join(out_dir, "seen_digests"))
+    path = os.path.join(out_dir, "seen_digests")
+    n_written = _write_counted(deduped.select("digest"), path)
+    if n is None:
+        n = n_written
+    digests = spark.read.parquet(path)
     m = K.bloom_m_for(max(int(n), 1), bloom_fpr)
-    (K.bloom_bits(deduped.select(F.col("digest").alias("item")), m=m)
+    (K.bloom_bits(digests.select(F.col("digest").alias("item")), m=m)
      .select("word_idx", "bits",
              F.lit(m).cast("int").alias("m"),
              F.lit(K.BLOOM_K).cast("int").alias("k"),
@@ -220,7 +243,7 @@ def write_seen_set(spark: SparkSession, deduped: DataFrame,
              F.lit(int(n)).cast("long").alias("n"))
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "bloom_seen")))
-    return m
+    return m, int(n)
 
 
 def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
@@ -243,8 +266,11 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
 
     def _stage(name: str, n_in: int, df: DataFrame, path: str,
                t0: float) -> int:
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, path))
-        n_out = spark.read.parquet(os.path.join(out_dir, path)).count()
+        # the audited count rides the write action via observe (r15,
+        # guide §5 / the silver-plan pattern) — one job per stage, not
+        # a write plus a re-read count job; count() observes every
+        # row the write sinks, so the audited number is identical
+        n_out = _write_counted(df, os.path.join(out_dir, path))
         results.append(StageResult(name, n_in, n_out,
                                    round(time.time() - t0, 2)))
         if stage_hook is not None:
@@ -321,8 +347,7 @@ def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
         lang.filter(F.col("lang").isin(list(keep_langs))
                     & (F.col("margin") > 0)).select("doc_id"),
         "doc_id", "left_semi")
-    kept.write.mode("overwrite").parquet(os.path.join(out_dir, "langpass"))
-    n_out = spark.read.parquet(os.path.join(out_dir, "langpass")).count()
+    n_out = _write_counted(kept, os.path.join(out_dir, "langpass"))
     results.append(StageResult("langid_gate", n, n_out,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
@@ -331,8 +356,7 @@ def _crawl_back(spark: SparkSession, docs: DataFrame, out_dir: str,
 
     t0 = time.time()
     final = quality_gate(kept)
-    final.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
-    n_final = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
+    n_final = _write_counted(final, os.path.join(out_dir, "corpus"))
     results.append(StageResult("quality_gate", n_out, n_final,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
@@ -362,7 +386,7 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
     # the seen-set artifact the next crawl increment probes: exact
     # digests + a formula-sized Bloom prefilter with persisted sizing
     t0 = time.time()
-    m = write_seen_set(spark, deduped, out_dir, n, bloom_fpr)
+    m, _ = write_seen_set(spark, deduped, out_dir, n, bloom_fpr)
     results.append(StageResult("bloom_seen", n, m,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
@@ -433,9 +457,7 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
         prior = spark.read.parquet(
             os.path.join(prior_out_dir, "seen_digests"))
         new_docs = deduped
-    new_docs.write.mode("overwrite") \
-        .parquet(os.path.join(out_dir, "new_docs"))
-    n_new = spark.read.parquet(os.path.join(out_dir, "new_docs")).count()
+    n_new = _write_counted(new_docs, os.path.join(out_dir, "new_docs"))
     results.append(StageResult("seen_filter", n, n_new,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
@@ -447,8 +469,7 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     t0 = time.time()
     merged = prior.unionByName(deduped.select("digest")) \
         .dropDuplicates(["digest"])
-    n_seen = merged.count()
-    m = write_seen_set(spark, merged, out_dir, n_seen, bloom_fpr)
+    m, n_seen = write_seen_set(spark, merged, out_dir, None, bloom_fpr)
     results.append(StageResult("bloom_seen", n_seen, m,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
@@ -568,9 +589,7 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
         new_docs = deduped.join(verified, "digest", "left_anti")
     else:
         new_docs = deduped
-    new_docs.write.mode("overwrite") \
-        .parquet(os.path.join(out_dir, "new_docs"))
-    n_new = spark.read.parquet(os.path.join(out_dir, "new_docs")).count()
+    n_new = _write_counted(new_docs, os.path.join(out_dir, "new_docs"))
     results.append(StageResult("seen_filter", n, n_new,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
