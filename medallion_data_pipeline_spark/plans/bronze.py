@@ -66,8 +66,10 @@ def write_bronze(dfs: dict[str, DataFrame], warehouse: str) -> dict[str, int]:
             .dropDuplicates([pk])
         )
         path = os.path.join(warehouse, "bronze", name)
-        deduped.write.mode("overwrite").parquet(path)
-        return name, df.sparkSession.read.parquet(path).count()
+        # the landed count rides the write action (observe — r15, the
+        # silver-plan pattern) instead of a second re-read count job
+        from .corpus import write_counted
+        return name, write_counted(deduped, path)
 
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
         return dict(pool.map(_land, dfs.items()))

@@ -49,6 +49,25 @@ class StageResult:
     wall_s: float
 
 
+def write_counted(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None) -> int:
+    """Write ``df`` to parquet and return the row count observed ON
+    the write action itself (r15 optimization, the silver-plan observe
+    pattern): every stage audit used to pay a second job re-reading
+    the files it had just written. count() observes every row the
+    write sinks — the audited number is identical — and never returns
+    NULL on empty input, so no normalization is needed."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")) \
+        .write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return int(obs.get["n"])
+
+
 def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/C4 gates (word-count floor, stopword floor,
     distinct-token floor, mean-word-length band) as pure staged column
@@ -178,11 +197,8 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     def _stage(name: str, n_in: int, df: DataFrame, path: str | None,
                t0: float, partition_by: list[str] | None = None) -> int:
         if path is not None:
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(os.path.join(out_dir, path))
-            n_out = spark.read.parquet(os.path.join(out_dir, path)).count()
+            n_out = write_counted(df, os.path.join(out_dir, path),
+                                  partition_by)
         else:
             n_out = df.count()
         results.append(StageResult(name, n_in, n_out, round(time.time() - t0, 2)))

@@ -70,7 +70,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .corpus import StageResult, quality_gate
+from .corpus import StageResult, quality_gate, write_counted
 from ..sources.testdata import load_table
 
 #: landing contract for synthesized + real crawl shards
@@ -88,17 +88,8 @@ CRAWL_BLOCK_RULES = [
 ]
 
 
-def _write_counted(df: DataFrame, path: str) -> int:
-    """Write ``df`` to parquet and return the row count observed ON
-    the write action itself (r15 optimization: every stage audit used
-    to pay a second job re-reading the files it just wrote; count()
-    never returns NULL on empty input, so no normalization needed)."""
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    df.observe(obs, F.count(F.lit(1)).alias("n")) \
-        .write.mode("overwrite").parquet(path)
-    return int(obs.get["n"])
+#: audited write — the count rides the write action (plans/corpus.py)
+_write_counted = write_counted
 
 
 def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,

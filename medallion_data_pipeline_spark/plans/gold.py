@@ -233,6 +233,9 @@ def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
 
     def _write(item: tuple[str, DataFrame]) -> tuple[str, int]:
         name, df = item
+        # the landed count rides the write action (observe — r15, the
+        # silver-plan pattern) instead of a second re-read count job
+        from .corpus import write_counted
         if name == "supply_chain_dashboard":
             # canonical dynamic-partition write: one shuffle on the
             # partition key first, else every upstream task writes one
@@ -242,12 +245,11 @@ def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
             # dynamic-partition small-file explosion). AQE coalesces
             # the month shuffle to the real output width.
             df = df.repartition("order_year_month")
-            writer = df.write.mode("overwrite") \
-                .partitionBy("order_year_month")
-        else:
-            writer = df.write.mode("overwrite")
-        writer.parquet(os.path.join(warehouse, "gold", name))
-        return name, spark.read.parquet(os.path.join(warehouse, "gold", name)).count()
+            return name, write_counted(
+                df, os.path.join(warehouse, "gold", name),
+                partition_by=["order_year_month"])
+        return name, write_counted(
+            df, os.path.join(warehouse, "gold", name))
 
     with ThreadPoolExecutor(max_workers=len(marts)) as pool:
         counts = dict(pool.map(_write, marts.items()))
