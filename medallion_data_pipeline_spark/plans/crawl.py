@@ -160,9 +160,15 @@ def synthesize_crawl_shards(spark: SparkSession, sf_dir: str,
 
 
 def frontier_admit(df: DataFrame) -> DataFrame:
-    """Blocklist filter over canonicalized rows: joins the broadcast
-    rule table on host/path predicates, keeps rows no rule matches
-    (same semantics as the gated crawl_frontier_filter query)."""
+    """Blocklist filter over canonicalized rows: keeps rows NO rule in
+    the broadcast rule table matches (same semantics as the gated
+    crawl_frontier_filter query). One broadcast LEFT ANTI join — the
+    r14 shape (inner hit join -> groupBy(doc_id) min -> left join back
+    -> null filter) paid a doc_id Exchange and two joins to compute a
+    blocked_by column that only ever fed the null filter; the
+    surviving row set is identical by definition (anti = no rule
+    matches). The gated frontier query still reports WHICH rule
+    blocked; this admission path only needs who survived."""
     spark = df.sparkSession
     rules = spark.createDataFrame(CRAWL_BLOCK_RULES,
                                   "rule_id int, kind string, pattern string")
@@ -173,11 +179,7 @@ def frontier_admit(df: DataFrame) -> DataFrame:
          & F.col("url_host").endswith(F.col("pattern")))
         | ((F.col("kind") == "path_prefix")
            & F.col("_path").startswith(F.col("pattern"))))
-    hits = (d.join(F.broadcast(rules), cond)
-            .groupBy("doc_id").agg(F.min("rule_id").alias("blocked_by")))
-    return (d.join(hits, "doc_id", "left")
-            .filter(F.col("blocked_by").isNull())
-            .drop("blocked_by", "_path"))
+    return d.join(F.broadcast(rules), cond, "left_anti").drop("_path")
 
 
 def keep_lowest(df: DataFrame, key: str,
