@@ -562,16 +562,25 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
         eblooms = spark.read.parquet(bloom_root)
         epochs = sorted(int(r["epoch"]) for r in
                         eblooms.select("epoch").dropDuplicates().collect())
+    pairs = None
     if epochs:
+        # persisted: the old shape referenced `pairs` once per live
+        # epoch, re-running the whole probe (deduped x ALL epoch
+        # filters) E times — O(E²) filter probes for an E-epoch
+        # ledger (r15 optimization, guide §2.4)
         pairs = K.bloom_epoch_hit_pairs_sized(
             deduped.select(F.col("digest").alias("item")), eblooms) \
-            .select(F.col("item").alias("digest"), "epoch")
-        # exact verification, epoch-pruned: candidates for epoch e
-        # only ever join e's digest shard (read by path — explicit
-        # partition pruning; the union is one lazy plan, not a job
-        # per epoch). The Bloom's fpr makes this join mandatory.
+            .select(F.col("item").alias("digest"), "epoch").persist()
+        # which epochs actually hit: one tiny collect, then exact
+        # verification reads ONLY the hit epochs' digest shards (by
+        # path — explicit partition pruning; the old loop opened
+        # every live epoch's shard whether or not any candidate
+        # pointed at it). The Bloom's fpr makes this join mandatory.
+        hit_epochs = sorted(int(r["epoch"]) for r in
+                            pairs.select("epoch").dropDuplicates()
+                            .collect())
         verified = None
-        for e in epochs:
+        for e in hit_epochs:
             shard = spark.read.parquet(
                 os.path.join(seen_root, "digests", f"epoch={e}"))
             v = pairs.filter(F.col("epoch") == e).select("digest") \
@@ -579,10 +588,13 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
             verified = v if verified is None else verified.unionByName(v)
         # a digest lives in exactly one epoch (the ledger invariant),
         # so the union is already distinct
-        new_docs = deduped.join(verified, "digest", "left_anti")
+        new_docs = (deduped.join(verified, "digest", "left_anti")
+                    if verified is not None else deduped)
     else:
         new_docs = deduped
     n_new = _write_counted(new_docs, os.path.join(out_dir, "new_docs"))
+    if pairs is not None:
+        pairs.unpersist()
     results.append(StageResult("seen_filter", n, n_new,
                                round(time.time() - t0, 2)))
     if stage_hook is not None:
