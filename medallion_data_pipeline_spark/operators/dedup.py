@@ -750,6 +750,18 @@ def duplicate_span_intervals(docs: DataFrame, text_col: str = "text",
         .select(F.col(id_col), "n_tokens", F.col("e.pos").alias("pos"),
                 F.col("e.h").alias("h"))
     )
+    # win has two consumers (the first-occurrence agg and the probe
+    # side of the join), so the explode+md5 pass runs twice. That
+    # duplication is the MEASURED best form at bench scale (r15
+    # optimization round, guide §1.1's "ideal plan" gotcha): an
+    # explicit repartition(h) that makes the two subtrees share one
+    # reused exchange read 1.53 -> ~2.0 s (the token-scale full-frame
+    # exchange outweighs the saved compute), and persist() read
+    # 1.53 -> ~1.8 s (cache materialization serializes the first
+    # consumer) — both with an in-window control. The agg side only
+    # shuffles partial minima; the join side's exchange carries rows
+    # the join needs anyway; the recompute is scan-local CPU that
+    # parallelizes perfectly, which is also the 100 TB-safe trade.
     first = win.groupBy("h").agg(
         F.min(F.struct(F.col(id_col).alias("kid"),
                        F.col("pos").alias("kpos"))).alias("keeper"))

@@ -3357,14 +3357,31 @@ def _bm25_per_doc(spark, sf_dir):
     """Per-document BM25 scores for the corpus's top-3 df terms (the
     CTE chain _BM25_CTES mirrors) — shared by bm25_doc_ranking and
     hybrid_rrf_fusion. Returns (doc_id, dl, score_bm25) for every doc
-    containing >= 1 query term."""
+    containing >= 1 query term.
+
+    Tokenize ONCE (r15, guide §2.3/§2.4): dl and avgdl derive from the
+    persisted exploded frame instead of their own passes over
+    words(text) — dl(doc) is exactly that doc's exploded row count and
+    SUM(dl) is the frame's total count, so the old plan's two extra
+    full tokenize scans (the avgdl collect and the scan-local
+    F.size(ws) side of the dl join) collapse into aggregates the
+    persist already pays for. Equivalence: words() yields NULL only
+    for NULL text and [] for wordless text, so COUNT(dl) in the
+    oracle's AVG equals COUNT(text), and AVG = SUM(dl)/COUNT(text) =
+    w_.count()/COUNT(text) — exact-integer sum and count, single
+    double division, bit-identical to F.avg over the same values."""
     from pyspark.sql import Window as W
 
     d = td(spark, sf_dir).withColumn("ws", X.words(F.col("text")))
     w_ = d.select("doc_id", F.explode("ws").alias("word")).persist()
-    dl = d.select("doc_id", F.size("ws").alias("dl"))
-    n_docs = d.count()
-    avgdl = float(dl.agg(F.avg(F.col("dl").cast("double"))).collect()[0][0])
+    counts = d.agg(F.count(F.lit(1)).alias("n"),
+                   F.count("text").alias("nt")).collect()[0]
+    n_docs, n_text = int(counts["n"]), int(counts["nt"])
+    sum_dl = w_.count()  # materializes the persist; = SUM(dl)
+    avgdl = float(sum_dl) / float(n_text)
+    # cast preserves the prior F.size(ws) output type (int)
+    dl = w_.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("dl"))
 
     dfreq = w_.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     tr = F.row_number().over(
