@@ -1317,14 +1317,34 @@ def knn_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     subdim = len(books[0][0][1])
 
     # corpus side: one row per (vector, subspace) carrying its coarse
-    # cell + PQ code — the entire serving index. Lineage barrier for
-    # the same CollapseProject reason as knn_ivf/knn_ivf_probe.
-    cellmap = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell")
+    # cell + PQ code — the entire serving index. The coarse-cell argmin
+    # and the m subspace argmins are all independent argmins over the
+    # SAME row, so they run in ONE _staged_argmin_multi pass over ONE
+    # corpus scan (r15, guide §2.4: the previous shape ran ivf_assign
+    # and pq_assign_long as separate scans and re-attached them with a
+    # neighbor_id shuffle join — two Exchanges plus a SortMergeJoin to
+    # glue together columns born on the same row). Assignments are
+    # bit-identical: same argmin machinery, same centroid literals,
+    # same lower-label tie-break. Lineage barrier for the same
+    # CollapseProject reason as knn_ivf/knn_ivf_probe.
+    m_sub = len(books)
+    cdf = spread(corpus).select(F.col(id_col),
+                                _as_double(F.col(vec_col)).alias("dv"))
+    cdf = cdf.select("*", *[
+        F.slice("dv", s * subdim + 1, subdim).alias(f"_sub{s}")
+        for s in range(m_sub)])
+    cdf = _staged_argmin_multi(cdf, [
+        ("dv", list(enumerate(cents)), "cell", "_d2c")] + [
+        (f"_sub{s}", book, f"_cell{s}", f"_d2_{s}")
+        for s, book in enumerate(books)])
+    structs = [
+        F.struct(F.lit(s).alias("subspace"),
+                 F.col(f"_cell{s}").alias("code"))
+        for s in range(m_sub)]
     coded = (
-        pq_assign_long(corpus, books, id_col, vec_col)
-        .select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
-        .join(cellmap, "neighbor_id")
+        cdf.select(F.col(id_col).alias("neighbor_id"), "cell",
+                   F.explode(F.array(*structs)).alias("e"))
+        .select("neighbor_id", "cell", "e.subspace", "e.code")
         .localCheckpoint(eager=False)
     )
 

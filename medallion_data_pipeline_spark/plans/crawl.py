@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -257,6 +258,13 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
     from ..functions.urls import with_canonical_url
     from ..sources.jsonl import read_jsonl, split_rejects
 
+    def _audit(name: str, n_in: int, n_out: int, t0: float) -> int:
+        results.append(StageResult(name, n_in, n_out,
+                                   round(time.time() - t0, 2)))
+        if stage_hook is not None:
+            stage_hook(name)
+        return n_out
+
     def _stage(name: str, n_in: int, df: DataFrame, path: str,
                t0: float) -> int:
         # the audited count rides the write action via observe (r15,
@@ -264,16 +272,21 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
         # a write plus a re-read count job; count() observes every
         # row the write sinks, so the audited number is identical
         n_out = _write_counted(df, os.path.join(out_dir, path))
-        results.append(StageResult(name, n_in, n_out,
-                                   round(time.time() - t0, 2)))
-        if stage_hook is not None:
-            stage_hook(name)
-        return n_out
+        return _audit(name, n_in, n_out, t0)
 
     t0 = time.time()
     good, bad = split_rejects(read_jsonl(spark, landing_dir, CRAWL_SCHEMA))
-    bad.write.mode("overwrite").parquet(os.path.join(out_dir, "rejects"))
-    n = _stage("ingest", -1, good, "bronze", t0)
+    # rejects and bronze are independent sinks over the same parsed
+    # landing scan — overlapped jobs (guide §2.6), the rejects write's
+    # tasks back-fill executors the bronze write leaves idle; the
+    # stage audit lands once both sinks have committed
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_bad = pool.submit(
+            bad.write.mode("overwrite").parquet,
+            os.path.join(out_dir, "rejects"))
+        n_good = _write_counted(good, os.path.join(out_dir, "bronze"))
+        fut_bad.result()
+    n = _audit("ingest", -1, n_good, t0)
     bronze = spark.read.parquet(os.path.join(out_dir, "bronze"))
 
     t0 = time.time()
@@ -376,17 +389,24 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
                      robots_dir=robots_dir, robots_agent=robots_agent)
     deduped = spark.read.parquet(os.path.join(out_dir, "deduped"))
 
-    # the seen-set artifact the next crawl increment probes: exact
-    # digests + a formula-sized Bloom prefilter with persisted sizing
+    # the seen-set artifact (exact digests + formula-sized Bloom with
+    # persisted sizing) and the back half (langid + quality gates) are
+    # INDEPENDENT consumers of the just-landed deduped/ layer, so they
+    # run as overlapped jobs (guide §2.6) — the seen-set's tail tasks
+    # back-fill executors the langid explode leaves idle. Stage
+    # results keep their canonical order; each stage times itself.
     t0 = time.time()
-    m, _ = write_seen_set(spark, deduped, out_dir, n, bloom_fpr)
-    results.append(StageResult("bloom_seen", n, m,
-                               round(time.time() - t0, 2)))
-    if stage_hook is not None:
-        stage_hook("bloom_seen")
-
-    _crawl_back(spark, deduped, out_dir, keep_langs, results, n,
-                stage_hook)
+    back: list[StageResult] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_back = pool.submit(_crawl_back, spark, deduped, out_dir,
+                               keep_langs, back, n, stage_hook)
+        m, _ = write_seen_set(spark, deduped, out_dir, n, bloom_fpr)
+        bloom_wall = round(time.time() - t0, 2)
+        if stage_hook is not None:
+            stage_hook("bloom_seen")
+        fut_back.result()
+    results.append(StageResult("bloom_seen", n, m, bloom_wall))
+    results.extend(back)
     return results
 
 
@@ -458,18 +478,26 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     new_docs = spark.read.parquet(os.path.join(out_dir, "new_docs"))
 
     # merged seen-set for increment N+2: prior ∪ this increment's
-    # survivors (distinct — replays and cross-increment dupes collapse)
+    # survivors (distinct — replays and cross-increment dupes collapse).
+    # The merge and the back half (langid + quality over new_docs) are
+    # independent — overlapped jobs, guide §2.6 (the merge is the
+    # O(corpus) cost of this mode, so backfilling it under the gates
+    # is the increment's biggest local win).
     t0 = time.time()
-    merged = prior.unionByName(deduped.select("digest")) \
-        .dropDuplicates(["digest"])
-    m, n_seen = write_seen_set(spark, merged, out_dir, None, bloom_fpr)
-    results.append(StageResult("bloom_seen", n_seen, m,
-                               round(time.time() - t0, 2)))
-    if stage_hook is not None:
-        stage_hook("bloom_seen")
-
-    _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new,
-                stage_hook)
+    back: list[StageResult] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_back = pool.submit(_crawl_back, spark, new_docs, out_dir,
+                               keep_langs, back, n_new, stage_hook)
+        merged = prior.unionByName(deduped.select("digest")) \
+            .dropDuplicates(["digest"])
+        m, n_seen = write_seen_set(spark, merged, out_dir, None,
+                                   bloom_fpr)
+        bloom_wall = round(time.time() - t0, 2)
+        if stage_hook is not None:
+            stage_hook("bloom_seen")
+        fut_back.result()
+    results.append(StageResult("bloom_seen", n_seen, m, bloom_wall))
+    results.extend(back)
     return results
 
 
@@ -601,15 +629,22 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
         stage_hook("seen_filter")
     new_docs = spark.read.parquet(os.path.join(out_dir, "new_docs"))
 
+    # the new epoch's ledger append and the back half both consume the
+    # just-landed new_docs/ layer and nothing of each other —
+    # overlapped jobs, guide §2.6 (same shape as run_crawl_pipeline's
+    # bloom_seen overlap)
     t0 = time.time()
     next_epoch = (max(epochs) + 1) if epochs else 0
-    m = append_epoch_seen(spark, new_docs, seen_root, next_epoch,
-                          n_new, bloom_fpr)
-    results.append(StageResult("epoch_append", n_new, m,
-                               round(time.time() - t0, 2)))
-    if stage_hook is not None:
-        stage_hook("epoch_append")
-
-    _crawl_back(spark, new_docs, out_dir, keep_langs, results, n_new,
-                stage_hook)
+    back: list[StageResult] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_back = pool.submit(_crawl_back, spark, new_docs, out_dir,
+                               keep_langs, back, n_new, stage_hook)
+        m = append_epoch_seen(spark, new_docs, seen_root, next_epoch,
+                              n_new, bloom_fpr)
+        append_wall = round(time.time() - t0, 2)
+        if stage_hook is not None:
+            stage_hook("epoch_append")
+        fut_back.result()
+    results.append(StageResult("epoch_append", n_new, m, append_wall))
+    results.extend(back)
     return results
