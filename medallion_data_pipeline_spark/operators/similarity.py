@@ -1607,17 +1607,37 @@ def knn_ivf_sq8(corpus: DataFrame, queries: DataFrame, k: int = 5,
     lv = float(levels)
 
     # corpus index: (neighbor_id, cell, vhat, cn) — decode-at-scan from
-    # the 1-byte codes, routed by the coarse quantizer. Map-only.
-    coded = sq_assign(corpus, vmins, vmaxs, levels, id_col, vec_col)
+    # the 1-byte codes, routed by the coarse quantizer. The coarse-cell
+    # argmin and the quantize/dequantize are independent row-local
+    # functions of the same vector, so they run in ONE pass over ONE
+    # corpus scan (r15, guide §2.4 — previously sq_assign and
+    # ivf_assign scanned the corpus separately and a neighbor_id
+    # shuffle join glued together columns born on the same row; the
+    # fused form is map-only end to end). Codes/cells are
+    # bit-identical: same fixed-order quantize ops (sq_assign's
+    # formula), same staged argmin + lower-cell tie-break. Lineage
+    # barrier for the same CollapseProject reason as knn_ivf_pq.
+    v = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              _as_double(F.col(vec_col)).alias("dv"))
+    v = _staged_argmin(v, "dv", list(enumerate(cents)),
+                       cell_name="cell", d2_name="_d2c")
+    shifted = F.zip_with(F.col("dv"), mn, lambda x, m: x - m)
+    codes = F.zip_with(
+        shifted, span,
+        lambda y, s: F.when(
+            s > 0,
+            F.floor(F.greatest(F.lit(0.0), F.least(
+                F.lit(lv), y * F.lit(lv) / s)) + F.lit(0.5))
+        ).otherwise(F.lit(0)).cast("int"))
+    # vhat derives from the CODES (the persisted form), never from the
+    # raw vector — information still flows through 1 byte/dim
     vhat = F.zip_with(
-        F.zip_with(F.col("codes"), span, lambda c, s: c * s / F.lit(lv)),
+        F.zip_with(codes, span, lambda c, s: c * s / F.lit(lv)),
         mn, lambda x, m: x + m)
-    c = coded.select(F.col(id_col).alias("neighbor_id"),
-                     vhat.alias("vhat"))
-    c = c.select("neighbor_id", "vhat", V.norm(F.col("vhat")).alias("cn"))
-    cellmap = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell")
-    c = c.join(cellmap, "neighbor_id")
+    c = v.select("neighbor_id", "cell", vhat.alias("vhat"))
+    c = c.select("neighbor_id", "cell", "vhat",
+                 V.norm(F.col("vhat")).alias("cn")) \
+        .localCheckpoint(eager=False)
 
     # query side: nprobe nearest cells (struct-sort argmin, ties to
     # the lower cell id — identical to knn_ivf_pq's router)
