@@ -204,12 +204,22 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
         results.append(StageResult(name, n_in, n_out, round(time.time() - t0, 2)))
         return n_out
 
-    docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
+    # the raw count rides the first stage's write action: observe is
+    # placed BEFORE the gate's filter, so it sees every scanned row —
+    # identical to a separate docs.count() job, one fewer action
+    # (r15, the silver-plan pattern; count never NULLs on empty input)
+    from pyspark.sql import Observation
+
+    raw_obs = Observation()
+    docs = load_table(spark, sf_dir, "documents") \
+        .observe(raw_obs, F.count(F.lit(1)).alias("n"))
 
     t0 = time.time()
     gated = quality_gate(docs)
-    n = _stage("quality_gate", n_raw, gated, "filtered", t0)
+    n = _stage("quality_gate", -1, gated, "filtered", t0)
+    n_raw = int(raw_obs.get["n"])
+    results[0] = StageResult("quality_gate", n_raw, results[0].rows_out,
+                             results[0].wall_s)
     gated = spark.read.parquet(os.path.join(out_dir, "filtered"))
 
     t0 = time.time()
