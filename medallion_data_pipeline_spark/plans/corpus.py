@@ -217,9 +217,10 @@ def run_corpus_pipeline(spark: SparkSession, sf_dir: str, out_dir: str,
     t0 = time.time()
     gated = quality_gate(docs)
     n = _stage("quality_gate", -1, gated, "filtered", t0)
-    n_raw = int(raw_obs.get["n"])
-    results[0] = StageResult("quality_gate", n_raw, results[0].rows_out,
-                             results[0].wall_s)
+    # patch the just-appended stage in place (StageResult is a mutable
+    # dataclass — ADVICE r15: reconstructing results[0] coupled the
+    # patch to the stage's index and left a -1 sentinel on failure)
+    results[-1].rows_in = int(raw_obs.get["n"])
     gated = spark.read.parquet(os.path.join(out_dir, "filtered"))
 
     t0 = time.time()

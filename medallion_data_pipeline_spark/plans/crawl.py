@@ -284,7 +284,19 @@ def _crawl_front(spark: SparkSession, landing_dir: str, out_dir: str,
         fut_bad = pool.submit(
             bad.write.mode("overwrite").parquet,
             os.path.join(out_dir, "rejects"))
-        n_good = _write_counted(good, os.path.join(out_dir, "bronze"))
+        try:
+            n_good = _write_counted(good, os.path.join(out_dir, "bronze"))
+        except BaseException:
+            # both sinks read the same landing scan, so a bad shard
+            # typically fails BOTH — surface the worker's exception
+            # (the likelier shared root cause) instead of silently
+            # discarding it with the pool exit (ADVICE r15)
+            exc = fut_bad.exception()
+            if exc is not None:
+                import logging
+                logging.getLogger(__name__).error(
+                    "rejects sink also failed: %r", exc)
+            raise
         fut_bad.result()
     n = _audit("ingest", -1, n_good, t0)
     bronze = spark.read.parquet(os.path.join(out_dir, "bronze"))
@@ -383,7 +395,16 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
     with_langid_script) — non-Latin documents classify by Unicode
     script (zh/ja/ko/ru/ar/he/hi/el) instead of silently failing the
     trigram gate, so keep_langs=("en", "zh") keeps Chinese pages.
-    Returns per-stage audited counts + wall times."""
+    Returns per-stage audited counts + wall times.
+
+    ``stage_hook(name)`` contract (changed by the r15 stage overlap):
+    the hook may fire from a NON-MAIN thread, CONCURRENTLY with
+    another firing, and OUT of canonical stage order inside an
+    overlapped pair (bloom_seen vs langid_gate/quality_gate) — hooks
+    must be thread-safe, and consumers differencing cumulative
+    cluster counters between firings (tools/scale_crawl_pipeline.py)
+    get blended attribution WITHIN a pair (their sum stays exact).
+    The returned StageResult list keeps canonical order regardless."""
     results: list[StageResult] = []
     n = _crawl_front(spark, landing_dir, out_dir, results, stage_hook,
                      robots_dir=robots_dir, robots_agent=robots_agent)
@@ -404,8 +425,11 @@ def run_crawl_pipeline(spark: SparkSession, landing_dir: str,
         bloom_wall = round(time.time() - t0, 2)
         if stage_hook is not None:
             stage_hook("bloom_seen")
+        # record the COMPLETED seen-set stage before joining the back
+        # half — if _crawl_back raised, the audit trail would
+        # otherwise lose a stage that did finish (ADVICE r15)
+        results.append(StageResult("bloom_seen", n, m, bloom_wall))
         fut_back.result()
-    results.append(StageResult("bloom_seen", n, m, bloom_wall))
     results.extend(back)
     return results
 
@@ -443,7 +467,10 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
     union therefore holds on digest sets, which is what the parity
     test pins). At 100 TB: the probe is a broadcast join against a
     ~m/32-row filter, and only candidates (true dupes + fpr x new)
-    ever reach the prior-digest shuffle."""
+    ever reach the prior-digest shuffle.
+
+    ``stage_hook`` fires concurrently / out of canonical order inside
+    overlapped stage pairs — see run_crawl_pipeline's contract note."""
     from ..operators import sketch as K
 
     results: list[StageResult] = []
@@ -495,8 +522,10 @@ def run_crawl_increment(spark: SparkSession, landing_dir: str,
         bloom_wall = round(time.time() - t0, 2)
         if stage_hook is not None:
             stage_hook("bloom_seen")
+        # completed-stage audit lands before joining the back half
+        # (ADVICE r15 — see run_crawl_pipeline)
+        results.append(StageResult("bloom_seen", n_seen, m, bloom_wall))
         fut_back.result()
-    results.append(StageResult("bloom_seen", n_seen, m, bloom_wall))
     results.extend(back)
     return results
 
@@ -575,7 +604,10 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
     modes to the same from-scratch digest sets. The difference is
     purely cost shape: merged mode re-hashes the whole corpus per
     increment; ledger mode writes O(new) and reads O(candidate
-    epochs), so increment cost no longer grows with corpus age."""
+    epochs), so increment cost no longer grows with corpus age.
+
+    ``stage_hook`` fires concurrently / out of canonical order inside
+    overlapped stage pairs — see run_crawl_pipeline's contract note."""
     from ..operators import sketch as K
 
     results: list[StageResult] = []
@@ -644,7 +676,9 @@ def run_crawl_increment_epochs(spark: SparkSession, landing_dir: str,
         append_wall = round(time.time() - t0, 2)
         if stage_hook is not None:
             stage_hook("epoch_append")
+        # completed-stage audit lands before joining the back half
+        # (ADVICE r15 — see run_crawl_pipeline)
+        results.append(StageResult("epoch_append", n_new, m, append_wall))
         fut_back.result()
-    results.append(StageResult("epoch_append", n_new, m, append_wall))
     results.extend(back)
     return results
