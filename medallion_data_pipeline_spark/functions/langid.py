@@ -421,6 +421,16 @@ def langid_norm_arabic_sql(col: str) -> str:
             f"'[^{_AR_KEEP} ]', ' ', 'g'), ' +', ' ', 'g'))")
 
 
+#: Python strip-class twin per registered normalizer — feeds the
+#: plan-build-time seed-profile derivation (seed_profiles); a norm
+#: not listed here falls back to the in-plan derivation.
+_PY_NORM_STRIP = {
+    langid_norm: "[^a-z ]",
+    langid_norm_cyrillic: f"[^{_CYR_KEEP} ]",
+    langid_norm_arabic: f"[^{_AR_KEEP} ]",
+}
+
+
 def trigram_array(col: Column) -> Column:
     """All character trigrams of an ALREADY-NORMALIZED string as an
     array (empty below length 3 — explicit guard, because Spark
@@ -444,14 +454,58 @@ def trigrams_sql(col: str) -> str:
 def seed_profiles(spark: SparkSession, k: int = LANGID_K,
                   seeds: dict[str, str] | None = None,
                   norm=langid_norm) -> DataFrame:
-    """(lang, tri, rl) — each seed language's top-k trigram ranks,
-    derived IN-PLAN from the seed literals through the same
-    normalization / trigram expressions the documents go through (the
-    oracle derives them in SQL from the identical literals, so the
-    two engines cannot drift). <= n_langs * k rows; broadcast by
-    construction. ``seeds``/``norm`` default to the Latin profile set
-    (LANG_SEEDS + langid_norm); pass CYRILLIC_SEEDS +
-    langid_norm_cyrillic for the within-Cyrillic profiles."""
+    """(lang, tri, rl) — each seed language's top-k trigram ranks.
+
+    r16 optimization (guide §1.2 "don't compute things you throw
+    away"): the profile table is a pure function of module literals,
+    so it is derived at PLAN-BUILD time in Python and shipped as a
+    literal DataFrame — the r15 shape re-derived it in-plan on every
+    invocation, paying an explode + groupBy + ranking-window subtree
+    (two extra shuffle stages) per langid query and per crawl-gate
+    stage. Ranking semantics are identical (count desc, trigram asc;
+    Python's per-codepoint string compare matches Spark's UTF8
+    binary order because UTF-8 byte order IS codepoint order) and
+    the seed literals are already lowercase, so lower() diverges
+    nowhere; test_corpus_ops pins the Python rows against the
+    in-plan derivation for all three seed sets. The oracle still
+    derives profiles in SQL from the identical literals, so the
+    engines cannot drift. <= n_langs * k rows; broadcast by
+    construction. ``seeds``/``norm`` default to the Latin profile
+    set (LANG_SEEDS + langid_norm); pass CYRILLIC_SEEDS +
+    langid_norm_cyrillic for the within-Cyrillic profiles. A caller
+    passing a norm without a registered Python twin falls back to
+    the in-plan derivation."""
+    seed_map = LANG_SEEDS if seeds is None else seeds
+    strip = _PY_NORM_STRIP.get(norm)
+    if strip is None:  # custom normalizer: derive in-plan as before
+        return seed_profiles_inplan(spark, k, seeds=seed_map, norm=norm)
+    rows = []
+    for lang in sorted(seed_map):
+        s = _py_norm(seed_map[lang], strip)
+        counts: dict[str, int] = {}
+        for i in range(len(s) - 2):
+            t = s[i:i + 3]
+            counts[t] = counts.get(t, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        rows.extend((lang, t, r + 1) for r, (t, _) in enumerate(top))
+    return spark.createDataFrame(rows, "lang string, tri string, rl int")
+
+
+def _py_norm(s: str, strip_cls: str) -> str:
+    """Python twin of the langid_norm* column expressions: lowercase
+    -> strip to the keep-class -> collapse runs -> trim."""
+    import re as _re
+
+    return _re.sub(" +", " ", _re.sub(strip_cls, " ", s.lower())).strip()
+
+
+def seed_profiles_inplan(spark: SparkSession, k: int = LANGID_K,
+                         seeds: dict[str, str] | None = None,
+                         norm=langid_norm) -> DataFrame:
+    """The r15 in-plan derivation (explode + count + ranking window
+    over the seed literals) — kept as the reference implementation
+    the literal path is property-pinned against, and as the fallback
+    for custom normalizers."""
     from pyspark.sql.window import Window as W
 
     seed_map = LANG_SEEDS if seeds is None else seeds

@@ -3372,12 +3372,23 @@ def _bm25_per_doc(spark, sf_dir):
     double division, bit-identical to F.avg over the same values."""
     from pyspark.sql import Window as W
 
+    from pyspark.sql import Observation
+
     d = td(spark, sf_dir).withColumn("ws", X.words(F.col("text")))
-    w_ = d.select("doc_id", F.explode("ws").alias("word")).persist()
-    counts = d.agg(F.count(F.lit(1)).alias("n"),
-                   F.count("text").alias("nt")).collect()[0]
-    n_docs, n_text = int(counts["n"]), int(counts["nt"])
+    # n_docs / n_text ride the persist's materialization via observe
+    # (r16, guide §5 / the write_counted pattern): the observe node
+    # sits BELOW the explode, so the count job that materializes the
+    # exploded cache reports every document row — the r15 shape paid
+    # a separate d.agg(count, count) job (one more full action per
+    # invocation) for the same two integers. count never NULLs on
+    # empty input, so no normalization is needed.
+    obs = Observation()
+    w_ = (d.observe(obs, F.count(F.lit(1)).alias("n"),
+                    F.count("text").alias("nt"))
+          .select("doc_id", F.explode("ws").alias("word")).persist())
     sum_dl = w_.count()  # materializes the persist; = SUM(dl)
+    counts = obs.get
+    n_docs, n_text = int(counts["n"]), int(counts["nt"])
     avgdl = float(sum_dl) / float(n_text)
     # cast preserves the prior F.size(ws) output type (int)
     dl = w_.groupBy("doc_id").agg(

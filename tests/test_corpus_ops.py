@@ -1907,3 +1907,26 @@ def test_langid_profile_contract(spark):
         assert ranks == list(range(1, len(rows) + 1)), lang
         assert len(rows) <= L.LANGID_K
         assert len(rows) > 100, (lang, len(rows))  # seeds are rich
+
+
+def test_langid_seed_profiles_literal_matches_inplan(spark):
+    """r16 optimization pin: seed_profiles now derives the profile
+    table in Python at plan-build time (zero Spark jobs per langid
+    invocation); its rows must equal the in-plan explode + count +
+    ranking-window derivation EXACTLY, for all three seed sets."""
+    from medallion_data_pipeline_spark.functions import langid as L
+
+    cases = [
+        (None, L.langid_norm),
+        (L.CYRILLIC_SEEDS, L.langid_norm_cyrillic),
+        (L.ARABIC_SEEDS, L.langid_norm_arabic),
+    ]
+    for seeds, norm in cases:
+        lit = {(r.lang, r.tri, r.rl)
+               for r in L.seed_profiles(spark, seeds=seeds,
+                                        norm=norm).collect()}
+        inp = {(r.lang, r.tri, r.rl)
+               for r in L.seed_profiles_inplan(spark, seeds=seeds,
+                                               norm=norm).collect()}
+        assert lit == inp, (norm.__name__,
+                            len(lit - inp), len(inp - lit))
